@@ -1,0 +1,68 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Configured for correctness-vs-oracle determinism (UTC session timezone,
+LAST_WIN map-key dedup) and for large-cluster behavior (AQE with skew-join
+handling, broadcast threshold, Arrow for the pandas-UDF path). On the test
+rig this runs local[N]; on a real cluster the same confs apply per-executor.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for the 100 TB design point, not just local tests:
+# - AQE coalesces post-shuffle partitions and splits skewed ones at runtime,
+#   so a static shuffle.partitions value only needs to be an upper bound.
+# - autoBroadcastJoinThreshold 64m: dimension tables (region/nation/customer/
+#   supplier/part at warehouse scale) broadcast instead of shuffling lineitem.
+# - maxPartitionBytes 128m keeps scan partitions executor-memory-friendly.
+_DEFAULT_CONF: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    # map-family writes upsert qualifiers via map_concat (SURVEY §1.2)
+    "spark.sql.mapKeyDedupPolicy": "LAST_WIN",
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(
+    app_name: str = "kiji-scoring-spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (all cores if the
+    env var is unset). ``extra_conf`` overrides any default conf.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(_DEFAULT_CONF)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def tune_existing(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime-settable confs to a session we didn't
+    build (e.g. the driver's harness session)."""
+    for k, v in _DEFAULT_CONF.items():
+        if k.startswith("spark.sql."):
+            try:
+                spark.conf.set(k, v)
+            except Exception:
+                pass  # conf not runtime-settable in this deployment
+    return spark
