@@ -1,0 +1,67 @@
+"""Benchmark runner — times the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line for the driver's BENCH_r{N}.json.
+
+Each query is executed once to warm the JVM/scan cache and once timed
+(count() to force full execution without driver-side materialization).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kiji_scoring_spark.queries import QUERIES  # noqa: E402
+from kiji_scoring_spark.session import get_spark  # noqa: E402
+
+#: Headline set — updated as operator coverage widens. Kept to a
+#: representative mix so the bench reflects scan, join, agg, window paths.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "bulk_get_customers",
+    "rollup_acctbal_by_nation_segment",
+    "topk_parts_per_brand",
+    "most_recent_event_per_user",
+    "filter_in_between_like",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="kiji-scoring-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = [n for n in HEADLINE if n in QUERIES]
+    # warm-up: JVM JIT + file metadata cache (not part of the measurement)
+    for n in names:
+        QUERIES[n].fn(spark, sf_dir).count()
+
+    per_query: dict[str, float] = {}
+    for n in names:
+        t0 = time.perf_counter()
+        QUERIES[n].fn(spark, sf_dir).count()
+        per_query[n] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(per_query.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,252 @@
+"""The freshen pass + fresh readers — Spark translation of the reference's
+core conditional score-and-writeback loop (SURVEY §2.A rows A1/A2/A7/A10,
+§3.1-3.2).
+
+Reference hot path (``impl/InternalFreshKijiTableReader.java:663-725``):
+per requested column with an attached freshener, evaluate the policy; if
+stale, run the producer on the row (with the producer's own data request),
+write the result back to the attached column, and reread. Bounded by a
+timeout with stale fallback.
+
+Batch redefinition (SURVEY §4.3.1): freshening a table is ONE declarative
+pass —
+
+    stale   = rows where NOT policy.is_fresh(attached_col, as_of)
+    scored  = producer over the stale rows (expression / pandas / MLlib)
+    result  = table with attached_col := with_put(attached_col, as_of,
+              score) on stale rows, untouched elsewhere
+
+The timeout→stale-fallback contract (A10) becomes: the freshen job runs
+under a wall-clock budget; if the budget expires the job group is
+cancelled and the ORIGINAL (stale) table is returned — the exact analog of
+"return stale data on timeout" (``InternalFreshKijiTableReader.java:
+686-724``). ``coalesce(new, old)`` inside the merge guarantees rows the
+producer didn't reach keep their stale values (partial freshening,
+``:703-708``).
+
+Scale: the stale filter is a pushed-down predicate; expression producers
+stay in codegen; pandas producers move only the stale partition through
+Arrow; the merge is a projection (when/otherwise), not a join — the table
+is scanned once, and nothing shuffles unless the producer itself needs to.
+"""
+
+from __future__ import annotations
+
+import threading
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import model
+from .policies import FreshnessPolicy
+from .producers import (
+    ExpressionProducer,
+    MLlibProducer,
+    PandasProducer,
+    Producer,
+    attach_stores,
+    merge_stores,
+)
+from .registry import FreshenerRegistry, TableLayout, load_class, parse_column
+
+#: reference default: 100 ms per get (FreshKijiTableReaderBuilder.java:66-67).
+#: Batch jobs amortize over many rows, so the default budget is larger.
+DEFAULT_TIMEOUT_MS = 10_000
+
+
+@dataclass
+class Freshener:
+    """A resolved capsule: policy + producer bound to an attached column
+    (``makeCapsule``, ``impl/InternalFreshKijiTableReader.java:356-386``)."""
+
+    column: str  # 'family:qualifier' or map-family name
+    policy: FreshnessPolicy
+    producer: Producer
+
+
+class FreshTableReader:
+    """Fresh reader over a DataFrame-backed table.
+
+    Mirrors ``FreshKijiTableReader``: ``get``/``bulk_get`` behave like
+    plain reads except attached columns are freshened first. Capsules are
+    resolved lazily from the registry and cached; ``reread_policies``
+    invalidates the cache (A13).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        table_name: str,
+        df: DataFrame,
+        registry: FreshenerRegistry,
+        key_col: str = "entity_id",
+        timeout_ms: int = DEFAULT_TIMEOUT_MS,
+        allow_partial: bool = False,
+    ):
+        self.spark = spark
+        self.table_name = table_name
+        self.df = df
+        self.registry = registry
+        self.key_col = key_col
+        self.timeout_ms = timeout_ms
+        self.allow_partial = allow_partial
+        self._capsules: dict[str, Freshener] | None = None
+
+    # -- capsule lifecycle (A13) -----------------------------------------
+
+    def _resolve_capsules(self) -> dict[str, Freshener]:
+        if self._capsules is None:
+            caps = {}
+            for column, rec in self.registry.retrieve_all(self.table_name).items():
+                policy_cls = load_class(rec.freshness_policy_class)
+                policy = policy_cls()
+                if rec.freshness_policy_state:
+                    policy.deserialize(rec.freshness_policy_state)
+                producer_cls = load_class(rec.producer_class)
+                producer = producer_cls() if isinstance(producer_cls, type) else producer_cls
+                caps[column] = Freshener(column=column, policy=policy, producer=producer)
+            self._capsules = caps
+        return self._capsules
+
+    def reread_policies(self) -> None:
+        """Drop cached capsules; next read re-resolves from the registry
+        (``rereadPolicies``, ``InternalFreshKijiTableReader.java:271-309``)."""
+        self._capsules = None
+
+    def preload(self) -> None:
+        """Eagerly resolve capsules (``preload``, ``:823-827``)."""
+        self._resolve_capsules()
+
+    # -- freshen pass (A7/A8/A10) ----------------------------------------
+
+    def _freshen_column(self, df: DataFrame, cap: Freshener, as_of_ms: int) -> DataFrame:
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        fam, qual = parse_column(cap.column)
+        layout = TableLayout(df.schema)
+        flat = layout.flat_name(cap.column)
+        is_map = qual is None
+        orig_cols = list(df.columns)
+        # family-wide producers choose the qualifier they write to
+        # (impl/KijiFreshProducerContext.java:115-131)
+        map_qual = getattr(cap.producer, "map_qualifier", "score")
+
+        versions: Column = (
+            model.map_get_versions(F.col(fam), map_qual) if is_map else F.col(flat)
+        )
+        fresh_pred = cap.policy.is_fresh(versions, as_of_ms)
+
+        producer = cap.producer
+        if isinstance(producer, PandasProducer):
+            # Python path: score ONLY the stale partition through Arrow,
+            # then merge back by key — a broadcast-friendly join since the
+            # stale side is usually a small fraction of the table.
+            stale = df.filter(~fresh_pred)
+            req_cols = [self.key_col] + [
+                layout.flat_name(c) for c in producer.data_request
+            ]
+            scored_in = stale.select(*dict.fromkeys(req_cols))
+            out_schema = StructType(
+                list(scored_in.schema.fields) + [StructField("__score__", DoubleType())]
+            )
+            scored = scored_in.mapInPandas(
+                producer.make_map_fn("__score__"), schema=out_schema
+            ).select(self.key_col, "__score__")
+            df = df.join(F.broadcast(scored), on=self.key_col, how="left")
+            score_col = F.col("__score__")
+        elif isinstance(producer, MLlibProducer):
+            stale = df.filter(~fresh_pred)
+            scored = producer.transform(stale).select(
+                self.key_col, F.col(producer.prediction_col).alias("__score__")
+            )
+            df = df.join(scored, on=self.key_col, how="left")
+            score_col = F.col("__score__")
+        else:
+            # Expression producer: stays fully in codegen; KV stores join in
+            stores = merge_stores(producer.required_stores, cap.policy.required_stores)
+            if stores:
+                df = attach_stores(df, stores)
+            score_col = producer.score(df)
+
+        written = (
+            model.map_with_put(F.col(fam), map_qual, as_of_ms, score_col)
+            if is_map
+            else model.with_put(F.col(flat), as_of_ms, score_col)
+        )
+        # stale & produced → write; stale & score NULL (producer didn't
+        # reach the row) → keep old (partial-freshening invariant A10)
+        target = fam if is_map else flat
+        df = df.withColumn(
+            target,
+            F.when(fresh_pred | score_col.isNull(), F.col(target)).otherwise(written),
+        )
+        return df.select(*orig_cols)
+
+    def freshen(self, as_of_ms: int, columns: list[str] | None = None) -> DataFrame:
+        """Apply every attached freshener (or the requested subset) and
+        return the freshened table. Purely declarative — callers decide
+        whether to materialize (writeback) or query directly."""
+        caps = self._resolve_capsules()
+        df = self.df
+        for column, cap in sorted(caps.items()):
+            if columns is None or column in columns:
+                df = self._freshen_column(df, cap, as_of_ms)
+        return df
+
+    def freshen_with_timeout(
+        self, as_of_ms: int, timeout_ms: int | None = None
+    ) -> tuple[DataFrame, bool]:
+        """A10 batch semantics: materialize the freshened table within a
+        wall-clock budget. Returns (table, fresh?). On timeout the Spark
+        job group is cancelled and the ORIGINAL table is returned — the
+        stale fallback of ``InternalFreshKijiTableReader.java:686-724``.
+        """
+        budget = (timeout_ms or self.timeout_ms) / 1000.0
+        group = f"freshen-{self.table_name}-{as_of_ms}"
+        sc = self.spark.sparkContext
+        result: dict[str, DataFrame] = {}
+        error: list[BaseException] = []
+
+        def run():
+            try:
+                sc.setJobGroup(group, "freshen pass", interruptOnCancel=True)
+                fresh_df = self.freshen(as_of_ms)
+                fresh_df.cache().count()  # materialize within the budget
+                result["df"] = fresh_df
+            except BaseException as e:  # noqa: BLE001 — cancelled jobs raise
+                error.append(e)
+
+        t = threading.Thread(target=run, daemon=True)
+        t.start()
+        t.join(budget)
+        if t.is_alive():
+            sc.cancelJobGroup(group)
+            t.join(5.0)
+            return self.df, False
+        if error:
+            raise error[0]
+        return result["df"], True
+
+    # -- reads (A1/A2) ----------------------------------------------------
+
+    def get(self, entity_id, as_of_ms: int, columns: list[str] | None = None) -> DataFrame:
+        """A1 point read: freshen then filter by key. The key predicate is
+        pushed below the freshen projections by Catalyst, so only the one
+        row's partition is read."""
+        fresh_df = self.freshen(as_of_ms, columns)
+        return fresh_df.filter(F.col(self.key_col) == F.lit(entity_id))
+
+    def bulk_get(
+        self, entity_ids: list, as_of_ms: int, columns: list[str] | None = None
+    ) -> DataFrame:
+        """A2 bulk read: freshen then broadcast-semi-join the key list
+        (the reference's per-key thread fan-out → Spark tasks)."""
+        fresh_df = self.freshen(as_of_ms, columns)
+        return fresh_df.filter(F.col(self.key_col).isin(entity_ids))
+
+    def scan(self, as_of_ms: int) -> DataFrame:
+        """A3: the reference EXPLICITLY forbids scans on the fresh reader
+        (``InternalFreshKijiTableReader.java:808-821``); in Spark a scan is
+        the natural primitive, so we lift the restriction."""
+        return self.freshen(as_of_ms)

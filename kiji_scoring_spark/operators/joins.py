@@ -1,0 +1,156 @@
+"""Join operators Spark lacks as single primitives (SURVEY §2.C "Joins").
+
+The as-of join is the reference's versioned-read semantics (latest version
+with ts <= requested time, ``KijiDataRequest.withTimeRange`` +
+maxVersions=1) expressed as a join between two tables instead of within one
+versioned column.
+
+Scale design notes:
+
+- ``asof_join`` = equi-join on keys + inequality on time + windowed
+  row_number()==1. The equi-key join shuffles both sides once on the key;
+  the window re-uses that partitioning (same key prefix), so Catalyst
+  plans ONE exchange. Skewed keys are handled by AQE skew-join on the
+  join, and the per-(left-row) window state is bounded by matches per key.
+- For dense right sides (many versions per key), prefer
+  ``asof_join_union`` which avoids the join blow-up entirely: union both
+  sides tagged, single window sort per key, then filter — O(n log n) per
+  key instead of O(left × right-matches).
+- ``range_join`` is a plain conditional join; at scale bucket both sides
+  by a coarsened time bucket first so the theta predicate only applies
+  within a bucket (classic interval-bucketing — turns the cross product
+  into an equi-join on bucket).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    direction: str = "backward",
+    suffix: str = "_right",
+) -> DataFrame:
+    """For each left row, attach the single right row with the same keys
+    and the greatest ``right_ts`` <= ``left_ts`` (direction='backward'; use
+    'forward' for the smallest right_ts >= left_ts). Unmatched left rows
+    keep NULLs (left-outer semantics).
+    """
+    lalias, ralias = left.alias("__l__"), right.alias("__r__")
+    keys = [F.col(f"__l__.{k}") == F.col(f"__r__.{k}") for k in on]
+    if direction == "backward":
+        cond = F.col(f"__r__.{right_ts}") <= F.col(f"__l__.{left_ts}")
+        order = F.col(f"__r__.{right_ts}").desc()
+    elif direction == "forward":
+        cond = F.col(f"__r__.{right_ts}") >= F.col(f"__l__.{left_ts}")
+        order = F.col(f"__r__.{right_ts}").asc()
+    else:
+        raise ValueError(f"unknown direction {direction!r}")
+
+    joined = lalias.join(ralias, functools_reduce_and(keys) & cond, "left")
+    left_cols = [F.col(f"__l__.{c}") for c in left.columns]
+    right_cols = [
+        F.col(f"__r__.{c}").alias(c + suffix if c in left.columns else c)
+        for c in right.columns
+        if c not in on
+    ]
+    w = Window.partitionBy(*[F.col(f"__l__.{c}") for c in left.columns]).orderBy(order)
+    # rank right matches per left row; rows with no match survive (rn==1
+    # over a single all-NULL match row)
+    return (
+        joined.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .select(*left_cols, *right_cols)
+    )
+
+
+def functools_reduce_and(conds: list[Column]) -> Column:
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
+def asof_join_union(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    suffix: str = "_right",
+) -> DataFrame:
+    """Backward as-of via union + last_value window — the scale path for
+    dense right sides: no join blow-up, one shuffle, one sort per key.
+
+    Right rows become carriers of their value columns; left rows pick up
+    the latest non-null carried value at or before their timestamp.
+    Right timestamps sort before left at equal instants (asof ties include
+    the equal-ts right row).
+    """
+    lt = left.select(
+        *on,
+        F.col(left_ts).alias("__ts__"),
+        F.lit(1).alias("__is_left__"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}__") for c in value_cols],
+        F.struct(*left.columns).alias("__row__"),
+    )
+    rt = right.select(
+        *on,
+        F.col(right_ts).alias("__ts__"),
+        F.lit(0).alias("__is_left__"),
+        *[F.col(c).alias(f"__v_{c}__") for c in value_cols],
+        F.lit(None).cast(lt.schema["__row__"].dataType).alias("__row__"),
+    )
+    unioned = lt.unionByName(rt)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts__").asc(), F.col("__is_left__").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "__is_left__",
+        "__row__",
+        *[
+            F.last(f"__v_{c}__", ignorenulls=True).over(w).alias(f"__c_{c}__")
+            for c in value_cols
+        ],
+    )
+    out_cols = [F.col("__row__")[c].alias(c) for c in left.columns]
+    out_cols += [
+        F.col(f"__c_{c}__").alias(c + suffix if c in left.columns else c)
+        for c in value_cols
+    ]
+    return carried.filter(F.col("__is_left__") == 1).select(*out_cols)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | None,
+    left_ts: str,
+    right_lo: str,
+    right_hi: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Interval join: left.ts ∈ [right.lo, right.hi). Equi-keys (if any)
+    keep it an equi-join with a residual predicate — no cross product."""
+    cond = (F.col(f"__l__.{left_ts}") >= F.col(f"__r__.{right_lo}")) & (
+        F.col(f"__l__.{left_ts}") < F.col(f"__r__.{right_hi}")
+    )
+    lalias, ralias = left.alias("__l__"), right.alias("__r__")
+    if on:
+        cond = functools_reduce_and(
+            [F.col(f"__l__.{k}") == F.col(f"__r__.{k}") for k in on]
+        ) & cond
+    joined = lalias.join(ralias, cond, how)
+    cols = [F.col(f"__l__.{c}") for c in left.columns] + [
+        F.col(f"__r__.{c}") for c in right.columns if not on or c not in on
+    ]
+    return joined.select(*cols)

@@ -1,0 +1,108 @@
+"""Freshness policies — the reference's predicate-UDF surface re-expressed
+as Catalyst column expressions (SURVEY §2.A rows A5-A6, §2.E).
+
+A policy decides per row whether the attached column's data is fresh
+(``KijiFreshnessPolicy.isFresh``, ``KijiFreshnessPolicy.java:56-66``).
+Because the stock policies only inspect version timestamps, they compile to
+plain ``Column`` predicates — no black-box UDF, so Catalyst can push them
+down, fold them, and keep the stale-row filter inside codegen at any scale.
+
+Determinism: the reference's ``ShelfLife`` reads the wall clock
+(``lib/ShelfLife.java:96``); here `now` is always an injected ``as_of_ms``
+argument (SURVEY §5.2 determinism rule).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from . import model
+
+
+class FreshnessPolicy:
+    """Base policy (``KijiFreshnessPolicy.java:55-104``).
+
+    - ``is_fresh(versions, as_of_ms)`` → Column predicate (isFresh).
+    - ``data_request`` → columns the policy itself needs; None means "use
+      the client's request" (shouldUseClientDataRequest/getDataRequest,
+      ``KijiFreshnessPolicy.java:68-84``).
+    - ``required_stores`` → side-input KV stores; policy stores mask
+      producer stores with the same name (A9,
+      ``impl/InternalFreshKijiTableReader.java:374-379``).
+    - ``serialize``/``deserialize`` → JSON state string, matching the
+      reference's store/load lifecycle (``package-info.java:54-68``).
+    """
+
+    def is_fresh(self, versions: Column, as_of_ms: int) -> Column:
+        raise NotImplementedError
+
+    @property
+    def data_request(self) -> list[str] | None:
+        return None  # use client data request
+
+    @property
+    def required_stores(self) -> dict[str, object]:
+        return {}
+
+    def serialize(self) -> str:
+        return ""
+
+    def deserialize(self, state: str) -> None:
+        pass
+
+
+class AlwaysFreshen(FreshnessPolicy):
+    """Never fresh → always rescore (``lib/AlwaysFreshen.java:40-43``)."""
+
+    def is_fresh(self, versions: Column, as_of_ms: int) -> Column:
+        return F.lit(False)
+
+
+class NeverFreshen(FreshnessPolicy):
+    """Always fresh → never rescore (``lib/NeverFreshen.java:39-42``)."""
+
+    def is_fresh(self, versions: Column, as_of_ms: int) -> Column:
+        return F.lit(True)
+
+
+class ShelfLife(FreshnessPolicy):
+    """Fresh iff the newest version is within ``shelf_life_ms`` of `now`
+    (``lib/ShelfLife.java:77-97``); state serialized as JSON
+    (``lib/ShelfLife.java:118-134``)."""
+
+    def __init__(self, shelf_life_ms: int = -1):
+        self.shelf_life_ms = shelf_life_ms
+
+    def is_fresh(self, versions: Column, as_of_ms: int) -> Column:
+        newest = model.most_recent_ts(versions)
+        # a row with no versions is stale (newest IS NULL → false)
+        return F.coalesce(
+            newest >= F.lit(as_of_ms) - F.lit(self.shelf_life_ms), F.lit(False)
+        )
+
+    def serialize(self) -> str:
+        return json.dumps({"shelfLife": self.shelf_life_ms})
+
+    def deserialize(self, state: str) -> None:
+        self.shelf_life_ms = int(json.loads(state)["shelfLife"])
+
+
+class NewerThan(FreshnessPolicy):
+    """Fresh iff the newest version's ts >= a fixed threshold
+    (``lib/NewerThan.java:79-84``: ``timestamps.first() >= mNewerThanTimestamp``)."""
+
+    def __init__(self, threshold_ms: int = -1):
+        self.threshold_ms = threshold_ms
+
+    def is_fresh(self, versions: Column, as_of_ms: int) -> Column:
+        newest = model.most_recent_ts(versions)
+        return F.coalesce(newest >= F.lit(self.threshold_ms), F.lit(False))
+
+    def serialize(self) -> str:
+        return json.dumps({"newerThanTimeMillis": self.threshold_ms})
+
+    def deserialize(self, state: str) -> None:
+        self.threshold_ms = int(json.loads(state)["newerThanTimeMillis"])

@@ -1,0 +1,90 @@
+"""Table sources — the engine's scan layer (SURVEY §2.B).
+
+The reference reads Kiji/HBase tables; our engine scans columnar files with
+Catalyst doing column pruning + predicate pushdown (SURVEY §4.2). This
+module is the single place that knows about the driver testdata layout and
+its quirks.
+
+Scale notes: scans inherit ``spark.sql.files.maxPartitionBytes`` splitting;
+at 100 TB a table is thousands of row-group-aligned partitions and the
+filters/projections declared by queries reach the parquet reader
+(verify with ``df.explain`` → PushedFilters / ReadSchema).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Tables the driver generates (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _ensure_nanos_conf(spark: SparkSession) -> None:
+    # events.parquet carries INT64 TIMESTAMP(NANOS), which Spark 4 rejects
+    # by default (PARQUET_TYPE_ILLEGAL). Read it as BIGINT nanoseconds and
+    # convert below. Runtime-settable, so this works in the driver's own
+    # session too.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table with oracle-compatible types.
+
+    ``events.ts`` (TIMESTAMP(NANOS)) → ``timestamp_ntz`` at microsecond
+    precision, matching what DuckDB sees natively.
+    """
+    _ensure_nanos_conf(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # integer DIV: ts is ~1.7e18 ns and double division would lose the
+        # low microseconds (DuckDB truncates nanos -> micros; so do we)
+        df = df.withColumn(
+            "ts", F.expr("CAST(timestamp_micros(ts DIV 1000) AS timestamp_ntz)")
+        )
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for the SQL surface."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def read_csv(spark: SparkSession, path: str, schema: str, **options) -> DataFrame:
+    """CSV scan with an explicit schema (schema inference is a full extra
+    pass over the data — never at 100 TB)."""
+    return spark.read.options(**options).schema(schema).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: str, **options) -> DataFrame:
+    """JSON-lines scan with explicit schema, same rationale as CSV."""
+    return spark.read.options(**options).schema(schema).json(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Parquet sink (scored-table writeback target, SURVEY §2.A A8)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)

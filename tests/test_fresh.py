@@ -1,0 +1,260 @@
+"""End-to-end freshening tests — the reference's golden-value scenarios:
+
+- the demo slice (TestFreshnessDemo.java:62-104 via FIXTURES.md §3):
+  ShelfLife + increment producer on info:visits → 10 becomes 11, second
+  read unchanged;
+- AlwaysFreshen rewrite (TestInternalFreshKijiTableReader.java:428-431);
+- NeverFreshen no-op;
+- map-family producer write (:524-525);
+- KV-store masking (TestKVStores.java);
+- timeout stale-fallback (A10, batch semantics).
+"""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from kiji_scoring_spark import model
+from kiji_scoring_spark.fresh import FreshTableReader
+from kiji_scoring_spark.policies import AlwaysFreshen, NeverFreshen, ShelfLife
+from kiji_scoring_spark.producers import ExpressionProducer, PandasProducer
+from kiji_scoring_spark.registry import FreshenerRegistry, TableLayout
+
+DAY_MS = 86_400_000
+NOW_MS = 1_000_000_000  # injected clock — no wall time in assertions
+
+
+class IncrementVisitsProducer(ExpressionProducer):
+    """The demo's counter producer: newest visits + 1."""
+
+    def __init__(self):
+        super().__init__(
+            lambda df: model.most_recent_value("info_visits") + 1,
+            data_request=["info:visits"],
+            output_column="info:visits",
+        )
+
+
+class SetNewValProducer(ExpressionProducer):
+    """TestProducer analog: writes the constant 'new-val' (:428-431)."""
+
+    def __init__(self):
+        super().__init__(lambda df: F.lit("new-val"), data_request=["family:qual0"],
+                         output_column="family:qual0")
+
+
+def user_counter_df(spark):
+    """FIXTURES.md §3 user_counter, with foo seeded [(1, 10)] per the demo."""
+    schema = StructType(
+        [
+            StructField("entity_id", StringType(), False),
+            StructField("info_name", model.versions_type(StringType())),
+            StructField("info_visits", model.versions_type(LongType())),
+        ]
+    )
+    rows = [
+        ("foo", [(5, "foo-val")], [(1, 10)]),
+        ("bar", [(1, "bar-val")], [(NOW_MS - 100, 100)]),  # recently fresh
+        ("felix", [(0, "Felis")], None),
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+def make_reader(spark, df, column, policy, policy_state, producer_cls_path):
+    reg = FreshenerRegistry()
+    reg.store(
+        TableLayout(df.schema), "user_counter", column,
+        producer_cls_path, f"{policy.__class__.__module__}.{policy.__class__.__name__}",
+        policy.serialize(),
+    )
+    return FreshTableReader(spark, "user_counter", df, reg)
+
+
+def visits(df):
+    return {
+        r["entity_id"]: r["v"]
+        for r in df.select("entity_id", model.most_recent_value("info_visits").alias("v")).collect()
+    }
+
+
+def test_demo_slice_shelf_life_increment(spark):
+    """SURVEY §7.1 minimum slice: stale foo (ts=1) gets freshened 10→11;
+    fresh bar (within shelf life) is untouched; a second pass over the
+    freshened table changes nothing."""
+    df = user_counter_df(spark)
+    reader = make_reader(
+        spark, df, "info:visits", ShelfLife(DAY_MS), "",
+        f"{__name__}.IncrementVisitsProducer",
+    )
+    got = reader.get("foo", NOW_MS)
+    row = got.select(
+        model.most_recent_value("info_visits").alias("v"),
+        model.most_recent_ts("info_visits").alias("ts"),
+        F.size("info_visits").alias("n"),
+    ).collect()[0]
+    assert row["v"] == 11  # TestFreshnessDemo.java:95-97 golden value
+    assert row["ts"] == NOW_MS
+    assert row["n"] == 2  # history preserved: [(NOW,11),(1,10)]
+
+    # writeback + second read: now fresh, unchanged (demo step 2)
+    fresh_df = reader.freshen(NOW_MS)
+    reader2 = FreshTableReader(spark, "user_counter", fresh_df, reader.registry)
+    again = visits(reader2.get("foo", NOW_MS))
+    assert again == {"foo": 11}
+
+    # bar was fresh — untouched by the pass
+    assert visits(reader.scan(NOW_MS))["bar"] == 100
+
+
+def test_never_freshen_is_noop(spark):
+    df = user_counter_df(spark)
+    reader = make_reader(
+        spark, df, "info:visits", NeverFreshen(), "",
+        f"{__name__}.IncrementVisitsProducer",
+    )
+    assert visits(reader.scan(NOW_MS)) == {"foo": 10, "bar": 100, "felix": None}
+
+
+def test_always_freshen_rescores_everyone(spark):
+    df = user_counter_df(spark)
+    reader = make_reader(
+        spark, df, "info:visits", AlwaysFreshen(), "",
+        f"{__name__}.IncrementVisitsProducer",
+    )
+    got = visits(reader.scan(NOW_MS))
+    # felix has no visits → producer yields NULL → keeps old (partial inv.)
+    assert got == {"foo": 11, "bar": 101, "felix": None}
+
+
+class StringRewriteProducer(ExpressionProducer):
+    def __init__(self):
+        super().__init__(lambda df: F.lit("new-val"),
+                         data_request=["family:qual0"], output_column="family:qual0")
+
+
+def test_always_freshen_string_rewrite(spark):
+    """TestInternalFreshKijiTableReader.java:428-431: AlwaysFreshen +
+    TestProducer rewrites family:qual0 most-recent to 'new-val'."""
+    schema = StructType(
+        [
+            StructField("entity_id", StringType(), False),
+            StructField("family_qual0", model.versions_type(StringType())),
+        ]
+    )
+    df = spark.createDataFrame([("foo", [(5, "foo-val")]), ("bar", [(5, "bar-val")])], schema)
+    reg = FreshenerRegistry()
+    reg.store(
+        TableLayout(df.schema), "row_data_test", "family:qual0",
+        f"{__name__}.StringRewriteProducer",
+        "kiji_scoring_spark.policies.AlwaysFreshen", "",
+    )
+    reader = FreshTableReader(spark, "row_data_test", df, reg)
+    out = reader.get("foo", NOW_MS).select(
+        model.most_recent_value("family_qual0").alias("v")
+    ).collect()
+    assert out[0]["v"] == "new-val"
+
+
+class SlowPandasProducer(PandasProducer):
+    def __init__(self):
+        # closure (not a module-level function) so cloudpickle ships it by
+        # value — Spark workers don't have the tests dir on their path
+        def slow_score(pdf):
+            import time as _time
+
+            _time.sleep(30)
+            return pdf["info_visits"].map(lambda v: 1.0)
+
+        super().__init__(
+            batch_fn=slow_score,
+            data_request=["info:visits"],
+            output_column="info:visits",
+        )
+
+
+def test_timeout_returns_stale(spark):
+    """A10 batch redefinition: budget expires → original (stale) table
+    comes back, like InternalFreshKijiTableReader.java:686-724."""
+    df = user_counter_df(spark)
+    reader = make_reader(
+        spark, df, "info:visits", AlwaysFreshen(), "",
+        f"{__name__}.SlowPandasProducer",
+    )
+    t0 = time.monotonic()
+    out, fresh = reader.freshen_with_timeout(NOW_MS, timeout_ms=3000)
+    assert time.monotonic() - t0 < 25
+    assert fresh is False
+    assert visits(out) == {"foo": 10, "bar": 100, "felix": None}  # stale values
+
+
+def test_freshen_with_timeout_success(spark):
+    df = user_counter_df(spark)
+    reader = make_reader(
+        spark, df, "info:visits", ShelfLife(DAY_MS), "",
+        f"{__name__}.IncrementVisitsProducer",
+    )
+    out, fresh = reader.freshen_with_timeout(NOW_MS, timeout_ms=60_000)
+    assert fresh is True
+    assert visits(out)["foo"] == 11
+
+
+CATS = [("Jennyanydots", "Old Gumbie Cat"), ("Skimbleshanks", "Railway Cat")]
+
+
+class CatLookupProducer(ExpressionProducer):
+    """TestKVStores analog: score = KV lookup of the row's name."""
+
+    def __init__(self):
+        super().__init__(
+            lambda df: F.col("__cat_value__"),
+            data_request=["info:name"],
+            output_column="info:name",
+        )
+
+    # stores get bound at test time (need a SparkSession); see test below
+
+
+def test_kv_store_lookup_and_masking(spark):
+    """A9: producer reads a broadcast KV store; a policy store with the
+    same name masks the producer's (package-info.java:62-64)."""
+    schema = StructType(
+        [
+            StructField("entity_id", StringType(), False),
+            StructField("info_name", model.versions_type(StringType())),
+        ]
+    )
+    df = spark.createDataFrame([("felix", [(0, "Jennyanydots")])], schema)
+    cats = spark.sql(
+        "SELECT * FROM VALUES ('Jennyanydots','Old Gumbie Cat'),"
+        "('Skimbleshanks','Railway Cat') AS t(key, __cat_value__)"
+    )
+    masked = spark.sql(
+        "SELECT * FROM VALUES ('Jennyanydots','MASKED') AS t(key, __cat_value__)"
+    )
+    producer = ExpressionProducer(
+        lambda df_: F.col("__cat_value__"),
+        data_request=["info:name"],
+        output_column="info:name",
+        required_stores={
+            "cats": {"df": cats, "on": model.most_recent_value("info_name") == F.col("key")}
+        },
+    )
+    from kiji_scoring_spark.fresh import Freshener
+    from kiji_scoring_spark.policies import AlwaysFreshen as AF
+    from kiji_scoring_spark.producers import merge_stores
+
+    # direct capsule (store objects aren't name-serializable)
+    reader = FreshTableReader(spark, "t", df, FreshenerRegistry())
+    reader._capsules = {
+        "info:name": Freshener("info:name", AF(), producer)
+    }
+    out = reader.scan(NOW_MS).select(model.most_recent_value("info_name").alias("v")).collect()
+    assert out[0]["v"] == "Old Gumbie Cat"
+
+    # masking: policy-level store with same name wins
+    policy = AF()
+    policy_store = {"cats": {"df": masked, "on": model.most_recent_value("info_name") == F.col("key")}}
+    merged = merge_stores(producer.required_stores, policy_store)
+    assert merged["cats"]["df"] is masked

@@ -1,0 +1,55 @@
+"""Driver-style correctness gate, run locally: every registry query executes
+on Spark and its oracle SQL on DuckDB over the same parquet; results must
+match row-for-row (order-insensitive), like CORRECTNESS_r{N}.json does."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+from kiji_scoring_spark.queries import QUERIES
+from kiji_scoring_spark.sources import TABLES
+
+
+def duck_con(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
+        # duckdb count() comes back as int64; spark may give int32 for some
+        if str(df[c].dtype) in ("int32", "uint32"):
+            df[c] = df[c].astype("int64")
+        if str(df[c].dtype) == "float32":
+            df[c] = df[c].astype("float64")
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+oracle_items = sorted((n, s) for n, s in QUERIES.items() if s.oracle)
+
+
+@pytest.mark.parametrize("name", [n for n, _ in oracle_items])
+def test_query_matches_oracle(spark, sf_dir, name):
+    spec = QUERIES[name]
+    got = normalize(spec.fn(spark, sf_dir).toPandas())
+    want = normalize(duck_con(sf_dir).execute(spec.oracle).fetchdf())
+    assert list(got.columns) == list(want.columns), (
+        f"{name}: column mismatch {list(got.columns)} vs {list(want.columns)}"
+    )
+    assert len(got) == len(want), f"{name}: row count {len(got)} vs {len(want)}"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+
+@pytest.mark.parametrize("name", [n for n, s in sorted(QUERIES.items()) if not s.oracle])
+def test_rows_only_query_runs(spark, sf_dir, name):
+    df = QUERIES[name].fn(spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
