@@ -23,11 +23,19 @@ from kiji_scoring_spark.session import get_spark  # noqa: E402
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "q5_local_supplier_volume",
     "bulk_get_customers",
     "rollup_acctbal_by_nation_segment",
     "topk_parts_per_brand",
     "most_recent_event_per_user",
     "filter_in_between_like",
+    "window_running_order_total",
+    "asof_join_user_value_at_checkpoints",
+    "fresh_batch_scoring",
+    "dedup_exact_documents",
+    "dedup_minhash_candidate_pairs",
+    "similarity_cosine_topk",
+    "text_quality_scores",
 ]
 
 

@@ -1,0 +1,90 @@
+"""Deduplication operators for training-data pipelines (SURVEY §2.G).
+
+All hashing is engine-portable (md5-derived 32-bit integers) so results
+are deterministic and oracle-checkable — no reliance on engine-internal
+hash functions.
+
+Scale design:
+
+- Exact dedup = groupBy(content key) keeping min(id): one shuffle on the
+  content hash; at 100 TB group by ``md5(text)`` (fixed width) rather than
+  the raw text to keep shuffle rows narrow.
+- MinHash: shingle → hash → per-doc signature (one explode + one groupBy),
+  band keys → candidate pairs via equi-join on band key. Never an O(n²)
+  cross product; the band join's fan-out is controlled by band size, and
+  AQE skew-join splits hot buckets.
+- SimHash: token hash → 32 weighted bit sums per doc (single aggregation),
+  pairs via banded prefix join (here: exact 16-bit prefix buckets) +
+  hamming filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MERSENNE = 2_147_483_647  # 2^31 - 1
+
+#: fixed affine minhash parameters (a, b) — shared with the SQL oracle
+MINHASH_PARAMS: list[tuple[int, int]] = [
+    (1, 7), (2, 13), (3, 31), (5, 61), (7, 127), (11, 251), (13, 509), (17, 1021),
+]
+
+
+def hash32(col: Column) -> Column:
+    """Portable 32-bit string hash: first 8 hex digits of md5."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """n-word shingles of a whitespace-tokenized text column."""
+    w = F.split(text, " ")
+    idx = F.sequence(F.lit(0), F.size(w) - n)
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(w, (i + k + 1).cast("int")) for k in range(n)])
+    )
+
+
+def minhash_signature_df(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Per-doc minhash signature columns m0..m7 (one explode + groupBy)."""
+    sh = docs.select(
+        id_col, F.explode(word_shingles(F.col(text_col), n)).alias("__sh__")
+    ).withColumn("__h__", hash32(F.col("__sh__")))
+    aggs = [
+        F.min((F.lit(a) * F.col("__h__") + F.lit(b)) % MERSENNE).alias(f"m{j}")
+        for j, (a, b) in enumerate(MINHASH_PARAMS)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_band_keys(sig: DataFrame, id_col: str, rows_per_band: int = 4) -> DataFrame:
+    """Banded signature → (id, band_idx, band_key) rows."""
+    n_bands = len(MINHASH_PARAMS) // rows_per_band
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]
+        bands.append(
+            F.struct(F.lit(b).alias("band_idx"), F.md5(F.concat_ws(",", *cols)).alias("band_key"))
+        )
+    return sig.select(id_col, F.explode(F.array(*bands)).alias("bk")).select(
+        id_col, F.col("bk.band_idx").alias("band_idx"), F.col("bk.band_key").alias("band_key")
+    )
+
+
+def simhash32(tokens_hashed: Column) -> Column:
+    """32-bit simhash from an array of 32-bit token hashes: bit i is set if
+    the +1/-1 vote over that bit across tokens is positive."""
+    def vote_fn(i: int):
+        # two-arg lambda required by F.aggregate; bind i via factory
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bits = []
+    for i in range(32):
+        vote = F.aggregate(tokens_hashed, F.lit(0).cast("long"), vote_fn(i))
+        bits.append(F.when(vote > 0, F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long")))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out

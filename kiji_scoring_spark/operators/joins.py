@@ -85,6 +85,7 @@ def asof_join_union(
     right_ts: str,
     value_cols: list[str],
     suffix: str = "_right",
+    tiebreak: list[str] | None = None,
 ) -> DataFrame:
     """Backward as-of via union + last_value window — the scale path for
     dense right sides: no join blow-up, one shuffle, one sort per key.
@@ -92,13 +93,16 @@ def asof_join_union(
     Right rows become carriers of their value columns; left rows pick up
     the latest non-null carried value at or before their timestamp.
     Right timestamps sort before left at equal instants (asof ties include
-    the equal-ts right row).
+    the equal-ts right row). ``tiebreak`` columns (right side) make the
+    winner among equal-ts right rows deterministic (highest wins).
     """
+    tiebreak = tiebreak or []
     lt = left.select(
         *on,
         F.col(left_ts).alias("__ts__"),
         F.lit(1).alias("__is_left__"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}__") for c in value_cols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__t_{c}__") for c in tiebreak],
         F.struct(*left.columns).alias("__row__"),
     )
     rt = right.select(
@@ -106,12 +110,17 @@ def asof_join_union(
         F.col(right_ts).alias("__ts__"),
         F.lit(0).alias("__is_left__"),
         *[F.col(c).alias(f"__v_{c}__") for c in value_cols],
+        *[F.col(c).alias(f"__t_{c}__") for c in tiebreak],
         F.lit(None).cast(lt.schema["__row__"].dataType).alias("__row__"),
     )
     unioned = lt.unionByName(rt)
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("__ts__").asc(), F.col("__is_left__").asc())
+        .orderBy(
+            F.col("__ts__").asc(),
+            F.col("__is_left__").asc(),
+            *[F.col(f"__t_{c}__").asc_nulls_first() for c in tiebreak],
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(

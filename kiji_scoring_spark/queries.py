@@ -306,3 +306,10 @@ def most_recent_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_id", "ts", "event_type", "value")
         .orderBy("user_id")
     )
+
+
+# -- widen the registry: importing these modules registers their queries ----
+from . import queries_relational  # noqa: E402,F401
+from . import queries_scalar  # noqa: E402,F401
+from . import queries_kiji  # noqa: E402,F401
+from . import queries_pipeline  # noqa: E402,F401

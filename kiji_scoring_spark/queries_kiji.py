@@ -1,0 +1,229 @@
+"""Kiji-semantics queries — the reference's core operators exercised over
+the driver testdata AND hash-checked against SQL oracles (SURVEY §2.A).
+
+The events table plays the role of the Kiji table's version history:
+``user_id`` is the EntityId, each event a timestamped cell version of the
+``value`` column. Queries build the versioned-cell encoding (§1.2) with
+one shuffle (collect_list per key), then run the REAL engine code paths
+(model helpers, policies, the freshen pass) on it. The oracle recomputes
+the same semantics with plain windows — so the engine's versioned model
+and scoring operators are oracle-verified, not just unit-tested.
+
+Scale: collect_list per entity is the standard versioned-table compaction
+shape; state per key is bounded by versions-per-entity, and AQE handles
+skewed entities. The freshen pass itself adds no shuffle on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import model
+from .fresh import FreshTableReader
+from .policies import NewerThan, ShelfLife
+from .registry import FreshenerRegistry, TableLayout
+from .queries import query
+from .sources import load_table
+
+#: injected clock: 2024-01-30 00:00:00 UTC in ms (events span Jan 2024)
+AS_OF_MS = 1_706_572_800_000
+DAY_MS = 86_400_000
+
+_EPOCH_MS = "CAST(epoch_ms(ts) AS BIGINT)"
+
+
+def versioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → versioned-cell table: (user_id, value_versions) with the
+    version array sorted ts-desc, ts in epoch ms (§1.2 encoding)."""
+    ev = load_table(spark, sf_dir, "events")
+    cell = F.struct(
+        (F.unix_micros(F.col("ts").cast("timestamp")) / 1000).cast("long").alias("ts"),
+        F.col("value").alias("value"),
+    )
+    return ev.groupBy("user_id").agg(
+        F.reverse(F.array_sort(F.collect_list(cell))).alias("value_versions")
+    )
+
+
+@query(
+    "versioned_most_recent_read",
+    f"""
+    SELECT user_id, newest_ts, newest_value, n_versions FROM (
+      SELECT user_id,
+        {_EPOCH_MS} AS newest_ts, value AS newest_value,
+        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn,
+        COUNT(*) OVER (PARTITION BY user_id) AS n_versions
+      FROM events) t
+    WHERE rn = 1 ORDER BY user_id
+    """,
+    "kiji", "versioned",
+)
+def versioned_most_recent_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 maxVersions=1 read through the REAL versioned-cell model
+    (model.most_recent_*), oracle-checked against a window query."""
+    vt = versioned_events(spark, sf_dir)
+    return vt.select(
+        "user_id",
+        model.most_recent_ts("value_versions").alias("newest_ts"),
+        model.most_recent_value("value_versions").alias("newest_value"),
+        F.size("value_versions").cast("long").alias("n_versions"),
+    ).orderBy("user_id")
+
+
+@query(
+    "versioned_time_range_read",
+    f"""
+    SELECT user_id,
+      COUNT(*) AS n_in_range,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_in_range
+    FROM events
+    WHERE {_EPOCH_MS} >= 1704672000000 AND {_EPOCH_MS} < 1705536000000
+    GROUP BY user_id ORDER BY user_id
+    """,
+    "kiji", "versioned",
+)
+def versioned_time_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KijiDataRequest.withTimeRange [lo, hi) over the versions array
+    (model.versions_in_range), vs a plain predicate oracle.
+    Range: 2024-01-08 .. 2024-01-18 UTC."""
+    vt = versioned_events(spark, sf_dir)
+    in_range = model.versions_in_range("value_versions", 1_704_672_000_000, 1_705_536_000_000)
+    return (
+        vt.select("user_id", in_range.alias("vr"))
+        .filter(F.size("vr") > 0)
+        .select(
+            "user_id",
+            F.size("vr").cast("long").alias("n_in_range"),
+            F.aggregate(
+                F.col("vr"),
+                F.lit(0).cast("decimal(18,2)"),
+                lambda acc, x: (acc + x["value"].cast("decimal(18,2)")).cast(
+                    "decimal(18,2)"
+                ),
+            ).cast("double").alias("sum_in_range"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "freshness_shelf_life_partition",
+    f"""
+    SELECT user_id, newest_ts,
+      CASE WHEN {AS_OF_MS} - newest_ts <= {7 * DAY_MS} THEN 1 ELSE 0 END AS is_fresh
+    FROM (
+      SELECT user_id, max({_EPOCH_MS}) AS newest_ts FROM events GROUP BY user_id
+    ) t ORDER BY user_id
+    """,
+    "kiji", "freshness",
+)
+def freshness_shelf_life_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5c ShelfLife(7 days) evaluated through the REAL policy class at the
+    injected clock — the stale/fresh partition the freshen pass filters on."""
+    vt = versioned_events(spark, sf_dir)
+    policy = ShelfLife(7 * DAY_MS)
+    return vt.select(
+        "user_id",
+        model.most_recent_ts("value_versions").alias("newest_ts"),
+        policy.is_fresh(F.col("value_versions"), AS_OF_MS).cast("int").alias("is_fresh"),
+    ).orderBy("user_id")
+
+
+@query(
+    "freshness_newer_than_partition",
+    f"""
+    SELECT user_id, newest_ts,
+      CASE WHEN newest_ts >= 1706054400000 THEN 1 ELSE 0 END AS is_fresh
+    FROM (
+      SELECT user_id, max({_EPOCH_MS}) AS newest_ts FROM events GROUP BY user_id
+    ) t ORDER BY user_id
+    """,
+    "kiji", "freshness",
+)
+def freshness_newer_than_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5d NewerThan(2024-01-24 00:00 UTC) through the real policy class."""
+    vt = versioned_events(spark, sf_dir)
+    policy = NewerThan(1_706_054_400_000)
+    return vt.select(
+        "user_id",
+        model.most_recent_ts("value_versions").alias("newest_ts"),
+        policy.is_fresh(F.col("value_versions"), AS_OF_MS).cast("int").alias("is_fresh"),
+    ).orderBy("user_id")
+
+
+@query(
+    "fresh_batch_scoring",
+    f"""
+    SELECT user_id, score_ts, score FROM (
+      SELECT user_id,
+        CASE WHEN {AS_OF_MS} - max({_EPOCH_MS}) <= {5 * DAY_MS}
+             THEN max({_EPOCH_MS})
+             ELSE {AS_OF_MS} END AS score_ts,
+        CASE WHEN {AS_OF_MS} - max({_EPOCH_MS}) <= {5 * DAY_MS}
+             THEN max_by(value, CAST(epoch_ms(ts) AS BIGINT) * 1000000 + event_id)
+             ELSE max_by(value, CAST(epoch_ms(ts) AS BIGINT) * 1000000 + event_id) * 2 END AS score
+      FROM events GROUP BY user_id
+    ) t ORDER BY user_id
+    """,
+    "kiji", "freshness", "scoring",
+)
+def fresh_batch_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE core operator (A7): conditional score-and-writeback through the
+    full engine stack — registry record → policy (ShelfLife 5d) → producer
+    (DoubleLatestValueProducer) → freshen pass → versioned write — then a
+    most-recent read of the result. The oracle recomputes the same with a
+    window+CASE. (InternalFreshKijiTableReader.java:504-619 semantics.)"""
+    vt = versioned_events(spark, sf_dir)
+    reg = FreshenerRegistry()
+    reg.store(
+        TableLayout(vt.schema),
+        "events_versioned",
+        "value:versions",
+        "kiji_scoring_spark.lib.DoubleLatestValueProducer",
+        "kiji_scoring_spark.policies.ShelfLife",
+        ShelfLife(5 * DAY_MS).serialize(),
+    )
+    reader = FreshTableReader(
+        spark, "events_versioned", vt, reg, key_col="user_id"
+    )
+    fresh_df = reader.scan(AS_OF_MS)
+    return fresh_df.select(
+        "user_id",
+        model.most_recent_ts("value_versions").alias("score_ts"),
+        model.most_recent_value("value_versions").alias("score"),
+    ).orderBy("user_id")
+
+
+@query(
+    "fresh_bulk_get_scored",
+    f"""
+    SELECT user_id, score FROM (
+      SELECT user_id,
+        CASE WHEN {AS_OF_MS} - max({_EPOCH_MS}) <= {5 * DAY_MS}
+             THEN max_by(value, CAST(epoch_ms(ts) AS BIGINT) * 1000000 + event_id)
+             ELSE max_by(value, CAST(epoch_ms(ts) AS BIGINT) * 1000000 + event_id) * 2 END AS score
+      FROM events GROUP BY user_id
+    ) t WHERE user_id IN (1, 2, 3, 5, 8, 13, 21, 34)
+    ORDER BY user_id
+    """,
+    "kiji", "freshness", "scoring",
+)
+def fresh_bulk_get_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 through the fresh reader: bulkGet of 8 entities with freshening
+    (InternalFreshKijiTableReader.java:767-806 → semi-join + freshen)."""
+    vt = versioned_events(spark, sf_dir)
+    reg = FreshenerRegistry()
+    reg.store(
+        TableLayout(vt.schema),
+        "events_versioned",
+        "value:versions",
+        "kiji_scoring_spark.lib.DoubleLatestValueProducer",
+        "kiji_scoring_spark.policies.ShelfLife",
+        ShelfLife(5 * DAY_MS).serialize(),
+    )
+    reader = FreshTableReader(spark, "events_versioned", vt, reg, key_col="user_id")
+    got = reader.bulk_get([1, 2, 3, 5, 8, 13, 21, 34], AS_OF_MS)
+    return got.select(
+        "user_id", model.most_recent_value("value_versions").alias("score")
+    ).orderBy("user_id")

@@ -1,0 +1,429 @@
+"""LLM-training-data pipeline queries (SURVEY §2.G-2.H): dedup, similarity
+search, text analysis, multimodal plumbing — each oracle-checked where SQL
+can express it (portable md5-derived hashing keeps both engines identical).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators import dedup as dd
+from .queries import query
+from .sources import load_table
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+@query(
+    "dedup_exact_documents",
+    """
+    SELECT md5(text) AS content_key, min(doc_id) AS canonical_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text) ORDER BY canonical_doc_id
+    """,
+    "dedup", "pipeline",
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with deterministic canonical representative (min id).
+    Scale: group by the fixed-width md5, not the raw text — narrow shuffle
+    rows at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("content_key"))
+        .agg(F.min("doc_id").alias("canonical_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("canonical_doc_id")
+    )
+
+
+def _minhash_oracle_sql() -> str:
+    mins = ",\n        ".join(
+        f"min(({a}*h + {b}) % {dd.MERSENNE}) AS m{j}"
+        for j, (a, b) in enumerate(dd.MINHASH_PARAMS)
+    )
+    b0 = "||','||".join(f"m{r}" for r in range(4))
+    b1 = "||','||".join(f"m{r}" for r in range(4, 8))
+    return f"""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), shingles AS (
+      SELECT doc_id,
+        unnest(list_transform(generate_series(1, len(w)-2),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      FROM words
+    ), hashes AS (
+      SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h FROM shingles
+    ), sigs AS (
+      SELECT doc_id, {mins}
+      FROM hashes GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, 0 AS band_idx, md5({b0}) AS band_key FROM sigs
+      UNION ALL
+      SELECT doc_id, 1 AS band_idx, md5({b1}) AS band_key FROM sigs
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_key = b.band_key AND a.band_idx = b.band_idx AND a.doc_id < b.doc_id
+    ORDER BY doc_a, doc_b
+    """
+
+
+@query("dedup_minhash_candidate_pairs", _minhash_oracle_sql(), "dedup", "pipeline", "lsh")
+def dedup_minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: 3-word shingles → 8 portable
+    minhashes → 2 bands of 4 → pairs sharing a band. One explode, one
+    groupBy, one equi-join — no O(n²) anywhere (operators/dedup.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    sig = dd.minhash_signature_df(d, "doc_id", "text")
+    bands = dd.minhash_band_keys(sig, "doc_id")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _simhash_oracle_sql() -> str:
+    votes = " + ".join(
+        f"(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END)::BIGINT * 0"  # placeholder
+        for i in range(1)
+    )
+    bit_terms = []
+    for i in range(32):
+        bit_terms.append(
+            f"CASE WHEN sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+            f"THEN {2 ** i}::BIGINT ELSE 0::BIGINT END"
+        )
+    bits_sum = " + ".join(bit_terms)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), hashes AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks
+    )
+    SELECT doc_id, {bits_sum} AS simhash
+    FROM hashes GROUP BY doc_id ORDER BY doc_id
+    """
+
+
+@query("dedup_simhash_signatures", _simhash_oracle_sql(), "dedup", "pipeline")
+def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (portable token hashing). Near-dup pairs
+    = signatures within small hamming distance; the signature computation
+    is the oracle-checked part, pair search is a bit_count(xor) filter."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.transform(F.split("text", " "), dd.hash32).alias("th")
+    )
+    return toks.select("doc_id", dd.simhash32(F.col("th")).alias("simhash")).orderBy("doc_id")
+
+
+@query(
+    "dedup_ngram_jaccard_pairs",
+    """
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), shingles AS (
+      SELECT doc_id,
+        list_distinct(list_transform(generate_series(1, len(w)-2),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      FROM words
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / len(list_distinct(a.sh || b.sh)) AS jaccard
+    FROM shingles a JOIN shingles b ON a.doc_id < b.doc_id AND a.doc_id < 20
+    WHERE len(list_intersect(a.sh, b.sh)) * 10
+          >= len(list_distinct(a.sh || b.sh))
+    ORDER BY doc_a, doc_b
+    """,
+    "dedup", "pipeline",
+)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup scoring: pairs with jaccard >= 0.1 among
+    probe docs (doc_id < 20) vs all. The threshold comparison is done in
+    exact integer arithmetic (inter*10 >= union) so the filter can't
+    disagree between engines on float rounding."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.array_distinct(dd.word_shingles(F.col("text"), 3)).alias("sh")
+    )
+    a = sh.alias("a").filter(F.col("doc_id") < 20)
+    b = sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_distinct(F.concat(F.col("a.sh"), F.col("b.sh"))))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (inter.cast("double") / union).alias("jaccard"),
+            inter.alias("__i__"),
+            union.alias("__u__"),
+        )
+        .filter(F.col("__i__") * 10 >= F.col("__u__"))
+        .drop("__i__", "__u__")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_COS_SQL = """
+    list_reduce(list_transform(a.embedding, (x,i) -> CAST(x AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (p,q) -> p+q)
+    / (sqrt(list_reduce(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p,q) -> p+q))
+       * sqrt(list_reduce(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p,q) -> p+q)))
+"""
+
+
+def _spark_cosine(a_emb, b_emb):
+    da = F.transform(a_emb, lambda x: x.cast("double"))
+    db = F.transform(b_emb, lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(da, db, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+    na = F.sqrt(F.aggregate(da, F.lit(0.0), lambda s, v: s + v * v))
+    nb = F.sqrt(F.aggregate(db, F.lit(0.0), lambda s, v: s + v * v))
+    return dot / (na * nb)
+
+
+@query(
+    "similarity_cosine_topk",
+    f"""
+    SELECT query_id, neighbor_id, cos_sim, rn FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        round({_COS_SQL}, 9) AS cos_sim,
+        ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                           ORDER BY round({_COS_SQL}, 9) DESC, b.vec_id) AS rn
+      FROM embeddings a JOIN embeddings b ON a.vec_id < 10 AND b.vec_id != a.vec_id
+    ) t WHERE rn <= 5 ORDER BY query_id, rn
+    """,
+    "similarity", "pipeline",
+)
+def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (the ANN baseline): 10 probe vectors vs the
+    corpus, top-5 each. Similarity rounded to 9 dp BEFORE ranking so the
+    two engines can't disagree on last-ulp ordering; vec_id tiebreak.
+    Scale: probes broadcast against the corpus — one scan, no shuffle;
+    top-k via per-partition heaps (window over bounded probe count)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.alias("a").filter(F.col("vec_id") < 10)
+    b = e.alias("b")
+    sim = F.round(_spark_cosine(F.col("a.embedding"), F.col("b.embedding")), 9)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(a)
+        .join(b, F.col("b.vec_id") != F.col("a.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            sim.alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .orderBy("query_id", "rn")
+    )
+
+
+_BUCKET_SQL = (
+    "(CASE WHEN embedding[1] > 0 THEN 8 ELSE 0 END + "
+    "CASE WHEN embedding[2] > 0 THEN 4 ELSE 0 END + "
+    "CASE WHEN embedding[3] > 0 THEN 2 ELSE 0 END + "
+    "CASE WHEN embedding[4] > 0 THEN 1 ELSE 0 END)"
+)
+
+
+@query(
+    "similarity_bucketed_ann",
+    f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings
+    )
+    SELECT query_id, neighbor_id, cos_sim, rn FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        round({_COS_SQL}, 9) AS cos_sim,
+        ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                           ORDER BY round({_COS_SQL}, 9) DESC, b.vec_id) AS rn
+      FROM bucketed a JOIN bucketed b
+        ON a.bucket = b.bucket AND a.vec_id < 10 AND b.vec_id != a.vec_id
+    ) t WHERE rn <= 3 ORDER BY query_id, rn
+    """,
+    "similarity", "pipeline", "lsh",
+)
+def similarity_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed (LSH-style) approximate NN — the scale path: sign-bits of
+    the first 4 components partition the corpus into 16 buckets; probes
+    only compare within their bucket (equi-join on bucket, ~16× less work;
+    with random hyperplanes this is classic SRP-LSH)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    bucket = (
+        F.when(F.col("embedding")[0] > 0, 8).otherwise(0)
+        + F.when(F.col("embedding")[1] > 0, 4).otherwise(0)
+        + F.when(F.col("embedding")[2] > 0, 2).otherwise(0)
+        + F.when(F.col("embedding")[3] > 0, 1).otherwise(0)
+    )
+    be = e.withColumn("bucket", bucket)
+    a = be.alias("a").filter(F.col("vec_id") < 10)
+    b = be.alias("b")
+    sim = F.round(_spark_cosine(F.col("a.embedding"), F.col("b.embedding")), 9)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(a)
+        .join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("b.vec_id") != F.col("a.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            sim.alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .orderBy("query_id", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+STOPWORDS = ("the", "a", "value", "data", "row")
+
+
+@query(
+    "text_quality_scores",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS toks, length(text) AS n_chars_actual
+      FROM documents
+    )
+    SELECT doc_id, lang,
+      len(toks) AS n_tokens,
+      n_chars_actual,
+      CAST(len(list_filter(toks, x -> list_contains({list(STOPWORDS)}, x))) AS DOUBLE)
+        / len(toks) AS stopword_ratio,
+      CAST(n_chars_actual - len(toks) + 1 AS DOUBLE) / len(toks) AS avg_token_len
+    FROM t ORDER BY doc_id
+    """,
+    "text", "pipeline",
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring battery: token count, char count, stopword ratio,
+    average token length — all exact integer arithmetic until the final
+    division."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        (n_stop.cast("double") / F.size(toks)).alias("stopword_ratio"),
+        ((F.length("text") - F.size(toks) + 1).cast("double") / F.size(toks)).alias(
+            "avg_token_len"
+        ),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_lang_id_heuristic",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+    ), scored AS (
+      SELECT doc_id, lang,
+        CAST(len(list_filter(toks, x -> list_contains({list(STOPWORDS)}, x))) AS DOUBLE)
+          / len(toks) AS stop_ratio
+      FROM t
+    )
+    SELECT doc_id, lang,
+      CASE WHEN stop_ratio >= 0.08 THEN 'en' ELSE 'other' END AS predicted_lang,
+      CASE WHEN (CASE WHEN stop_ratio >= 0.08 THEN 'en' ELSE 'other' END) = lang
+           THEN 1 ELSE 0 END AS correct
+    FROM scored ORDER BY doc_id
+    """,
+    "text", "pipeline",
+)
+def text_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID by stopword-density heuristic (n-gram heuristics reduce
+    to the same shape: token/char-class densities + threshold)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    ratio = (
+        F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).cast("double")
+        / F.size(toks)
+    )
+    pred = F.when(ratio >= 0.08, "en").otherwise("other")
+    return d.select(
+        "doc_id",
+        "lang",
+        pred.alias("predicted_lang"),
+        F.when(pred == F.col("lang"), 1).otherwise(0).alias("correct"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_fingerprint_rolling_hash",
+    """
+    WITH t AS (SELECT doc_id, substr(text, 1, 64) AS head FROM documents)
+    SELECT doc_id,
+      list_reduce(
+        list_prepend(0::BIGINT,
+          list_transform(generate_series(1, length(head)), i -> ord(substr(head, i, 1))::BIGINT)),
+        (acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint
+    FROM t ORDER BY doc_id
+    """,
+    "text", "pipeline",
+)
+def text_fingerprint_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: polynomial rolling hash (base 31, mod 1e9+7)
+    over the first 64 chars — identical left-fold in both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    head = F.substring("text", 1, 64)
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(head)),
+        lambda i: F.ascii(head.substr(i, F.lit(1))).cast("long"),
+    )
+    fp = F.aggregate(
+        codes, F.lit(0).cast("long"), lambda acc, c: (acc * 31 + c) % 1_000_000_007
+    )
+    return d.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (binary payload columns)
+# ---------------------------------------------------------------------------
+
+@query(
+    "multimodal_binary_metadata",
+    """
+    SELECT doc_id,
+      octet_length(text::BLOB) AS payload_len,
+      md5(text) AS payload_md5,
+      hex(substr(text, 1, 8)::BLOB) AS header_hex
+    FROM documents ORDER BY doc_id
+    """,
+    "multimodal", "pipeline",
+)
+def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary-column pattern (§2.G multimodal): payload as BINARY +
+    typed metadata. Here the payload is the utf-8 encoding of text (the
+    container has no image libs — see operators/multimodal.py for the
+    decode stub); length/digest/header extraction are the real plumbing."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.encode("text", "utf-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(payload).alias("payload_len"),
+        F.md5(payload).alias("payload_md5"),
+        F.hex(F.encode(F.substring("text", 1, 8), "utf-8")).alias("header_hex"),
+    ).orderBy("doc_id")

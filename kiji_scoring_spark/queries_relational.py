@@ -1,0 +1,659 @@
+"""Join / set-op / window / sort surface (SURVEY §2.C) — every operator
+declared as an oracle-checked query.
+
+Scale conventions: dimension sides broadcast explicitly; window partitions
+use high-cardinality keys; theta joins keep an equi-key component so the
+planner never falls back to a cross product (except the declared cross
+join, which is bounded: region × nation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators.joins import asof_join_union, range_join
+from .queries import _dec2, _disc_price, query
+from .sources import load_table
+
+
+# ---------------------------------------------------------------------------
+# Join battery
+# ---------------------------------------------------------------------------
+
+@query(
+    "join_left_outer_orders",
+    """
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey AND o_orderstatus = 'F'
+    ORDER BY c_custkey, o_orderkey
+    """,
+    "join",
+)
+def join_left_outer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        .orderBy("c_custkey", "o_orderkey")
+    )
+
+
+@query(
+    "join_right_outer_nation",
+    """
+    SELECT n_name, s_suppkey, s_name
+    FROM supplier RIGHT JOIN nation ON s_nationkey = n_nationkey
+    ORDER BY n_name, s_suppkey
+    """,
+    "join",
+)
+def join_right_outer_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(n, s.s_nationkey == n.n_nationkey, "right")
+        .select("n_name", "s_suppkey", "s_name")
+        .orderBy("n_name", "s_suppkey")
+    )
+
+
+@query(
+    "join_full_outer_customer_supplier_nations",
+    """
+    SELECT cn.nk AS c_nationkey, cn.n_cust, sn.nk AS s_nationkey, sn.n_supp
+    FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY 1) cn
+    FULL OUTER JOIN (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY 1) sn
+    ON cn.nk = sn.nk
+    ORDER BY 1, 3
+    """,
+    "join", "agg",
+)
+def join_full_outer_customer_supplier_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cn = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    sn = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        cn.alias("cn")
+        .join(sn.alias("sn"), F.col("cn.nk") == F.col("sn.nk"), "full")
+        .select(
+            F.col("cn.nk").alias("c_nationkey"),
+            "n_cust",
+            F.col("sn.nk").alias("s_nationkey"),
+            "n_supp",
+        )
+        .orderBy("c_nationkey", "s_nationkey")
+    )
+
+
+@query(
+    "join_semi_customers_with_urgent_orders",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    ORDER BY c_custkey
+    """,
+    "join",
+)
+def join_semi_customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "join_anti_customers_without_orders",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+    ORDER BY c_custkey
+    """,
+    "join",
+)
+def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "join_cross_region_nation",
+    """
+    SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name
+    """,
+    "join",
+)
+def join_cross_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name").orderBy("r_name", "n_name")
+
+
+@query(
+    "join_theta_richer_customers_same_nation",
+    """
+    SELECT s_suppkey, c_custkey, s_acctbal, c_acctbal
+    FROM supplier JOIN customer
+      ON s_nationkey = c_nationkey AND c_acctbal > s_acctbal
+    ORDER BY s_suppkey, c_custkey
+    """,
+    "join",
+)
+def join_theta_richer_customers_same_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (theta) join with an equi component — planner keeps it a
+    hash join on nationkey with a residual predicate, never a cross
+    product."""
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        s.join(
+            F.broadcast(c),
+            (s.s_nationkey == c.c_nationkey) & (c.c_acctbal > s.s_acctbal),
+        )
+        .select("s_suppkey", "c_custkey", "s_acctbal", "c_acctbal")
+        .orderBy("s_suppkey", "c_custkey")
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    """
+    SELECT n_name,
+      CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    "join", "agg",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join. Scale: all dimensions broadcast;
+    lineitem (the fact) is scanned once and never shuffled before the
+    final 25-group aggregation."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@query(
+    "asof_join_user_value_at_checkpoints",
+    """
+    WITH checkpoints AS (
+      SELECT u.user_id, cp.cp_ts
+      FROM (SELECT DISTINCT user_id FROM events) u
+      CROSS JOIN (SELECT unnest(generate_series(TIMESTAMP '2024-01-05 00:00:00',
+                                                TIMESTAMP '2024-01-30 00:00:00',
+                                                INTERVAL 5 DAY)) AS cp_ts) cp
+    )
+    SELECT c.user_id, c.cp_ts, e.ts AS event_ts, e.value AS event_value
+    FROM checkpoints c
+    LEFT JOIN LATERAL (
+      SELECT ts, value FROM events ev
+      WHERE ev.user_id = c.user_id AND ev.ts <= c.cp_ts
+      ORDER BY ev.ts DESC, ev.event_id DESC LIMIT 1
+    ) e ON TRUE
+    ORDER BY c.user_id, c.cp_ts
+    """,
+    "join", "asof", "kiji",
+)
+def asof_join_user_value_at_checkpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (A4's time-range read as a join): the latest event value
+    per user at each checkpoint. Implemented with the union+last_value
+    carry — one shuffle, no join blow-up (operators/joins.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    cps = spark.sql(
+        "SELECT explode(sequence(timestamp_ntz'2024-01-05 00:00:00', "
+        "timestamp_ntz'2024-01-30 00:00:00', interval 5 days)) AS cp_ts"
+    )
+    left = users.crossJoin(F.broadcast(cps))
+    # deterministic as-of: ties on ts resolve to the highest event_id,
+    # matching the oracle's ORDER BY ts DESC, event_id DESC
+    right = ev.select(
+        "user_id", "ts", "event_id",
+        F.col("ts").alias("event_ts"), F.col("value").alias("event_value"),
+    )
+    out = asof_join_union(
+        left,
+        right,
+        on=["user_id"],
+        left_ts="cp_ts",
+        right_ts="ts",
+        value_cols=["event_ts", "event_value"],
+        tiebreak=["event_id"],
+    )
+    return out.select("user_id", "cp_ts", "event_ts", "event_value").orderBy(
+        "user_id", "cp_ts"
+    )
+
+
+@query(
+    "range_join_events_per_day_window",
+    """
+    WITH days AS (
+      SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                    TIMESTAMP '2024-01-30 00:00:00',
+                                    INTERVAL 1 DAY)) AS day_start
+    )
+    SELECT day_start, COUNT(event_id) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM days LEFT JOIN events
+      ON ts >= day_start AND ts < day_start + INTERVAL 1 DAY
+    GROUP BY day_start
+    ORDER BY day_start
+    """,
+    "join", "range", "agg",
+)
+def range_join_events_per_day_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join: events falling in [day, day+1). The interval
+    side is tiny → broadcast; at scale bucket the big side by
+    date_trunc so the range predicate stays within a bucket."""
+    ev = load_table(spark, sf_dir, "events")
+    days = spark.sql(
+        "SELECT explode(sequence(timestamp_ntz'2024-01-01 00:00:00', "
+        "timestamp_ntz'2024-01-30 00:00:00', interval 1 day)) AS day_start"
+    ).withColumn("day_end", F.col("day_start") + F.expr("interval 1 day"))
+    joined = range_join(ev, F.broadcast(days), None, "ts", "day_start", "day_end", "inner")
+    # left-join semantics for empty days: re-join aggregates onto days
+    agg = joined.groupBy("day_start").agg(
+        F.count("event_id").alias("n_events"),
+        F.sum(_dec2("value")).cast("double").alias("total_value"),
+    )
+    return (
+        days.select("day_start")
+        .join(agg, "day_start", "left")
+        .withColumn("n_events", F.coalesce("n_events", F.lit(0)))
+        .orderBy("day_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+@query(
+    "setop_union_all_parties",
+    """
+    SELECT c_custkey AS id, c_name AS name, 'customer' AS kind FROM customer
+    UNION ALL
+    SELECT s_suppkey AS id, s_name AS name, 'supplier' AS kind FROM supplier
+    ORDER BY kind, id
+    """,
+    "setop",
+)
+def setop_union_all_parties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("name"), F.lit("customer").alias("kind")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("id"), F.col("s_name").alias("name"), F.lit("supplier").alias("kind")
+    )
+    return c.unionAll(s).orderBy("kind", "id")
+
+
+@query(
+    "setop_union_distinct_nationkeys",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    ORDER BY nationkey
+    """,
+    "setop",
+)
+def setop_union_distinct_nationkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct().orderBy("nationkey")
+
+
+@query(
+    "setop_intersect_nationkeys",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    ORDER BY nationkey
+    """,
+    "setop",
+)
+def setop_intersect_nationkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s).orderBy("nationkey")
+
+
+@query(
+    "setop_except_nationkeys",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    ORDER BY nationkey
+    """,
+    "setop",
+)
+def setop_except_nationkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    # subtract == EXCEPT (set semantics); exceptAll would be bag difference
+    return c.subtract(s).orderBy("nationkey")
+
+
+@query(
+    "distinct_segments_per_nation",
+    "SELECT DISTINCT c_nationkey, c_mktsegment FROM customer ORDER BY c_nationkey, c_mktsegment",
+    "setop", "dedup",
+)
+def distinct_segments_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "customer")
+        .select("c_nationkey", "c_mktsegment")
+        .dropDuplicates()
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window analytics
+# ---------------------------------------------------------------------------
+
+@query(
+    "window_lag_lead_user_values",
+    """
+    SELECT user_id, event_id, value,
+      LAG(value)  OVER w AS prev_value,
+      LEAD(value) OVER w AS next_value,
+      value - LAG(value) OVER w AS delta
+    FROM events
+    WHERE user_id < 10
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, event_id
+    """,
+    "window",
+)
+def window_lag_lead_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "value",
+            F.lag("value").over(w).alias("prev_value"),
+            F.lead("value").over(w).alias("next_value"),
+            (F.col("value") - F.lag("value").over(w)).alias("delta"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@query(
+    "window_running_order_total",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        AS running_total,
+      COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        AS order_seq
+    FROM orders WHERE o_custkey < 50
+    ORDER BY o_custkey, order_seq
+    """,
+    "window",
+)
+def window_running_order_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-over-frame window (rowsBetween). Decimal-sum trick keeps
+    the running total exact so parallel frame evaluation matches the
+    oracle."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.sum(_dec2("o_totalprice")).over(w).cast("double").alias("running_total"),
+            F.count(F.lit(1)).over(w).alias("order_seq"),
+        )
+        .orderBy("o_custkey", "order_seq")
+    )
+
+
+@query(
+    "window_rank_dense_ntile",
+    """
+    SELECT p_partkey, p_brand, p_retailprice,
+      RANK()         OVER w AS rnk,
+      DENSE_RANK()   OVER w AS drnk,
+      NTILE(4)       OVER w AS quartile,
+      FIRST_VALUE(p_partkey) OVER w AS cheapest_key
+    FROM part
+    WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey)
+    ORDER BY p_brand, p_retailprice, p_partkey
+    """,
+    "window",
+)
+def window_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
+    return (
+        p.select(
+            "p_partkey",
+            "p_brand",
+            "p_retailprice",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.first("p_partkey").over(w).alias("cheapest_key"),
+        )
+        .orderBy("p_brand", "p_retailprice", "p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / top-k / having / grouping sets / cube
+# ---------------------------------------------------------------------------
+
+@query(
+    "sort_limit_largest_orders",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+    """,
+    "sort", "topk",
+)
+def sort_limit_largest_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject — per-partition
+    heaps + driver merge, no full sort at any scale."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(25)
+    )
+
+
+@query(
+    "having_big_customers",
+    """
+    SELECT o_custkey, COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+    FROM orders GROUP BY o_custkey
+    HAVING COUNT(*) >= 3 AND SUM(CAST(o_totalprice AS DECIMAL(18,2))) > 50000
+    ORDER BY o_custkey
+    """,
+    "agg",
+)
+def having_big_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec2("o_totalprice")).alias("__total_dec__"),
+        )
+        .filter((F.col("n_orders") >= 3) & (F.col("__total_dec__") > 50000))
+        .select("o_custkey", "n_orders", F.col("__total_dec__").cast("double").alias("total_spent"))
+        .orderBy("o_custkey")
+    )
+
+
+@query(
+    "cube_orders_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+      GROUPING(o_orderstatus, o_orderpriority) AS grp,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY grp, o_orderstatus, o_orderpriority
+    """,
+    "agg", "rollup",
+)
+def cube_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("grp"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec2("o_totalprice")).cast("double").alias("total"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "grp", "n", "total")
+        .orderBy("grp", "o_orderstatus", "o_orderpriority")
+    )
+
+
+@query(
+    "grouping_sets_nation_and_segment",
+    """
+    SELECT n_name, c_mktsegment, COUNT(*) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((n_name), (c_mktsegment))
+    ORDER BY n_name, c_mktsegment
+    """,
+    "agg", "rollup",
+)
+def grouping_sets_nation_and_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(load_table(spark, sf_dir, "nation")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    )
+    df.createOrReplaceTempView("__gs_cust_nation__")
+    return spark.sql(
+        """
+        SELECT n_name, c_mktsegment, COUNT(*) AS n_customers
+        FROM __gs_cust_nation__
+        GROUP BY GROUPING SETS ((n_name), (c_mktsegment))
+        ORDER BY n_name, c_mktsegment
+        """
+    )
+
+
+@query(
+    "agg_count_distinct_suppliers",
+    """
+    SELECT l_returnflag,
+      COUNT(DISTINCT l_suppkey) AS n_supps,
+      COUNT(DISTINCT l_partkey) AS n_parts,
+      COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "agg",
+)
+def agg_count_distinct_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_stddev_via_exact_sums",
+    """
+    SELECT p_brand,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+      CAST(SUM(CAST(p_retailprice*p_retailprice AS DECIMAL(28,4))) AS DOUBLE) AS s2,
+      sqrt((CAST(SUM(CAST(p_retailprice*p_retailprice AS DECIMAL(28,4))) AS DOUBLE)
+            - CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+              * CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+           / (COUNT(*) - 1)) AS stddev_price
+    FROM part GROUP BY p_brand HAVING COUNT(*) > 1 ORDER BY p_brand
+    """,
+    "agg",
+)
+def agg_stddev_via_exact_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample stddev from exact decimal moments — order-independent, so it
+    hash-matches the serial oracle (plain stddev over doubles would not)."""
+    p = load_table(spark, sf_dir, "part")
+    s1d = F.sum(_dec2("p_retailprice")).cast("double")
+    s2d = F.sum((F.col("p_retailprice") * F.col("p_retailprice")).cast("decimal(28,4)")).cast("double")
+    n = F.count(F.lit(1))
+    return (
+        p.groupBy("p_brand")
+        .agg(
+            n.alias("n"),
+            s1d.alias("s1"),
+            s2d.alias("s2"),
+            F.sqrt((s2d - s1d * s1d / n) / (n - F.lit(1))).alias("stddev_price"),
+        )
+        .filter(F.col("n") > 1)
+        .orderBy("p_brand")
+    )

@@ -1,0 +1,225 @@
+"""Scalar-function surface (SURVEY §2.D) — string / datetime / math /
+conditional / array / JSON batteries, each an oracle-checked query.
+
+Determinism rules: only exactly-representable math in oracles (sqrt, abs,
+floor/ceil, round of integer-valued doubles, integer mod) — transcendental
+functions (exp/ln) can differ in the last ulp between libm builds, so they
+are exercised in pytest instead. Array folds run left-to-right in both
+engines (Spark ``aggregate`` init 0.0 ≡ DuckDB ``list_reduce`` from the
+first element).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries import query
+from .sources import load_table
+
+
+@query(
+    "scalar_string_battery",
+    r"""
+    SELECT p_partkey,
+      upper(p_name) AS name_upper,
+      lower(p_brand) AS brand_lower,
+      length(p_name) AS name_len,
+      substr(p_name, 1, 5) AS name_head,
+      concat(p_brand, '/', p_type) AS brand_type,
+      regexp_extract(p_brand, '(\d+)', 1) AS brand_num,
+      regexp_replace(p_type, '[aeiou]', '_') AS type_devoweled,
+      replace(p_type, ' ', '-') AS type_dashed,
+      lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+      reverse(p_brand) AS brand_rev,
+      trim('  ' || p_brand || ' ') AS brand_trimmed,
+      split_part(p_type, ' ', 1) AS type_first_word,
+      strpos(p_name, 'a') AS first_a
+    FROM part ORDER BY p_partkey
+    """,
+    "scalar", "string",
+)
+def scalar_string_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_head"),
+        F.concat(F.col("p_brand"), F.lit("/"), F.col("p_type")).alias("brand_type"),
+        F.regexp_extract("p_brand", r"(\d+)", 1).alias("brand_num"),
+        F.regexp_replace("p_type", "[aeiou]", "_").alias("type_devoweled"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("-")).alias("type_dashed"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.trim(F.concat(F.lit("  "), F.col("p_brand"), F.lit(" "))).alias("brand_trimmed"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_first_word"),
+        F.instr(F.col("p_name"), "a").alias("first_a"),
+    ).orderBy("p_partkey")
+
+
+@query(
+    "scalar_datetime_battery",
+    """
+    SELECT o_orderkey,
+      CAST(year(o_orderdate) AS INT) AS yr,
+      CAST(month(o_orderdate) AS INT) AS mo,
+      CAST(day(o_orderdate) AS INT) AS dy,
+      CAST(quarter(o_orderdate) AS INT) AS qtr,
+      date_trunc('month', o_orderdate) AS month_start,
+      CAST(o_orderdate AS DATE) AS order_date,
+      last_day(CAST(o_orderdate AS DATE)) AS month_end,
+      o_orderdate + INTERVAL 30 DAY AS due_ts,
+      CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INT) AS days_since_epoch_start,
+      CAST(EXTRACT(dow FROM o_orderdate) AS INT) + 1 AS dow_sunday1,
+      CAST(epoch_ms(o_orderdate) AS BIGINT) AS epoch_millis
+    FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey
+    """,
+    "scalar", "datetime",
+)
+def scalar_datetime_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dy"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.date_trunc("month", "o_orderdate").cast("timestamp_ntz").alias("month_start"),
+        F.to_date("o_orderdate").alias("order_date"),
+        F.last_day("o_orderdate").alias("month_end"),
+        (F.col("o_orderdate") + F.expr("interval 30 days")).alias("due_ts"),
+        F.datediff("o_orderdate", F.lit("1995-01-01").cast("date")).alias(
+            "days_since_epoch_start"
+        ),
+        F.dayofweek("o_orderdate").alias("dow_sunday1"),
+        (F.unix_micros(F.col("o_orderdate").cast("timestamp")) / F.lit(1000))
+        .cast("bigint")
+        .alias("epoch_millis"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "scalar_math_battery",
+    """
+    SELECT l_orderkey, l_linenumber,
+      round(l_discount * 100) AS discount_pct,
+      floor(l_quantity / 7) AS qty_div7,
+      ceil(l_extendedprice / 1000) AS price_k_ceil,
+      abs(l_quantity - 25) AS qty_dev,
+      sqrt(l_quantity) AS qty_sqrt,
+      l_quantity * l_quantity AS qty_sq,
+      CAST(l_partkey % 7 AS BIGINT) AS partkey_mod7,
+      sign(l_discount - 0.05) AS disc_sign,
+      greatest(l_tax, l_discount) AS max_rate,
+      least(l_tax, l_discount) AS min_rate
+    FROM lineitem WHERE l_orderkey < 100 ORDER BY l_orderkey, l_linenumber
+    """,
+    "scalar", "math",
+)
+def scalar_math_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_discount") * 100).alias("discount_pct"),
+        F.floor(F.col("l_quantity") / 7).alias("qty_div7"),
+        F.ceil(F.col("l_extendedprice") / 1000).alias("price_k_ceil"),
+        F.abs(F.col("l_quantity") - 25).alias("qty_dev"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        (F.col("l_quantity") * F.col("l_quantity")).alias("qty_sq"),
+        (F.col("l_partkey") % 7).alias("partkey_mod7"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+        F.least("l_tax", "l_discount").alias("min_rate"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@query(
+    "scalar_conditional_battery",
+    """
+    SELECT c_custkey,
+      CASE WHEN c_acctbal < 0 THEN 'debt'
+           WHEN c_acctbal < 5000 THEN 'mid'
+           ELSE 'rich' END AS wealth_band,
+      coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS segment_masked,
+      CASE WHEN c_nationkey % 2 = 0 THEN c_nationkey ELSE -c_nationkey END AS signed_nation,
+      greatest(c_acctbal, 0.0) AS acctbal_floor0,
+      CASE WHEN c_name LIKE '%1%' THEN 1 ELSE 0 END AS has_one
+    FROM customer ORDER BY c_custkey
+    """,
+    "scalar", "conditional",
+)
+def scalar_conditional_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("rich")
+        .alias("wealth_band"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "segment_masked"
+        ),
+        F.when(F.col("c_nationkey") % 2 == 0, F.col("c_nationkey"))
+        .otherwise(-F.col("c_nationkey"))
+        .alias("signed_nation"),
+        F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("acctbal_floor0"),
+        F.when(F.col("c_name").like("%1%"), 1).otherwise(0).alias("has_one"),
+    ).orderBy("c_custkey")
+
+
+@query(
+    "scalar_array_embedding_battery",
+    """
+    SELECT vec_id,
+      len(embedding) AS dim,
+      CAST(embedding[1] AS DOUBLE) AS first_component,
+      list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)), (a,b) -> a + b) AS component_sum,
+      sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a,b) -> a + b)) AS l2_norm,
+      list_reduce(list_transform(embedding, x -> CASE WHEN x > 0 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END), (a,b) -> a + b) AS n_positive
+    FROM embeddings ORDER BY vec_id
+    """,
+    "scalar", "array",
+)
+def scalar_array_embedding_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions — the same primitives the versioned-cell
+    model (§1.2) is built on, exercised over the embeddings table."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.col("embedding")[0].cast("double").alias("first_component"),
+        F.aggregate(dbl, F.lit(0.0), lambda a, x: a + x).alias("component_sum"),
+        F.sqrt(F.aggregate(dbl, F.lit(0.0), lambda a, x: a + x * x)).alias("l2_norm"),
+        F.aggregate(
+            F.transform(F.col("embedding"), lambda x: F.when(x > 0, 1.0).otherwise(0.0)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("n_positive"),
+    ).orderBy("vec_id")
+
+
+@query(
+    "scalar_json_events_battery",
+    """
+    SELECT event_id,
+      CAST(props->>'$.k' AS INT) AS k_val,
+      json_extract_string(props, '$.k') AS k_str,
+      CASE WHEN json_valid(props) THEN 1 ELSE 0 END AS is_valid_json
+    FROM events WHERE event_id < 200 ORDER BY event_id
+    """,
+    "scalar", "json",
+)
+def scalar_json_events_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON access (§2.D): the reference serializes policy state as JSON
+    (ShelfLife.java:118-134); here the JSON column is events.props."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.when(F.from_json("props", "k INT").isNotNull(), 1).otherwise(0).alias("is_valid_json"),
+    ).orderBy("event_id")

@@ -20,6 +20,8 @@ def duck_con(sf_dir):
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    import datetime
+
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime64"):
@@ -29,6 +31,11 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype("int64")
         if str(df[c].dtype) == "float32":
             df[c] = df[c].astype("float64")
+        # Spark DATE -> python date objects; duckdb DATE -> datetime64
+        if str(df[c].dtype) == "object":
+            sample = df[c].dropna()
+            if len(sample) and isinstance(sample.iloc[0], datetime.date):
+                df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
