@@ -1,0 +1,213 @@
+"""Multimodal column plumbing (SURVEY §2.G): image/audio/video payloads as
+opaque ``BinaryType`` columns with typed metadata structs, processed by
+Arrow-batched ``mapInPandas`` pipelines.
+
+The Spark-side plumbing — schemas, batch iteration, partition sizing, UDF
+signatures — is real and tested; the codec step itself is stubbed because
+this container has no image/audio libraries. Each stub is deterministic
+(derived from the payload bytes) so tests can golden-check the full
+pipeline; swap `_decode_image_stub` etc. for PIL/ffmpeg calls in a real
+deployment without touching any Spark code.
+
+Scale notes: payloads stay in executor memory one Arrow batch at a time
+(``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds batch bytes);
+nothing is collected to the driver; feature extraction is a narrow map —
+no shuffle. Repartition upstream by size if payloads are skewed (a few
+10 MB videos among 10 KB thumbnails).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: Canonical multimodal row: opaque payload + typed metadata. The metadata
+#: struct is what relational queries filter/join on; the payload is only
+#: touched inside mapInPandas stages.
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField(
+            "meta",
+            StructType(
+                [
+                    StructField("mime", StringType()),
+                    StructField("n_bytes", LongType()),
+                    StructField("sha256", StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("mean_intensity", DoubleType()),
+    ]
+)
+
+FRAME_SAMPLE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_sha256", StringType()),
+    ]
+)
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def attach_media_columns(df: DataFrame, id_col: str, payload_col) -> DataFrame:
+    """Normalize any (id, binary) pair into the canonical MEDIA_SCHEMA shape.
+    Metadata is computed JVM-side (octet_length/sha2) — no Python in this
+    stage."""
+    payload = payload_col if not isinstance(payload_col, str) else F.col(payload_col)
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.octet_length(payload).cast("long").alias("n_bytes"),
+            F.lower(F.sha2(payload, 256)).alias("sha256"),
+        ).alias("meta"),
+    )
+
+
+def _decode_image_stub(payload: bytes) -> tuple[int, int, int, float]:
+    """STUB decoder — deterministic fake dimensions/intensity derived from
+    the payload digest. Replace with `PIL.Image.open(io.BytesIO(payload))`
+    in a deployment with codecs installed."""
+    h = hashlib.sha256(payload).digest()
+    width = 64 + h[0] % 192          # 64..255
+    height = 64 + h[1] % 192
+    n_channels = 1 + h[2] % 4        # 1..4
+    mean_intensity = sum(payload[:256]) / max(1, min(len(payload), 256)) if payload else 0.0
+    return width, height, n_channels, float(mean_intensity)
+
+
+def extract_image_features(media: DataFrame) -> DataFrame:
+    """Image decode + feature extraction over Arrow batches (mapInPandas).
+    One narrow stage: each batch is a pandas DataFrame of payload bytes;
+    output schema is fixed so Catalyst can prune/filter downstream."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            feats = [_decode_image_stub(p if p is not None else b"") for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": [f[0] for f in feats],
+                    "height": [f[1] for f in feats],
+                    "n_channels": [f[2] for f in feats],
+                    "mean_intensity": [f[3] for f in feats],
+                }
+            )
+
+    return media.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize stage. STUB transform: truncate/pad payload to width*height
+    bytes (a real deployment decodes, resamples, re-encodes). The Spark
+    shape — binary in, binary out, metadata recomputed — is the real
+    pattern."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        target = width * height
+        for pdf in batches:
+            out = [
+                (p or b"")[:target].ljust(target, b"\0") for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": out,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 4096, max_frames: int = 8) -> DataFrame:
+    """Video frame sampling as a one-to-many mapInPandas (UDTF shape): each
+    payload yields up to ``max_frames`` rows. STUB: a "frame" is a
+    byte-slice digest; a real deployment seeks keyframes via ffmpeg."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, digests = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                p = p or b""
+                for i in range(min(max_frames, max(1, len(p) // every_n_bytes))):
+                    chunk = p[i * every_n_bytes : (i + 1) * every_n_bytes]
+                    ids.append(mid)
+                    idxs.append(i)
+                    digests.append(hashlib.sha256(chunk).hexdigest())
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame_sha256": digests}
+            )
+
+    return media.mapInPandas(run, schema=FRAME_SAMPLE_SCHEMA)
+
+
+def embed_payloads(media: DataFrame, dim: int = 8) -> DataFrame:
+    """Payload → embedding vector (the feature-extract step of a multimodal
+    training pipeline). STUB: bytes of the sha256 digest scaled to [-1, 1);
+    deterministic, fixed-dim, unit-testable. Output column types match the
+    embeddings table (`array<float>`) so similarity operators compose."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        def emb(p: bytes) -> list[float]:
+            h = hashlib.sha256(p or b"").digest()
+            return [(h[i] - 128) / 128.0 for i in range(dim)]
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "embedding": [emb(p) for p in pdf["payload"]],
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("embedding", ArrayType(DoubleType())),
+        ]
+    )
+    return media.mapInPandas(run, schema=schema)

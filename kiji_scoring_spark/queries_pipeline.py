@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .operators import dedup as dd
+from .operators import multimodal as mm
 from .queries import query
 from .sources import load_table
 
@@ -427,3 +428,136 @@ def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(payload).alias("payload_md5"),
         F.hex(F.encode(F.substring("text", 1, 8), "utf-8")).alias("header_hex"),
     ).orderBy("doc_id")
+
+
+@query(
+    "dedup_embedding_cosine_pairs",
+    f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings
+    )
+    SELECT a.vec_id AS dup_a, b.vec_id AS dup_b, round({_COS_SQL}, 9) AS cos_sim
+    FROM bucketed a JOIN bucketed b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE round({_COS_SQL}, 9) >= 0.15
+    ORDER BY dup_a, dup_b
+    """,
+    "dedup", "similarity", "pipeline",
+)
+def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (§2.G): sign-bucket LSH blocks
+    the corpus (16 buckets from the first 4 component signs), then exact
+    cosine only within blocks — the O(n²) comparison shrinks ~16× and the
+    bucket equi-join shuffles both sides by bucket, scaling out on any
+    cluster. Pairs with cosine >= 0.15 (rounded to 9 dp before the
+    threshold so engines can't disagree on last-ulp values)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    bucket = (
+        F.when(F.col("embedding")[0] > 0, 8).otherwise(0)
+        + F.when(F.col("embedding")[1] > 0, 4).otherwise(0)
+        + F.when(F.col("embedding")[2] > 0, 2).otherwise(0)
+        + F.when(F.col("embedding")[3] > 0, 1).otherwise(0)
+    )
+    be = e.withColumn("bucket", bucket)
+    a, b = be.alias("a"), be.alias("b")
+    sim = F.round(_spark_cosine(F.col("a.embedding"), F.col("b.embedding")), 9)
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("dup_a"),
+            F.col("b.vec_id").alias("dup_b"),
+            sim.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.15)
+        .orderBy("dup_a", "dup_b")
+    )
+
+
+#: BPE-ish tokenizer regex: runs of letters, runs of digits, or any single
+#: non-alphanumeric symbol — the shape of byte-pair-encoding pre-tokenizers.
+_TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+@query(
+    "text_token_counts",
+    f"""
+    SELECT doc_id,
+      len(string_split(text, ' ')) AS n_ws_tokens,
+      len(regexp_extract_all(text, '{_TOKEN_RE}')) AS n_bpe_tokens,
+      CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        / len(regexp_extract_all(text, '{_TOKEN_RE}')) AS chars_per_bpe_token
+    FROM documents ORDER BY doc_id
+    """,
+    "text", "pipeline",
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (§2.G text analysis): whitespace tokens and a BPE-ish
+    regex pre-tokenization (letter runs / digit runs / single symbols), plus
+    the chars-per-token compression proxy used for quality filtering. All
+    JVM-side regex — no Python in the scan path."""
+    d = load_table(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all("text", F.lit(_TOKEN_RE), 0)
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        F.size(bpe).alias("n_bpe_tokens"),
+        (
+            F.length(F.regexp_replace("text", " ", "")).cast("double") / F.size(bpe)
+        ).alias("chars_per_bpe_token"),
+    ).orderBy("doc_id")
+
+
+def _multimodal_features_oracle() -> str:
+    # the stub decoder derives fake dimensions from the payload sha256 and
+    # mean intensity from the first 256 payload bytes; text is pure ASCII
+    # (verified) so DuckDB char arithmetic == byte arithmetic
+    byte0 = "('0x' || substr(sha256(text), 1, 2))::INT"
+    byte1 = "('0x' || substr(sha256(text), 3, 2))::INT"
+    byte2 = "('0x' || substr(sha256(text), 5, 2))::INT"
+    intensity = (
+        "CAST(list_reduce(list_transform(generate_series(1, least(length(text), 256)),"
+        " i -> ord(substr(text, i, 1))::BIGINT), (a,b) -> a + b) AS DOUBLE)"
+        " / least(length(text), 256)"
+    )
+    return f"""
+    SELECT doc_id AS media_id,
+      64 + {byte0} % 192 AS width,
+      64 + {byte1} % 192 AS height,
+      1 + {byte2} % 4 AS n_channels,
+      {intensity} AS mean_intensity
+    FROM documents ORDER BY media_id
+    """
+
+
+@query("multimodal_image_features", _multimodal_features_oracle(), "multimodal", "pipeline")
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image decode + feature extraction over opaque binary payloads via
+    Arrow-batched mapInPandas (operators/multimodal.py). The decoder is a
+    deterministic stub (no codecs in this container) — but the full Spark
+    pipeline (binary column → canonical media schema → mapInPandas batches
+    → typed feature rows) is real and oracle-checked end to end."""
+    d = load_table(spark, sf_dir, "documents")
+    media = mm.attach_media_columns(d, "doc_id", F.encode("text", "utf-8"))
+    return mm.extract_image_features(media).orderBy("media_id")
+
+
+@query(
+    "multimodal_frame_samples",
+    """
+    SELECT doc_id AS media_id, 0 AS frame_idx, sha256(text) AS frame_sha256
+    FROM documents ORDER BY media_id
+    """,
+    "multimodal", "pipeline",
+)
+def multimodal_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling as a one-to-many mapInPandas (UDTF shape): each
+    payload explodes into frame rows. With <4 KB test payloads every doc
+    yields exactly one frame whose digest is the payload digest — which is
+    what the oracle checks; the row-explosion plumbing is the real part."""
+    d = load_table(spark, sf_dir, "documents")
+    media = mm.attach_media_columns(d, "doc_id", F.encode("text", "utf-8"))
+    return mm.sample_frames(media).orderBy("media_id", "frame_idx")

@@ -9,6 +9,8 @@ rig this runs local[N]; on a real cluster the same confs apply per-executor.
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -34,6 +36,34 @@ _DEFAULT_CONF: dict[str, str] = {
 }
 
 
+_SHIPPED_SESSIONS: set[int] = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make ``kiji_scoring_spark`` importable on executor Python workers.
+
+    Pandas-UDF / mapInPandas closures are cloudpickled with references to
+    their defining module, so workers must be able to import the package.
+    When the driving process runs from outside the repo (as the harness
+    does), the package dir is not on the workers' sys.path — shipping a
+    zip via ``addPyFile`` fixes that on any cluster manager, not just
+    local mode.
+    """
+    key = id(spark.sparkContext)
+    if key in _SHIPPED_SESSIONS:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    # fresh zip per process (mkdtemp): a cached zip would ship stale code
+    zip_base = os.path.join(tempfile.mkdtemp(prefix="ksspark_"), "kiji_scoring_spark_pkg")
+    zip_path = shutil.make_archive(zip_base, "zip", os.path.dirname(pkg_dir),
+                                   os.path.basename(pkg_dir))
+    try:
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        pass  # e.g. Spark Connect: no sparkContext; workers share driver env
+    _SHIPPED_SESSIONS.add(key)
+
+
 def get_spark(
     app_name: str = "kiji-scoring-spark",
     master: str | None = None,
@@ -53,7 +83,9 @@ def get_spark(
         conf.update(extra_conf)
     for k, v in conf.items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    ship_package(spark)
+    return spark
 
 
 def tune_existing(spark: SparkSession) -> SparkSession:
@@ -65,4 +97,5 @@ def tune_existing(spark: SparkSession) -> SparkSession:
                 spark.conf.set(k, v)
             except Exception:
                 pass  # conf not runtime-settable in this deployment
+    ship_package(spark)
     return spark
