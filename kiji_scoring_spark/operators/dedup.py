@@ -37,18 +37,38 @@ def hash32(col: Column) -> Column:
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """n-word shingles of a whitespace-tokenized text column."""
+    """n-word shingles of a whitespace-tokenized text column.
+
+    PERF: callers on a hot path should materialize the word array as its
+    own projected column and call ``_shingles_of_words`` on the column
+    reference — higher-order lambdas are interpreted (no codegen / common
+    subexpression elimination), so a ``split()`` expression referenced
+    inside the lambda re-tokenizes the text per element (~7× slower
+    measured at sf0.1). ``slice`` beats k × ``element_at`` for the same
+    reason. Docs with fewer than n words yield an empty array.
+    """
     w = F.split(text, " ")
-    idx = F.sequence(F.lit(0), F.size(w) - n)
-    return F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(w, (i + k + 1).cast("int")) for k in range(n)])
-    )
+    return _shingles_of_words(w, n)
+
+
+def _shingles_of_words(w: Column, n: int) -> Column:
+    # explicit empty for short docs: sequence(1, 0) would DESCEND ([1, 0])
+    idx = F.when(
+        F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, n)))
 
 
 def minhash_signature_df(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Per-doc minhash signature columns m0..m7 (one explode + groupBy)."""
+    """Per-doc minhash signature columns m0..m7 (one explode + groupBy).
+
+    The word array is materialized as a projected column BEFORE the
+    shingle lambda so it is computed once per row (see word_shingles
+    PERF note)."""
     sh = docs.select(
-        id_col, F.explode(word_shingles(F.col(text_col), n)).alias("__sh__")
+        id_col, F.split(F.col(text_col), " ").alias("__w__")
+    ).select(
+        id_col, F.explode(_shingles_of_words(F.col("__w__"), n)).alias("__sh__")
     ).withColumn("__h__", hash32(F.col("__sh__")))
     aggs = [
         F.min((F.lit(a) * F.col("__h__") + F.lit(b)) % MERSENNE).alias(f"m{j}")
@@ -68,6 +88,39 @@ def minhash_band_keys(sig: DataFrame, id_col: str, rows_per_band: int = 4) -> Da
         )
     return sig.select(id_col, F.explode(F.array(*bands)).alias("bk")).select(
         id_col, F.col("bk.band_idx").alias("band_idx"), F.col("bk.band_key").alias("band_key")
+    )
+
+
+def band_pairs(bands: DataFrame, id_col: str) -> DataFrame:
+    """Candidate pairs from band keys WITHOUT a self-join: group each
+    (band_idx, band_key) bucket, then explode in-bucket pairs.
+
+    A self-join of the derived band table re-executes the whole
+    shingle→hash→groupBy pipeline for both sides (Catalyst does not reuse
+    the exchange across join sides here); this formulation computes the
+    signature once and needs a single shuffle. Bucket pair fan-out is
+    O(bucket²) in either formulation — LSH band width keeps buckets small,
+    and pathological all-identical corpora are quadratic in ANY candidate
+    generator. Output columns: doc_a < doc_b, distinct across bands.
+    """
+    buckets = (
+        bands.groupBy("band_idx", "band_key")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size("ids")),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
     )
 
 

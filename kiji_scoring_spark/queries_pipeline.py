@@ -73,23 +73,13 @@ def _minhash_oracle_sql() -> str:
 @query("dedup_minhash_candidate_pairs", _minhash_oracle_sql(), "dedup", "pipeline", "lsh")
 def dedup_minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates: 3-word shingles → 8 portable
-    minhashes → 2 bands of 4 → pairs sharing a band. One explode, one
-    groupBy, one equi-join — no O(n²) anywhere (operators/dedup.py)."""
+    minhashes → 2 bands of 4 → in-bucket pairs. One explode, one groupBy,
+    one bucket-group — the signature pipeline runs exactly once (a band
+    self-join would execute it twice; see operators/dedup.band_pairs)."""
     d = load_table(spark, sf_dir, "documents")
     sig = dd.minhash_signature_df(d, "doc_id", "text")
     bands = dd.minhash_band_keys(sig, "doc_id")
-    a, b = bands.alias("a"), bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-        .orderBy("doc_a", "doc_b")
-    )
+    return dd.band_pairs(bands, "doc_id").orderBy("doc_a", "doc_b")
 
 
 def _simhash_oracle_sql() -> str:
@@ -154,8 +144,9 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer arithmetic (inter*10 >= union) so the filter can't
     disagree between engines on float rounding."""
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id", F.array_distinct(dd.word_shingles(F.col("text"), 3)).alias("sh")
+    # words materialized before the shingle lambda (dedup.word_shingles PERF note)
+    sh = d.select("doc_id", F.split("text", " ").alias("w")).select(
+        "doc_id", F.array_distinct(dd._shingles_of_words(F.col("w"), 3)).alias("sh")
     )
     a = sh.alias("a").filter(F.col("doc_id") < 20)
     b = sh.alias("b")
