@@ -313,3 +313,4 @@ from . import queries_relational  # noqa: E402,F401
 from . import queries_scalar  # noqa: E402,F401
 from . import queries_kiji  # noqa: E402,F401
 from . import queries_pipeline  # noqa: E402,F401
+from . import queries_sources  # noqa: E402,F401

@@ -1,0 +1,191 @@
+"""Source-format and dataset-statistics queries (SURVEY §2.B scans,
+§2.G quality/stats).
+
+The CSV/JSON queries prove the non-parquet scan path end to end: the
+table is materialized once per (sf, format) into a local cache dir by
+Spark's own writer, re-read through ``read_csv``/``read_json`` with an
+explicit schema (schema inference is a full extra pass — never at
+100 TB), and aggregated; the oracle runs the same aggregation on the
+parquet view, so any loss in the format round-trip (types, quoting,
+nulls) fails the hash match.
+
+Scale notes: CSV/JSON scans split by ``spark.sql.files.maxPartitionBytes``
+like parquet but carry no column pruning or predicate pushdown — the
+engine treats them as ingest formats; queries beyond ingest should land
+data in parquet first (``sources.write_parquet``).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries import query
+from .sources import load_table, read_csv, read_json
+
+_FORMAT_CACHE = os.path.join(tempfile.gettempdir(), "kiji_scoring_spark_formats")
+
+
+def _materialized(spark: SparkSession, sf_dir: str, name: str, fmt: str) -> DataFrame:
+    """Write-once copy of a testdata table in ``fmt``, read back with the
+    parquet schema (so column types survive the text round-trip)."""
+    src = load_table(spark, sf_dir, name)
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(_FORMAT_CACHE, tag, f"{name}.{fmt}")
+    done = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(done):
+        writer = src.write.mode("overwrite")
+        if fmt == "csv":
+            writer.option("header", "true").csv(path)
+        else:
+            writer.json(path)
+    if fmt == "csv":
+        return read_csv(spark, path, src.schema, header="true")
+    return read_json(spark, path, src.schema)
+
+
+@query(
+    "csv_scan_nation_counts",
+    """
+    SELECT n_regionkey, count(*) AS n_nations, min(n_name) AS first_name
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+    "source", "csv",
+)
+def csv_scan_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV scan (§2.B): nation round-trips through Spark's CSV writer and
+    ``read_csv`` with explicit schema; the group-count matching the parquet
+    oracle proves header handling, quoting, and type restoration."""
+    n = _materialized(spark, sf_dir, "nation", "csv")
+    return (
+        n.groupBy("n_regionkey")
+        .agg(F.count("*").alias("n_nations"), F.min("n_name").alias("first_name"))
+        .orderBy("n_regionkey")
+    )
+
+
+@query(
+    "json_scan_supplier_acctbal",
+    """
+    SELECT s_nationkey, count(*) AS n_suppliers,
+      CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+    FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
+    """,
+    "source", "json",
+)
+def json_scan_supplier_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines scan (§2.B): supplier round-trips through Spark's JSON
+    writer and ``read_json`` with explicit schema. Money sums in exact
+    DECIMAL then cast to DOUBLE so parallel vs serial order can't differ."""
+    s = _materialized(spark, sf_dir, "supplier", "json")
+    return (
+        s.groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.sum(F.col("s_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_acctbal"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+@query(
+    "stats_quantiles_price",
+    """
+    SELECT l_returnflag,
+      round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+      round(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+      round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+      round(quantile_disc(l_extendedprice, 0.90), 6) AS p90_disc
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "stats", "agg", "pipeline",
+)
+def stats_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality/stats (§2.G): exact interpolated + discrete quantiles per
+    group. Spark's `percentile` is exact (sort-based within group) and
+    matches DuckDB's quantile_cont/disc; rounded to 6 dp so the two
+    engines' float interpolation cannot differ in the last ulp.
+    Scale: per-group exact percentile shuffles once on the group key; for
+    100 TB interactive profiling use approx_percentile instead (see
+    stats_summary_profile's approx note)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.25)"), 6).alias("p25"),
+            F.round(F.expr("percentile(l_extendedprice, 0.50)"), 6).alias("p50"),
+            F.round(F.expr("percentile(l_extendedprice, 0.75)"), 6).alias("p75"),
+            F.round(
+                F.expr("percentile_disc(0.90) WITHIN GROUP (ORDER BY l_extendedprice)"),
+                6,
+            ).alias("p90_disc"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "stats_corr_covar_quantity_price",
+    """
+    SELECT
+      round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+      round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+      round(covar_pop(l_quantity, l_discount), 8) AS covar_qty_disc
+    FROM lineitem
+    """,
+    "stats", "agg", "pipeline",
+)
+def stats_corr_covar_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality/stats (§2.G): correlation and covariance across the fact
+    table — single partial+final aggregation, no shuffle of raw rows.
+    Rounded so engine-internal accumulation order cannot flip a bit."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
+        F.round(F.covar_pop("l_quantity", "l_discount"), 8).alias("covar_qty_disc"),
+    )
+
+
+@query(
+    "stats_summary_profile",
+    """
+    SELECT 'l_quantity' AS column_name,
+      count(l_quantity) AS n,
+      round(avg(l_quantity), 6) AS mean,
+      round(min(l_quantity), 6) AS min_v,
+      round(max(l_quantity), 6) AS max_v
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', count(l_discount), round(avg(l_discount), 6),
+      round(min(l_discount), 6), round(max(l_discount), 6)
+    FROM lineitem
+    ORDER BY column_name
+    """,
+    "stats", "agg", "pipeline",
+)
+def stats_summary_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profiling (§2.G quality/stats): the df.summary() shape as an
+    explicit, oracle-checkable query (summary() itself emits strings and
+    approx medians — fine for humans, wrong for a correctness gate). One
+    scan computes all columns' stats via partial aggregation; stack-style
+    UNION keeps the output long-form like summary().
+    At 100 TB this is the pattern for data-quality sweeps: a single pass,
+    no shuffle of raw rows, optionally approx_percentile for medians."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def profile(col: str) -> DataFrame:
+        return li.agg(
+            F.lit(col).alias("column_name"),
+            F.count(col).alias("n"),
+            F.round(F.avg(col), 6).alias("mean"),
+            F.round(F.min(col), 6).alias("min_v"),
+            F.round(F.max(col), 6).alias("max_v"),
+        )
+
+    return profile("l_quantity").unionAll(profile("l_discount")).orderBy("column_name")

@@ -66,13 +66,14 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
 
 
-def read_csv(spark: SparkSession, path: str, schema: str, **options) -> DataFrame:
-    """CSV scan with an explicit schema (schema inference is a full extra
+def read_csv(spark: SparkSession, path: str, schema, **options) -> DataFrame:
+    """CSV scan with an explicit schema (DDL string or StructType; schema
+    inference is a full extra
     pass over the data — never at 100 TB)."""
     return spark.read.options(**options).schema(schema).csv(path)
 
 
-def read_json(spark: SparkSession, path: str, schema: str, **options) -> DataFrame:
+def read_json(spark: SparkSession, path: str, schema, **options) -> DataFrame:
     """JSON-lines scan with explicit schema, same rationale as CSV."""
     return spark.read.options(**options).schema(schema).json(path)
 
