@@ -34,8 +34,13 @@ HEADLINE = [
     "fresh_batch_scoring",
     "dedup_exact_documents",
     "dedup_minhash_candidate_pairs",
+    "dedup_embedding_cosine_pairs",
     "similarity_cosine_topk",
     "text_quality_scores",
+    "mllib_scored_customers",
+    "stats_quantiles_price",
+    "multimodal_image_features",
+    "streaming_hourly_event_stats",
 ]
 
 

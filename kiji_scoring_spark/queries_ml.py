@@ -1,0 +1,135 @@
+"""MLlib batch scoring + Structured Streaming queries with full oracles.
+
+MLlib batch scoring is the engine's translation of the reference's online
+producers (BASELINE.json "spark_approach"; producer surface at
+``KijiProducer`` → ``InternalFreshKijiTableReader.java:568-579``): instead
+of a per-row produce() call inline with a read, a fitted ``PipelineModel``
+transforms the whole stale partition in one distributed pass.
+
+The scoring query here uses deterministic, closed-form MLlib stages
+(VectorAssembler + StandardScaler) so the oracle can replicate the fitted
+parameters in SQL — iterative trainers would score fine but could not be
+hash-checked against an independent engine.
+
+The streaming query executes a REAL StreamingQuery (file micro-batch
+source → stateful window aggregation → memory sink, AvailableNow trigger)
+and returns the result as a batch DataFrame, so the §2.F surface gets the
+same oracle gate as everything else instead of a weaker rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries import query
+from .sources import load_table
+
+
+@query(
+    "mllib_scored_customers",
+    """
+    WITH stats AS (
+      SELECT avg(c_acctbal) AS mu_bal, stddev_samp(c_acctbal) AS sd_bal,
+             avg(CAST(c_nationkey AS DOUBLE)) AS mu_nat,
+             stddev_samp(CAST(c_nationkey AS DOUBLE)) AS sd_nat
+      FROM customer
+    )
+    SELECT c_custkey,
+      round(1.0 / (1.0 + exp(-(
+        0.8 * (c_acctbal - mu_bal) / sd_bal
+        - 0.2 * (CAST(c_nationkey AS DOUBLE) - mu_nat) / sd_nat
+        + 0.1))), 9) AS churn_score
+    FROM customer, stats
+    ORDER BY c_custkey
+    """,
+    "scoring", "mllib", "kiji",
+)
+def mllib_scored_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib batch scoring (the reference's producer surface as a
+    PipelineModel): VectorAssembler → StandardScaler(withMean) fitted on
+    the table, then a fixed-weight logistic layer over the scaled
+    features. ``Pipeline.fit`` + ``model.transform`` run distributed;
+    fitting StandardScaler is one aggregation pass (mean/std), transform
+    is a narrow map — no shuffle at any scale. The oracle replays the
+    closed-form fit in SQL."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import StandardScaler, VectorAssembler
+    from pyspark.ml.functions import vector_to_array
+
+    c = load_table(spark, sf_dir, "customer").withColumn(
+        "nat_d", F.col("c_nationkey").cast("double")
+    )
+    pipeline = Pipeline(
+        stages=[
+            VectorAssembler(inputCols=["c_acctbal", "nat_d"], outputCol="features"),
+            StandardScaler(
+                inputCol="features", outputCol="scaled", withMean=True, withStd=True
+            ),
+        ]
+    )
+    model = pipeline.fit(c)
+    scaled = model.transform(c).withColumn("z", vector_to_array("scaled"))
+    margin = (
+        F.lit(0.8) * F.col("z")[0] - F.lit(0.2) * F.col("z")[1] + F.lit(0.1)
+    )
+    return scaled.select(
+        "c_custkey",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)), 9).alias("churn_score"),
+    ).orderBy("c_custkey")
+
+
+@query(
+    "streaming_hourly_event_stats",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+      count(*) AS n_events,
+      CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY window_start ORDER BY window_start
+    """,
+    "streaming", "agg",
+)
+def streaming_hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation executed as a REAL StreamingQuery
+    (§2.F): parquet micro-batch source → groupBy(window(ts, '1 hour')) →
+    memory sink, AvailableNow trigger, then the sink table is returned as
+    the batch result. Complete output mode because the bounded replay must
+    emit every window, including ones a watermark would hold open.
+    Scale: the window agg is incremental state-store aggregation — state
+    is one row per open window, never raw events; on an unbounded source
+    you'd add ``withWatermark`` to expire windows (see
+    streaming.with_watermark and tests/test_streaming.py)."""
+    ev_schema = load_table(spark, sf_dir, "events").schema
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.expr("CAST(timestamp_micros(ts DIV 1000) AS timestamp_ntz)")
+        )
+    agg = stream.groupBy(F.window("ts", "1 hour").alias("w")).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+    sink = "streaming_hourly_event_stats_sink"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(sink)
+        .select(
+            F.col("w.start").cast(ev_schema["ts"].dataType).alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start")
+    )
