@@ -1,0 +1,94 @@
+"""Physical-plan assertions — the scale discipline as executable checks.
+
+Correctness tests prove WHAT each query returns; these prove HOW: filters
+reach the parquet reader, dimension joins broadcast instead of shuffling
+the fact side, and no query ever falls back to row-at-a-time Python
+(BatchEvalPython). A regression here means a 100 TB plan got worse even
+though sf0.001 results stayed right."""
+
+import pytest
+
+from kiji_scoring_spark.queries import QUERIES
+
+
+def executed_plan(spark, sf_dir, name: str) -> str:
+    return QUERIES[name].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+BROADCAST_JOIN_QUERIES = [
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q18_large_volume_customers",
+    "bulk_get_customers",
+    "rollup_acctbal_by_nation_segment",
+]
+
+
+@pytest.mark.parametrize("name", BROADCAST_JOIN_QUERIES)
+def test_dimension_joins_broadcast(spark, sf_dir, name):
+    plan = executed_plan(spark, sf_dir, name)
+    assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join in plan"
+    assert "SortMergeJoin" not in plan, (
+        f"{name}: dimension join fell back to sort-merge (fact side shuffled)"
+    )
+
+
+PUSHDOWN_QUERIES = ["q1_pricing_summary", "q6_forecast_revenue", "filter_in_between_like"]
+
+
+@pytest.mark.parametrize("name", PUSHDOWN_QUERIES)
+def test_filters_reach_parquet_scan(spark, sf_dir, name):
+    plan = executed_plan(spark, sf_dir, name)
+    assert "PushedFilters: [" in plan
+    # at least one scan has a non-empty pushed-filter list
+    assert any(
+        seg.lstrip().startswith(("IsNotNull", "LessThan", "GreaterThan", "EqualTo", "Or(", "And(", "In("))
+        for seg in plan.split("PushedFilters: [")[1:]
+    ), f"{name}: every PushedFilters list is empty"
+
+
+#: Python on purpose: Arrow-batched pandas stages (mapInPandas/applyInPandas)
+ARROW_QUERIES = {
+    "multimodal_image_features",
+    "multimodal_frame_samples",
+    "udaf_trimmed_mean_acctbal",
+}
+
+
+def test_no_row_python_anywhere(spark, sf_dir):
+    """No registry query may use row-at-a-time Python (BatchEvalPython);
+    Python is allowed only as Arrow-batched stages, and only in the
+    queries that declare it."""
+    offenders, arrow_unexpected = [], []
+    for name in sorted(QUERIES):
+        if name.startswith("streaming_"):
+            continue  # executing the stream here just to read a plan is wasteful
+        plan = executed_plan(spark, sf_dir, name)
+        if "BatchEvalPython" in plan and "udtf" not in name:
+            # UDTFs are the declared row-Python extension point (§2.E),
+            # probe-limited by their queries — everything else stays batched
+            offenders.append(name)
+        if ("ArrowEvalPython" in plan or "MapInPandas" in plan or "FlatMapGroupsInPandas" in plan) \
+                and name not in ARROW_QUERIES and "udtf" not in name:
+            arrow_unexpected.append(name)
+    assert not offenders, f"row-at-a-time Python in: {offenders}"
+    assert not arrow_unexpected, f"undeclared pandas stages in: {arrow_unexpected}"
+
+
+@pytest.mark.parametrize("name", sorted(ARROW_QUERIES))
+def test_declared_arrow_stages_are_arrow(spark, sf_dir, name):
+    plan = executed_plan(spark, sf_dir, name)
+    assert any(
+        m in plan for m in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
+    ), f"{name}: expected an Arrow-batched pandas stage"
+
+
+def test_whole_stage_codegen_on_scan_agg(spark, sf_dir):
+    df = QUERIES["q1_pricing_summary"].fn(spark, sf_dir)
+    df.collect()  # AQE finalizes THIS df's plan only when it itself runs
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    # codegen stages print as `*(n) Operator` in the plan string
+    assert "*(" in plan, "no whole-stage-codegen span in final plan"
