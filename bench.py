@@ -41,6 +41,10 @@ HEADLINE = [
     "stats_quantiles_price",
     "multimodal_image_features",
     "streaming_hourly_event_stats",
+    "q6_forecast_revenue",
+    "q18_large_volume_customers",
+    "udaf_trimmed_mean_acctbal",
+    "salted_agg_event_type_stats",
 ]
 
 

@@ -517,6 +517,24 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("similarity_ivf_topk", None, "similarity", "pipeline", "ivf")
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate NN — the billion-scale path
+    (operators/similarity.py): KMeans coarse quantizer → narrow-map cell
+    assignment over literal centroids (zero shuffle) → probes search only
+    their 6 nearest cells. Rows-only in the oracle gate (KMeans training
+    is iterative, not SQL-expressible); tests assert recall ≥ 0.6 vs the
+    exact brute-force top-k instead (tests/test_similarity_ivf.py)."""
+    from .operators import similarity as sim
+
+    e = load_table(spark, sf_dir, "embeddings")
+    centers = sim.train_ivf_centroids(e, "vec_id", "embedding", k=16)
+    normed = sim.unit_normalized(e, "vec_id", "embedding")
+    corpus_cells = sim.with_cells(normed, centers)
+    probes = sim.probe_cell_fanout(normed.filter(F.col("vec_id") < 10), centers, n_probe=6)
+    return sim.ivf_topk(corpus_cells, probes, k=5).orderBy("probe_id", "rn")
+
+
 #: BPE-ish tokenizer regex: runs of letters, runs of digits, or any single
 #: non-alphanumeric symbol — the shape of byte-pair-encoding pre-tokenizers.
 _TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
