@@ -133,3 +133,79 @@ def streaming_hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start")
     )
+
+
+@query(
+    "session_window_user_sessions",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, event_id, value,
+        CASE WHEN lag(ts) OVER w IS NULL
+             OR ts - lag(ts) OVER w >= INTERVAL 4 HOUR THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts, value,
+        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+      CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM sess GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+    "streaming", "window", "agg",
+)
+def session_window_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (§2.F): per-user activity sessions closed by 4 hours
+    of inactivity, via ``session_window`` — the same incremental operator
+    Structured Streaming uses (update-mode streaming run covered in
+    tests/test_streaming.py). The oracle proves the gap-merge semantics
+    independently with lag + cumulative-sum sessionization.
+    Scale: one shuffle on user_id; state per open session is a single
+    (start, end, aggregates) row."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "4 hours").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+def _embed_oracle() -> str:
+    dims = ",\n      ".join(
+        f"((('0x' || substr(sha256(text), {2 * i + 1}, 2))::INT - 128) / 128.0) AS e{i}"
+        for i in range(8)
+    )
+    return f"""
+    SELECT doc_id AS media_id,
+      {dims}
+    FROM documents ORDER BY media_id
+    """
+
+
+@query("multimodal_payload_embeddings", _embed_oracle(), "multimodal", "pipeline")
+def multimodal_payload_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload → embedding feature-extraction stage (multimodal training
+    pipelines): Arrow-batched mapInPandas over binary payloads producing a
+    fixed-dim vector per item (operators/multimodal.embed_payloads; stub
+    digest-based embedder, deterministic). Exploded to one column per
+    dimension so the oracle checks every component exactly."""
+    from .operators import multimodal as mm
+
+    d = load_table(spark, sf_dir, "documents")
+    media = mm.attach_media_columns(d, "doc_id", F.encode("text", "utf-8"))
+    emb = mm.embed_payloads(media, dim=8)
+    return emb.select(
+        "media_id", *[F.col("embedding")[i].alias(f"e{i}") for i in range(8)]
+    ).orderBy("media_id")

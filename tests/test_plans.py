@@ -53,6 +53,7 @@ def test_filters_reach_parquet_scan(spark, sf_dir, name):
 ARROW_QUERIES = {
     "multimodal_image_features",
     "multimodal_frame_samples",
+    "multimodal_payload_embeddings",
     "udaf_trimmed_mean_acctbal",
 }
 
