@@ -657,3 +657,68 @@ def agg_stddev_via_exact_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") > 1)
         .orderBy("p_brand")
     )
+
+
+@query(
+    "agg_bool_or_needs_reread",
+    """
+    SELECT user_id,
+      bool_or(event_type = 'error') AS needs_reread,
+      bool_and(value IS NOT NULL) AS all_valued,
+      count(*) AS n_events
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    "agg", "kiji",
+)
+def agg_bool_or_needs_reread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 — the reference's only aggregation: boolean OR over per-column
+    'needs reread' signals (GetFuture.call() ||-fold,
+    InternalFreshKijiTableReader.java:624-661) — expressed relationally as
+    bool_or/bool_and per entity. One partial+final agg; booleans shuffle
+    as single bytes."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.bool_or(F.col("event_type") == "error").alias("needs_reread"),
+            F.bool_and(F.col("value").isNotNull()).alias("all_valued"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "window_range_frame_value_sums",
+    """
+    SELECT event_id, user_id, value,
+      CAST(sum(CAST(value AS DECIMAL(18,2)))
+        OVER (PARTITION BY user_id ORDER BY event_id
+              RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        AS recent_value_sum
+    FROM events
+    WHERE user_id < 5
+    ORDER BY user_id, event_id
+    """,
+    "window",
+)
+def window_range_frame_value_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (§2.C): per-user sum over a VALUE range of the
+    ordering key (event ids within 100), not a row count — rangeBetween,
+    the frame type rowsBetween can't express. Probe-limited to 5 users;
+    partitions by user so frames never cross executors."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rangeBetween(-100, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("recent_value_sum"),
+    ).orderBy("user_id", "event_id")

@@ -223,3 +223,41 @@ def scalar_json_events_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").alias("k_str"),
         F.when(F.from_json("props", "k INT").isNotNull(), 1).otherwise(0).alias("is_valid_json"),
     ).orderBy("event_id")
+
+
+@query(
+    "scalar_map_battery",
+    """
+    SELECT n_nationkey,
+      m[n_name][1] AS own_pop,
+      cardinality(m) AS map_size,
+      array_to_string(map_keys(m), ',') AS keys_csv,
+      map_concat(m, map(['__extra__'], [0]))['__extra__'][1] AS extra_v
+    FROM (
+      SELECT n_nationkey, n_name, map([n_name, 'ALL'], [n_nationkey, -1]) AS m
+      FROM nation
+    ) ORDER BY n_nationkey
+    """,
+    "scalar", "map",
+)
+def scalar_map_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-function battery (§2.D, the map-type-family toolkit §1.1):
+    construction, element_at lookup, size, map_keys, map_concat upsert.
+    Outputs are scalars so both engines compare exactly (DuckDB map
+    extraction yields single-element lists — indexed [1] in the oracle)."""
+    n = load_table(spark, sf_dir, "nation")
+    m = F.map_from_arrays(
+        F.array(F.col("n_name"), F.lit("ALL")),
+        F.array(F.col("n_nationkey"), F.lit(-1)),
+    )
+    with_m = n.select("n_nationkey", "n_name", m.alias("m"))
+    extra = F.map_concat(
+        F.col("m"), F.create_map(F.lit("__extra__"), F.lit(0))
+    )
+    return with_m.select(
+        "n_nationkey",
+        F.element_at(F.col("m"), F.col("n_name")).alias("own_pop"),
+        F.size("m").alias("map_size"),
+        F.concat_ws(",", F.map_keys("m")).alias("keys_csv"),
+        F.element_at(extra, "__extra__").alias("extra_v"),
+    ).orderBy("n_nationkey")

@@ -189,3 +189,48 @@ def stats_summary_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return profile("l_quantity").unionAll(profile("l_discount")).orderBy("column_name")
+
+
+@query(
+    "parquet_sink_roundtrip",
+    """
+    SELECT l_returnflag,
+      count(*) AS n_rows,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "source", "sink",
+)
+def parquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet sink (§2.B, the A8 writeback target): a filtered slice of
+    lineitem is written partitioned by l_returnflag — the layout a scored
+    table would use so later reads partition-prune — then re-read and
+    aggregated. The oracle aggregates the ORIGINAL table; matching hashes
+    prove the write→read cycle loses nothing (types, partition-column
+    restoration, row coverage)."""
+    from .sources import write_parquet
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(_FORMAT_CACHE, tag, "lineitem_sink.parquet")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_parquet(
+            li.select("l_returnflag", "l_extendedprice", "l_shipdate"),
+            path,
+            partition_by=["l_returnflag"],
+        )
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("l_returnflag")
+    )
