@@ -124,6 +124,51 @@ def band_pairs(bands: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def connected_components(
+    pairs: DataFrame, a_col: str, b_col: str, max_iters: int = 50
+) -> DataFrame:
+    """Min-label connected components over an undirected pair list:
+    (node, component) where component = smallest node id reachable.
+
+    The dedup end-game (candidate pairs → duplicate clusters → keep one
+    canonical doc per cluster). Iterative label propagation: each round,
+    every node takes the min of its own label and its neighbors'; stops
+    at fixpoint. Near-dup graphs converge in a few rounds (components are
+    small and star-shaped); the driver loop only checks a changed-count
+    per round — no data is collected. At extreme component diameters use
+    the large-star/small-star variant with checkpointing; the loop shape
+    is identical.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .union(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+        .distinct()
+    )
+    labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges["v"] == labels["node"])
+            .groupBy("u")
+            .agg(F.min("label").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["u"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
+                (F.col("nmin") < F.col("label")).alias("__chg__"),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)  # cut the iterative lineage
+        changed = updated.filter(F.col("__chg__")).count()
+        labels = updated.drop("__chg__")
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
 def simhash32(tokens_hashed: Column) -> Column:
     """32-bit simhash from an array of 32-bit token hashes: bit i is set if
     the +1/-1 vote over that bit across tokens is positive."""

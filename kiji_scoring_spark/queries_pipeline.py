@@ -82,6 +82,47 @@ def dedup_minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     return dd.band_pairs(bands, "doc_id").orderBy("doc_a", "doc_b")
 
 
+def _minhash_components_oracle() -> str:
+    return f"""
+    WITH RECURSIVE base AS ({_minhash_oracle_sql().replace("ORDER BY doc_a, doc_b", "")}
+    ), edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM base
+      UNION ALL
+      SELECT doc_b, doc_a FROM base
+    ), cc(node, label) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.v, cc.label FROM cc JOIN edges e ON e.u = cc.node
+    )
+    SELECT node AS doc_id, min(label) AS canonical_doc_id
+    FROM cc GROUP BY node ORDER BY doc_id
+    """
+
+
+@query(
+    "dedup_minhash_components",
+    _minhash_components_oracle(),
+    "dedup", "pipeline", "lsh",
+)
+def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup end-game (§2.G): MinHash candidate pairs → connected
+    components → canonical representative (min doc_id) per duplicate
+    cluster. Spark side is iterative min-label propagation with
+    per-round localCheckpoint (operators/dedup.connected_components);
+    the oracle re-derives components with a recursive CTE — an iterative
+    distributed algorithm still hash-checked against an independent
+    engine."""
+    d = load_table(spark, sf_dir, "documents")
+    sig = dd.minhash_signature_df(d, "doc_id", "text")
+    bands = dd.minhash_band_keys(sig, "doc_id")
+    pairs = dd.band_pairs(bands, "doc_id")
+    return (
+        dd.connected_components(pairs, "doc_a", "doc_b")
+        .select(F.col("node").alias("doc_id"), F.col("component").alias("canonical_doc_id"))
+        .orderBy("doc_id")
+    )
+
+
 def _simhash_oracle_sql() -> str:
     votes = " + ".join(
         f"(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END)::BIGINT * 0"  # placeholder
