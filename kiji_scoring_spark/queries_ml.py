@@ -209,3 +209,113 @@ def multimodal_payload_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame
     return emb.select(
         "media_id", *[F.col("embedding")[i].alias(f"e{i}") for i in range(8)]
     ).orderBy("media_id")
+
+
+@query(
+    "streaming_sliding_window_counts",
+    """
+    WITH expanded AS (
+      SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                     date_trunc('hour', ts)]) AS window_start,
+             value
+      FROM events
+    )
+    SELECT window_start, count(*) AS n_events,
+      CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM expanded GROUP BY window_start ORDER BY window_start
+    """,
+    "streaming", "agg", "window",
+)
+def streaming_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation (§2.F): 2-hour windows sliding every
+    hour, executed as a REAL StreamingQuery like
+    streaming_hourly_event_stats. Every event lands in exactly two
+    windows; the oracle expands that membership explicitly (unnest of the
+    two aligned window starts) — proving Spark's slide semantics, not
+    just re-running them.
+    Scale: state is one row per open window; slide/width only change the
+    per-event fan-out (2 here), not the state shape."""
+    ev_schema = load_table(spark, sf_dir, "events").schema
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.expr("CAST(timestamp_micros(ts DIV 1000) AS timestamp_ntz)")
+        )
+    agg = stream.groupBy(
+        F.window("ts", "2 hours", "1 hour").alias("w")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+    sink = "streaming_sliding_window_counts_sink"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(sink)
+        .select(
+            F.col("w.start").cast(ev_schema["ts"].dataType).alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start")
+    )
+
+
+@query(
+    "streaming_static_join_segments",
+    """
+    SELECT c_mktsegment, count(*) AS n_events,
+      CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    "streaming", "join", "agg",
+)
+def streaming_static_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join (§2.F, the A9 side-input analog): the event
+    stream enriches against the static customer dimension per micro-batch
+    (broadcast on the static side), then aggregates by segment — run as a
+    real StreamingQuery into a memory sink. The oracle is the equivalent
+    batch join.
+    Scale: the static side broadcasts once per batch; stream state is one
+    row per segment."""
+    ev_schema = load_table(spark, sf_dir, "events").schema
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.expr("CAST(timestamp_micros(ts DIV 1000) AS timestamp_ntz)")
+        )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = stream.join(
+        F.broadcast(cust), stream["user_id"] == cust["c_custkey"]
+    )
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )
+    sink = "streaming_static_join_segments_sink"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).orderBy("c_mktsegment")
