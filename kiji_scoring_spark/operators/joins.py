@@ -8,10 +8,12 @@ versioned column.
 Scale design notes:
 
 - ``asof_join`` = equi-join on keys + inequality on time + windowed
-  row_number()==1. The equi-key join shuffles both sides once on the key;
-  the window re-uses that partitioning (same key prefix), so Catalyst
-  plans ONE exchange. Skewed keys are handled by AQE skew-join on the
-  join, and the per-(left-row) window state is bounded by matches per key.
+  row_number()==1 per left ROW (a synthetic ``monotonically_increasing_id``
+  — duplicate left rows each keep their own match, and the window key is
+  one long instead of the whole left schema). The equi-key join shuffles
+  both sides once on the key; the per-row window adds one narrow exchange
+  on the id. Skewed keys are handled by AQE skew-join on the join, and
+  the per-(left-row) window state is bounded by matches per key.
 - For dense right sides (many versions per key), prefer
   ``asof_join_union`` which avoids the join blow-up entirely: union both
   sides tagged, single window sort per key, then filter — O(n log n) per
@@ -42,7 +44,12 @@ def asof_join(
     'forward' for the smallest right_ts >= left_ts). Unmatched left rows
     keep NULLs (left-outer semantics).
     """
-    lalias, ralias = left.alias("__l__"), right.alias("__r__")
+    # Unique per-left-row id: restores true per-row semantics (two identical
+    # left rows each keep their own match instead of collapsing into one
+    # window partition) and keeps the window key narrow — one long column
+    # instead of every left column, which matters for wide schemas.
+    lalias = left.withColumn("__lid__", F.monotonically_increasing_id()).alias("__l__")
+    ralias = right.alias("__r__")
     keys = [F.col(f"__l__.{k}") == F.col(f"__r__.{k}") for k in on]
     if direction == "backward":
         cond = F.col(f"__r__.{right_ts}") <= F.col(f"__l__.{left_ts}")
@@ -60,7 +67,7 @@ def asof_join(
         for c in right.columns
         if c not in on
     ]
-    w = Window.partitionBy(*[F.col(f"__l__.{c}") for c in left.columns]).orderBy(order)
+    w = Window.partitionBy(F.col("__l__.__lid__")).orderBy(order)
     # rank right matches per left row; rows with no match survive (rn==1
     # over a single all-NULL match row)
     return (

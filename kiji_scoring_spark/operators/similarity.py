@@ -34,9 +34,17 @@ def unit_normalized(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
             lambda s, v: s + v,
         )
     )
+    # Zero-norm guard: an all-zero vector would divide by 0.0 and propagate
+    # NaN/Inf through every cosine it touches; map it to the zero vector
+    # instead (cosine 0 against everything — never ranks into top-k).
     return df.withColumn("__norm__", norm).select(
         F.col(id_col),
-        F.transform(vec_col, lambda x: x.cast("double") / F.col("__norm__")).alias("ne"),
+        F.transform(
+            vec_col,
+            lambda x: F.when(
+                F.col("__norm__") > 0, x.cast("double") / F.col("__norm__")
+            ).otherwise(F.lit(0.0)),
+        ).alias("ne"),
     )
 
 

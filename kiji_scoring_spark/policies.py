@@ -39,6 +39,27 @@ class FreshnessPolicy:
     def is_fresh(self, versions: Column, as_of_ms: int) -> Column:
         raise NotImplementedError
 
+    def is_fresh_over(self, requested: dict[str, Column], as_of_ms: int) -> Column:
+        """A6 predicate entry point: when ``data_request`` is non-None the
+        freshen pass evaluates freshness over the policy's OWN projection —
+        ``requested`` maps each requested column name to its versions
+        expression — instead of the attached column (the reference's
+        shouldUseClientDataRequest=false branch,
+        ``impl/InternalFreshKijiTableReader.java:526-536`` with the second
+        read at ``:588-596``; in DataFrame land the "second read" is just a
+        different projection of the same row, so it costs nothing).
+
+        Default: apply ``is_fresh`` to the single requested column.
+        Policies requesting multiple columns must override.
+        """
+        if len(requested) != 1:
+            raise NotImplementedError(
+                f"{type(self).__name__} requests {len(requested)} columns; "
+                "override is_fresh_over to combine them"
+            )
+        (versions,) = requested.values()
+        return self.is_fresh(versions, as_of_ms)
+
     @property
     def data_request(self) -> list[str] | None:
         return None  # use client data request
@@ -88,6 +109,52 @@ class ShelfLife(FreshnessPolicy):
 
     def deserialize(self, state: str) -> None:
         self.shelf_life_ms = int(json.loads(state)["shelfLife"])
+
+
+class FresherThanColumn(FreshnessPolicy):
+    """A6 own-data-request policy: the attached column is fresh iff its
+    newest version is at least as new as ANOTHER column's newest version —
+    the canonical "derived score vs source data" staleness rule (a score
+    computed before the data it derives from was last written is stale).
+
+    ``data_request`` names [attached_column, source_column]; the freshen
+    pass resolves both to versions expressions and calls ``is_fresh_over``
+    — the Spark analog of the reference evaluating ``isFresh`` over the
+    policy's own ``getDataRequest()`` row data
+    (``KijiFreshnessPolicy.java:68-84``).
+    """
+
+    def __init__(self, attached_column: str = "", source_column: str = ""):
+        self.attached_column = attached_column
+        self.source_column = source_column
+
+    def is_fresh(self, versions: Column, as_of_ms: int) -> Column:
+        raise NotImplementedError(
+            "FresherThanColumn evaluates over its own data request; "
+            "the freshen pass must call is_fresh_over"
+        )
+
+    def is_fresh_over(self, requested: dict[str, Column], as_of_ms: int) -> Column:
+        attached_ts = model.most_recent_ts(requested[self.attached_column])
+        source_ts = model.most_recent_ts(requested[self.source_column])
+        # no score yet -> stale; no source data -> score trivially fresh
+        return F.coalesce(
+            attached_ts >= F.coalesce(source_ts, F.lit(-(1 << 62))), F.lit(False)
+        )
+
+    @property
+    def data_request(self) -> list[str] | None:
+        return [self.attached_column, self.source_column]
+
+    def serialize(self) -> str:
+        return json.dumps(
+            {"attached": self.attached_column, "source": self.source_column}
+        )
+
+    def deserialize(self, state: str) -> None:
+        s = json.loads(state)
+        self.attached_column = s["attached"]
+        self.source_column = s["source"]
 
 
 class NewerThan(FreshnessPolicy):

@@ -105,13 +105,13 @@ def scalar_datetime_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_orderkey, l_linenumber,
       round(l_discount * 100) AS discount_pct,
-      floor(l_quantity / 7) AS qty_div7,
-      ceil(l_extendedprice / 1000) AS price_k_ceil,
+      CAST(floor(l_quantity / 7) AS BIGINT) AS qty_div7,
+      CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS price_k_ceil,
       abs(l_quantity - 25) AS qty_dev,
       sqrt(l_quantity) AS qty_sqrt,
       l_quantity * l_quantity AS qty_sq,
       CAST(l_partkey % 7 AS BIGINT) AS partkey_mod7,
-      sign(l_discount - 0.05) AS disc_sign,
+      CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign,
       greatest(l_tax, l_discount) AS max_rate,
       least(l_tax, l_discount) AS min_rate
     FROM lineitem WHERE l_orderkey < 100 ORDER BY l_orderkey, l_linenumber
@@ -230,7 +230,7 @@ def scalar_json_events_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT n_nationkey,
       m[n_name][1] AS own_pop,
-      cardinality(m) AS map_size,
+      CAST(cardinality(m) AS INTEGER) AS map_size,
       array_to_string(map_keys(m), ',') AS keys_csv,
       map_concat(m, map(['__extra__'], [0]))['__extra__'][1] AS extra_v
     FROM (

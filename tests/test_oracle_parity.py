@@ -27,7 +27,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         if str(df[c].dtype).startswith("datetime64"):
             df[c] = df[c].astype("datetime64[us]")
         # duckdb count() comes back as int64; spark may give int32 for some
-        if str(df[c].dtype) in ("int32", "uint32"):
+        if str(df[c].dtype) in ("int8", "int16", "int32", "uint8", "uint16", "uint32"):
             df[c] = df[c].astype("int64")
         if str(df[c].dtype) == "float32":
             df[c] = df[c].astype("float64")
@@ -52,7 +52,11 @@ def test_query_matches_oracle(spark, sf_dir, name):
         f"{name}: column mismatch {list(got.columns)} vs {list(want.columns)}"
     )
     assert len(got) == len(want), f"{name}: row count {len(got)} vs {len(want)}"
-    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+    # check_dtype=True (modulo the integer/float widening in normalize): the
+    # driver's value-hash is type-sensitive, so a BIGINT-vs-DOUBLE drift that
+    # check_dtype=False would forgive fails the real gate (round-1 lesson:
+    # scalar_math_battery floor/ceil/sign).
+    pd.testing.assert_frame_equal(got, want, check_dtype=True, check_exact=True)
 
 
 @pytest.mark.parametrize("name", [n for n, s in sorted(QUERIES.items()) if not s.oracle])
