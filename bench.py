@@ -45,7 +45,16 @@ HEADLINE = [
     "q18_large_volume_customers",
     "udaf_trimmed_mean_acctbal",
     "salted_agg_event_type_stats",
+    # round 2 additions: the remaining TPC-H shapes + MLlib text path
+    "q4_late_ship_priority",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "text_tfidf_top_terms",
 ]
+
+#: round-over-round regression reference (sum over that round's HEADLINE):
+#: r1 = 33.27 s / 24 queries at sf0.1 (BENCH_r01.json). Compare per-query,
+#: not totals, when the set grows.
 
 
 def main() -> None:

@@ -33,6 +33,7 @@ is scanned once, and nothing shuffles unless the producer itself needs to.
 from __future__ import annotations
 
 import threading
+import time
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -83,6 +84,7 @@ class FreshTableReader:
         key_col: str = "entity_id",
         timeout_ms: int = DEFAULT_TIMEOUT_MS,
         allow_partial: bool = False,
+        scored_path: str | None = None,
     ):
         self.spark = spark
         self.table_name = table_name
@@ -91,7 +93,11 @@ class FreshTableReader:
         self.key_col = key_col
         self.timeout_ms = timeout_ms
         self.allow_partial = allow_partial
+        #: scored-table location for materialized freshens (A8 writeback
+        #: target); a temp dir is created lazily if not given
+        self.scored_path = scored_path
         self._capsules: dict[str, Freshener] | None = None
+        self._reread_timer: threading.Timer | None = None
 
     # -- capsule lifecycle (A13) -----------------------------------------
 
@@ -118,7 +124,45 @@ class FreshTableReader:
         """Eagerly resolve capsules (``preload``, ``:823-827``)."""
         self._resolve_capsules()
 
+    def start_auto_reread(self, period_ms: int) -> None:
+        """Scheduled automatic reread — the analog of the reference's
+        ``RereadTask``/Timer (``InternalFreshKijiTableReader.java:211-221``,
+        scheduled at ``:255-259``): every ``period_ms`` the capsule cache is
+        dropped so the next read picks up registry changes. Like the
+        reference (which requires ``rereadPeriod > 0``), a non-positive
+        period is rejected."""
+        if period_ms <= 0:
+            raise ValueError(f"reread period must be > 0 ms, got {period_ms}")
+        self.stop_auto_reread()
+
+        def tick():
+            self.reread_policies()
+            # re-arm unless stopped while we ran
+            if self._reread_timer is not None:
+                self._reread_timer = threading.Timer(period_ms / 1000.0, tick)
+                self._reread_timer.daemon = True
+                self._reread_timer.start()
+
+        self._reread_timer = threading.Timer(period_ms / 1000.0, tick)
+        self._reread_timer.daemon = True
+        self._reread_timer.start()
+
+    def stop_auto_reread(self) -> None:
+        """Cancel the scheduled reread (reader close semantics,
+        ``InternalFreshKijiTableReader.java`` close cancels the timer)."""
+        t = self._reread_timer
+        self._reread_timer = None
+        if t is not None:
+            t.cancel()
+
     # -- freshen pass (A7/A8/A10) ----------------------------------------
+
+    def _versions_expr(self, layout: TableLayout, column: str, map_qual: str) -> Column:
+        """Versions expression for any 'family:qualifier' / map-family name."""
+        fam, qual = parse_column(column)
+        if qual is None:
+            return model.map_get_versions(F.col(fam), map_qual)
+        return F.col(layout.flat_name(column))
 
     def _freshen_column(self, df: DataFrame, cap: Freshener, as_of_ms: int) -> DataFrame:
         from pyspark.sql.types import DoubleType, StructField, StructType
@@ -132,16 +176,30 @@ class FreshTableReader:
         # (impl/KijiFreshProducerContext.java:115-131)
         map_qual = getattr(cap.producer, "map_qualifier", "score")
 
-        versions: Column = (
-            model.map_get_versions(F.col(fam), map_qual) if is_map else F.col(flat)
-        )
-        fresh_pred = cap.policy.is_fresh(versions, as_of_ms)
+        # A6: a policy with its own data request evaluates freshness over
+        # THAT projection, not the attached column (the reference's
+        # shouldUseClientDataRequest=false branch,
+        # InternalFreshKijiTableReader.java:526-536, second read :588-596 —
+        # here the "second read" is a different projection of the same row,
+        # free under Catalyst).
+        policy_req = cap.policy.data_request
+        if policy_req is None:
+            versions: Column = self._versions_expr(layout, cap.column, map_qual)
+            fresh_pred = cap.policy.is_fresh(versions, as_of_ms)
+        else:
+            requested = {
+                c: self._versions_expr(layout, c, map_qual) for c in policy_req
+            }
+            fresh_pred = cap.policy.is_fresh_over(requested, as_of_ms)
 
         producer = cap.producer
         if isinstance(producer, PandasProducer):
             # Python path: score ONLY the stale partition through Arrow,
-            # then merge back by key — a broadcast-friendly join since the
-            # stale side is usually a small fraction of the table.
+            # then merge back by key. No broadcast hint: with AlwaysFreshen
+            # (or a cold table) the stale side is the WHOLE table, and a
+            # forced broadcast of an unbounded side is a driver OOM at
+            # scale — AQE picks broadcast at runtime when the scored side
+            # really is small.
             stale = df.filter(~fresh_pred)
             req_cols = [self.key_col] + [
                 layout.flat_name(c) for c in producer.data_request
@@ -153,7 +211,7 @@ class FreshTableReader:
             scored = scored_in.mapInPandas(
                 producer.make_map_fn("__score__"), schema=out_schema
             ).select(self.key_col, "__score__")
-            df = df.join(F.broadcast(scored), on=self.key_col, how="left")
+            df = df.join(scored, on=self.key_col, how="left")
             score_col = F.col("__score__")
         elif isinstance(producer, MLlibProducer):
             stale = df.filter(~fresh_pred)
@@ -194,39 +252,81 @@ class FreshTableReader:
                 df = self._freshen_column(df, cap, as_of_ms)
         return df
 
+    def _materialize(self, df: DataFrame, tag: str) -> DataFrame:
+        """Materialize a freshened table by WRITING it to the scored-table
+        location and reading it back — the A8 writeback, and the right
+        materialization at 100 TB (a cached table evicts under memory
+        pressure and silently recomputes; a parquet write is durable, is
+        the writeback the reference performs anyway, and downstream reads
+        get stats/pruning on the scored data)."""
+        import os
+
+        path = os.path.join(self._scored_root(), tag)
+        df.write.mode("overwrite").parquet(path)
+        return self.spark.read.parquet(path)
+
+    def _scored_root(self) -> str:
+        if self.scored_path is None:
+            import tempfile
+
+            self.scored_path = tempfile.mkdtemp(prefix=f"scored-{self.table_name}-")
+        return self.scored_path
+
     def freshen_with_timeout(
-        self, as_of_ms: int, timeout_ms: int | None = None
+        self,
+        as_of_ms: int,
+        timeout_ms: int | None = None,
+        allow_partial: bool | None = None,
     ) -> tuple[DataFrame, bool]:
         """A10 batch semantics: materialize the freshened table within a
-        wall-clock budget. Returns (table, fresh?). On timeout the Spark
-        job group is cancelled and the ORIGINAL table is returned — the
-        stale fallback of ``InternalFreshKijiTableReader.java:686-724``.
+        wall-clock budget. Returns (table, fully_fresh?).
+
+        Columns freshen one capsule at a time, each materialized to the
+        scored-table location (the A8 writeback). On budget expiry the
+        in-flight job group is cancelled and:
+
+        - ``allow_partial=False`` (reference default,
+          ``FreshKijiTableReaderBuilder.java:63-67``): the ORIGINAL stale
+          table is returned — the stale fallback of
+          ``InternalFreshKijiTableReader.java:686-724``.
+        - ``allow_partial=True``: the table with every capsule that
+          FINISHED inside the budget is returned — the partially-fresh
+          branch (``:703-708``). Per-column granularity matches the
+          reference, whose freshness futures are per attached column.
         """
-        budget = (timeout_ms or self.timeout_ms) / 1000.0
-        group = f"freshen-{self.table_name}-{as_of_ms}"
+        budget = (timeout_ms if timeout_ms is not None else self.timeout_ms) / 1000.0
+        partial = self.allow_partial if allow_partial is None else allow_partial
+        deadline = time.monotonic() + budget
         sc = self.spark.sparkContext
-        result: dict[str, DataFrame] = {}
-        error: list[BaseException] = []
+        caps = self._resolve_capsules()
+        current = self.df
+        for i, (column, cap) in enumerate(sorted(caps.items())):
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                return (current, False) if partial else (self.df, False)
+            group = f"freshen-{self.table_name}-{as_of_ms}-{i}"
+            result: dict[str, DataFrame] = {}
+            error: list[BaseException] = []
 
-        def run():
-            try:
-                sc.setJobGroup(group, "freshen pass", interruptOnCancel=True)
-                fresh_df = self.freshen(as_of_ms)
-                fresh_df.cache().count()  # materialize within the budget
-                result["df"] = fresh_df
-            except BaseException as e:  # noqa: BLE001 — cancelled jobs raise
-                error.append(e)
+            def run(cap=cap, i=i, group=group):
+                try:
+                    sc.setJobGroup(group, f"freshen {cap.column}", interruptOnCancel=True)
+                    out = self._freshen_column(current, cap, as_of_ms)
+                    result["df"] = self._materialize(out, f"as_of={as_of_ms}/col={i}")
+                except BaseException as e:  # noqa: BLE001 — cancelled jobs raise
+                    error.append(e)
 
-        t = threading.Thread(target=run, daemon=True)
-        t.start()
-        t.join(budget)
-        if t.is_alive():
-            sc.cancelJobGroup(group)
-            t.join(5.0)
-            return self.df, False
-        if error:
-            raise error[0]
-        return result["df"], True
+            t = threading.Thread(target=run, daemon=True)
+            t.start()
+            t.join(remaining)
+            if t.is_alive():
+                sc.cancelJobGroup(group)
+                t.join(5.0)
+                return (current, False) if partial else (self.df, False)
+            if error:
+                raise error[0]
+            current = result["df"]
+        return current, True
 
     # -- reads (A1/A2) ----------------------------------------------------
 
@@ -240,8 +340,12 @@ class FreshTableReader:
     def bulk_get(
         self, entity_ids: list, as_of_ms: int, columns: list[str] | None = None
     ) -> DataFrame:
-        """A2 bulk read: freshen then broadcast-semi-join the key list
-        (the reference's per-key thread fan-out → Spark tasks)."""
+        """A2 bulk read: freshen then filter by the key list. ``isin``
+        compiles to a pushed ``In`` filter at the scan — for the small,
+        driver-known key lists of a bulkGet that beats a semi-join (no
+        second relation, no join at all). The reference's per-key thread
+        fan-out (``InternalFreshKijiTableReader.java:767-806``) becomes
+        Spark task parallelism over the surviving partitions."""
         fresh_df = self.freshen(as_of_ms, columns)
         return fresh_df.filter(F.col(self.key_col).isin(entity_ids))
 

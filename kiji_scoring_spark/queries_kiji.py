@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from . import model
 from .fresh import FreshTableReader
-from .policies import NewerThan, ShelfLife
+from .policies import FresherThanColumn, NewerThan, ShelfLife
 from .registry import FreshenerRegistry, TableLayout
 from .queries import query
 from .sources import load_table
@@ -192,6 +192,63 @@ def fresh_batch_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         model.most_recent_ts("value_versions").alias("score_ts"),
         model.most_recent_value("value_versions").alias("score"),
+    ).orderBy("user_id")
+
+
+#: A6 clock: 2024-02-01 00:00 UTC — past every event ts (events end Jan 30),
+#: so a producer write at the clock is always the newest version.
+A6_AS_OF_MS = 1_706_745_600_000
+
+@query(
+    "fresh_a6_policy_own_request",
+    f"""
+    SELECT user_id, score_ts, score FROM (
+      SELECT user_id,
+        CASE WHEN user_id % 3 = 0 THEN newest_ts + 1000 ELSE {A6_AS_OF_MS} END AS score_ts,
+        CASE WHEN user_id % 3 = 0 THEN CAST(user_id AS DOUBLE)
+             ELSE newest_value * 2 END AS score
+      FROM (
+        SELECT user_id, max({_EPOCH_MS}) AS newest_ts,
+               max_by(value, CAST(epoch_ms(ts) AS BIGINT) * 1000000 + event_id) AS newest_value
+        FROM events GROUP BY user_id) t
+    ) ORDER BY user_id
+    """,
+    "kiji", "freshness", "scoring",
+)
+def fresh_a6_policy_own_request(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — the policy's OWN data request: FresherThanColumn judges the
+    derived ``score:versions`` column stale iff the SOURCE
+    ``value:versions`` column has a newer version (the reference's
+    shouldUseClientDataRequest=false branch,
+    ``InternalFreshKijiTableReader.java:526-536``, second read
+    ``:588-596``). Seed: users with ``user_id % 3 == 0`` were scored just
+    AFTER their newest event (fresh → kept), everyone else just BEFORE
+    (stale → rescored to 2 × newest value at the injected clock)."""
+    vt = versioned_events(spark, sf_dir)
+    newest = model.most_recent_ts("value_versions")
+    score_cell = F.struct(
+        F.when(F.col("user_id") % 3 == 0, newest + 1000)
+        .otherwise(newest - 1000)
+        .cast("long")
+        .alias("ts"),
+        F.col("user_id").cast("double").alias("value"),
+    )
+    vt = vt.withColumn("score_versions", F.array(score_cell))
+    reg = FreshenerRegistry()
+    reg.store(
+        TableLayout(vt.schema),
+        "events_versioned",
+        "score:versions",
+        "kiji_scoring_spark.lib.DoubleLatestValueProducer",
+        "kiji_scoring_spark.policies.FresherThanColumn",
+        FresherThanColumn("score:versions", "value:versions").serialize(),
+    )
+    reader = FreshTableReader(spark, "events_versioned", vt, reg, key_col="user_id")
+    fresh_df = reader.scan(A6_AS_OF_MS)
+    return fresh_df.select(
+        "user_id",
+        model.most_recent_ts("score_versions").alias("score_ts"),
+        model.most_recent_value("score_versions").alias("score"),
     ).orderBy("user_id")
 
 

@@ -80,6 +80,170 @@ def mllib_scored_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_tfidf_top_terms",
+    r"""
+    WITH docs AS (
+      SELECT doc_id, lower(text) AS text FROM documents WHERE doc_id < 100
+    ),
+    toks AS (
+      SELECT doc_id,
+        unnest(list_filter(regexp_split_to_array(text, '\W+'), x -> x <> '')) AS term
+      FROM docs
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tfv FROM toks GROUP BY doc_id, term),
+    dfreq AS (SELECT term, COUNT(*) AS dfv FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM docs)
+    SELECT doc_id, term, tfidf, rn FROM (
+      SELECT tf.doc_id, tf.term,
+        round(tfv * ln((n_docs + 1.0) / (dfv + 1.0)), 6) AS tfidf,
+        ROW_NUMBER() OVER (
+          PARTITION BY tf.doc_id
+          ORDER BY round(tfv * ln((n_docs + 1.0) / (dfv + 1.0)), 6) DESC, tf.term
+        ) AS rn
+      FROM tf JOIN dfreq USING (term), n
+    ) t WHERE rn <= 3 ORDER BY doc_id, rn
+    """,
+    "text", "mllib", "pipeline",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document through MLlib text-vectorization
+    stages (SURVEY §2.G text row): RegexTokenizer → CountVectorizer for
+    term frequencies, then the (deterministic, closed-form) IDF formula
+    MLlib's IDF stage uses — ln((m+1)/(df+1)) — applied JVM-side so the
+    DuckDB oracle can replay it exactly. The fitted vocabulary maps vector
+    indices back to term strings via a broadcast join, so vocabulary
+    ordering (which is tie-unstable) never affects the result.
+
+    Scale: CountVectorizer's fit is one distributed agg; the dense
+    vector_to_array explode is bounded here by the 100-doc probe set — at
+    corpus scale the same pipeline keeps TF as (doc, term, count) rows
+    (the toks/tf CTE shape) and never densifies."""
+    from pyspark.ml.feature import CountVectorizer, RegexTokenizer
+    from pyspark.ml.functions import vector_to_array
+    from pyspark.sql import Window
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", "text")
+    )
+    tokenized = RegexTokenizer(
+        inputCol="text", outputCol="tokens", pattern=r"\W+"
+    ).transform(docs)
+    cvm = CountVectorizer(inputCol="tokens", outputCol="tf").fit(tokenized)
+    tf_rows = (
+        cvm.transform(tokenized)
+        .select("doc_id", F.posexplode(vector_to_array("tf")).alias("idx", "tfv"))
+        .filter(F.col("tfv") > 0)
+    )
+    vocab = F.broadcast(
+        spark.createDataFrame(
+            list(enumerate(cvm.vocabulary)), "idx INT, term STRING"
+        )
+    )
+    dfreq = tf_rows.groupBy("idx").agg(F.count(F.lit(1)).alias("dfv"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    tfidf = F.round(
+        F.col("tfv") * F.log((F.col("n_docs") + 1.0) / (F.col("dfv") + 1.0)), 6
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        tf_rows.join(dfreq, "idx")
+        .join(vocab, "idx")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", tfidf)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf", "rn")
+        .orderBy("doc_id", "rn")
+    )
+
+
+@query(
+    "text_bigrams_mllib",
+    r"""
+    WITH docs AS (
+      SELECT doc_id,
+        list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS toks
+      FROM documents WHERE doc_id < 200
+    ),
+    bg AS (
+      SELECT doc_id,
+        unnest(list_transform(generate_series(1, len(toks) - 1),
+                              i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+      FROM docs
+    )
+    SELECT bigram, COUNT(*) AS n FROM bg
+    GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
+    """,
+    "text", "mllib", "pipeline",
+)
+def text_bigrams_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigrams via MLlib's RegexTokenizer → NGram(n=2) stages
+    (SURVEY §2.G). Scale: tokenize/ngram are narrow maps; the only shuffle
+    is the final bigram count — partial-aggregated, top-k bounded."""
+    from pyspark.ml.feature import NGram, RegexTokenizer
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+    tokenized = RegexTokenizer(
+        inputCol="text", outputCol="tokens", pattern=r"\W+"
+    ).transform(docs)
+    with_bigrams = NGram(n=2, inputCol="tokens", outputCol="bigrams").transform(tokenized)
+    return (
+        with_bigrams.select(F.explode("bigrams").alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+@query(
+    "text_word2vec_neighbors",
+    None,  # iterative trainer — no closed-form SQL analog; rows-only gate,
+    # determinism pinned by seed + single partition (tests assert stability)
+    "text", "mllib", "pipeline",
+)
+def text_word2vec_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word2Vec (SURVEY §2.G text row): embed the 200-doc probe corpus and
+    return the 5 nearest neighbors of the corpus's most frequent token.
+    Scale: Word2Vec training is the iterative stage (MLlib distributes
+    skip-gram minibatches); the synonym lookup is a driver-side top-k over
+    the (vocab × dim) matrix — vocab-bounded, never data-bounded."""
+    from pyspark.ml.feature import RegexTokenizer, Word2Vec
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+    tokenized = RegexTokenizer(
+        inputCol="text", outputCol="tokens", pattern=r"\W+"
+    ).transform(docs)
+    # single partition + fixed seed + one thread -> reproducible fit
+    tokenized = tokenized.coalesce(1)
+    top_token = (
+        tokenized.select(F.explode("tokens").alias("tok"))
+        .groupBy("tok")
+        .count()
+        .orderBy(F.desc("count"), F.asc("tok"))
+        .first()["tok"]
+    )
+    model = Word2Vec(
+        vectorSize=16, minCount=2, seed=42, numPartitions=1,
+        inputCol="tokens", outputCol="vec",
+    ).fit(tokenized)
+    return (
+        model.findSynonyms(top_token, 5)
+        .select("word", F.round("similarity", 6).alias("similarity"))
+    )
+
+
+@query(
     "streaming_hourly_event_stats",
     """
     SELECT date_trunc('hour', ts) AS window_start,

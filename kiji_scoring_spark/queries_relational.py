@@ -625,6 +625,47 @@ def agg_count_distinct_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_approx_count_distinct_customers",
+    """
+    SELECT n_name, COUNT(DISTINCT c_custkey) AS n_exact, 1 AS approx_ok
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY n_name
+    """,
+    "agg", "approx",
+)
+def agg_approx_count_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (SURVEY §2.C): HyperLogLog++ distinct
+    customers per nation. Sketch values differ across engines by design,
+    so the hash-checked output carries (a) the exact count and (b) an
+    in-engine tolerance assertion that the HLL estimate lands within 15%
+    (3× the 5% rsd) of exact — the oracle pins it to the literal 1.
+    Scale: this is THE distinct-count at 100 TB — the sketch partial-aggs
+    map-side (fixed-size, mergeable) where exact COUNT DISTINCT shuffles
+    every distinct key."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.countDistinct("c_custkey").alias("n_exact"),
+            F.approx_count_distinct("c_custkey", 0.05).alias("n_approx"),
+        )
+        .select(
+            "n_name",
+            "n_exact",
+            (
+                F.abs(F.col("n_approx") - F.col("n_exact"))
+                <= F.col("n_exact") * F.lit(0.15)
+            )
+            .cast("int")
+            .alias("approx_ok"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@query(
     "agg_stddev_via_exact_sums",
     """
     SELECT p_brand,

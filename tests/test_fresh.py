@@ -200,6 +200,159 @@ def test_freshen_with_timeout_success(spark):
     assert visits(out)["foo"] == 11
 
 
+class DoubleVisitsProducer(ExpressionProducer):
+    """Recompute score = newest visits * 2 (writes to the attached col)."""
+
+    def __init__(self):
+        super().__init__(
+            lambda df: (model.most_recent_value("info_visits") * 2).cast("double"),
+            data_request=["info:visits"],
+            output_column="info:score",
+        )
+
+
+def scored_df(spark):
+    """Table with a data column (visits) and a derived score column whose
+    freshness depends on the DATA column's recency — the A6 scenario."""
+    from pyspark.sql.types import DoubleType
+
+    schema = StructType(
+        [
+            StructField("entity_id", StringType(), False),
+            StructField("info_visits", model.versions_type(LongType())),
+            StructField("info_score", model.versions_type(DoubleType())),
+        ]
+    )
+    rows = [
+        ("stale_score", [(10, 7)], [(5, 1.0)]),    # score older than data → rescore
+        ("fresh_score", [(100, 3)], [(200, 6.0)]),  # score newer than data → keep
+        ("never_scored", [(50, 4)], None),          # no score yet → rescore
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+def test_a6_policy_own_data_request(spark):
+    """A6: FresherThanColumn judges staleness over its OWN projection
+    (attached score vs source visits), not the client-requested column —
+    the reference's shouldUseClientDataRequest=false branch
+    (InternalFreshKijiTableReader.java:526-536, :588-596)."""
+    from kiji_scoring_spark.policies import FresherThanColumn
+
+    df = scored_df(spark)
+    policy = FresherThanColumn("info:score", "info:visits")
+    reader = make_reader(
+        spark, df, "info:score", policy, "", f"{__name__}.DoubleVisitsProducer"
+    )
+    got = {
+        r["entity_id"]: (r["v"], r["ts"])
+        for r in reader.scan(NOW_MS)
+        .select(
+            "entity_id",
+            model.most_recent_value("info_score").alias("v"),
+            model.most_recent_ts("info_score").alias("ts"),
+        )
+        .collect()
+    }
+    assert got["stale_score"] == (14.0, NOW_MS)   # rescored: 7 * 2 @ now
+    assert got["fresh_score"] == (6.0, 200)       # untouched
+    assert got["never_scored"] == (8.0, NOW_MS)   # first score: 4 * 2
+
+
+def test_a6_policy_state_roundtrip():
+    from kiji_scoring_spark.policies import FresherThanColumn
+
+    p = FresherThanColumn("info:score", "info:visits")
+    q = FresherThanColumn()
+    q.deserialize(p.serialize())
+    assert (q.attached_column, q.source_column) == ("info:score", "info:visits")
+
+
+def two_column_reader(spark, allow_partial):
+    """Two attached columns: info:name freshens instantly (expression),
+    info:visits is a slow pandas producer — the partial-freshening matrix
+    of TestInternalFreshKijiTableReader.java:482-506."""
+    df = user_counter_df(spark)
+    reg = FreshenerRegistry()
+    layout = TableLayout(df.schema)
+    reg.store(
+        layout, "user_counter", "info:name",
+        f"{__name__}.NameTagProducer",
+        "kiji_scoring_spark.policies.AlwaysFreshen", "",
+    )
+    reg.store(
+        layout, "user_counter", "info:visits",
+        f"{__name__}.SlowPandasProducer",
+        "kiji_scoring_spark.policies.AlwaysFreshen", "",
+    )
+    return FreshTableReader(
+        spark, "user_counter", df, reg, allow_partial=allow_partial
+    )
+
+
+class NameTagProducer(ExpressionProducer):
+    def __init__(self):
+        super().__init__(
+            lambda df: F.lit("tagged"),
+            data_request=["info:name"],
+            output_column="info:name",
+        )
+
+
+def names(df):
+    return {
+        r["entity_id"]: r["v"]
+        for r in df.select(
+            "entity_id", model.most_recent_value("info_name").alias("v")
+        ).collect()
+    }
+
+
+def test_timeout_partial_returns_finished_columns(spark):
+    """allow_partial=True: columns that finished inside the budget are
+    returned freshened, the in-flight one falls back to stale — the
+    reference's partially-fresh branch (InternalFreshKijiTableReader.java:
+    703-708, builder flag FreshKijiTableReaderBuilder.java:63-67)."""
+    reader = two_column_reader(spark, allow_partial=True)
+    out, fresh = reader.freshen_with_timeout(NOW_MS, timeout_ms=8000)
+    assert fresh is False
+    assert set(names(out).values()) == {"tagged"}            # finished column
+    assert visits(out) == {"foo": 10, "bar": 100, "felix": None}  # stale column
+
+
+def test_timeout_no_partial_returns_original(spark):
+    """allow_partial=False (reference default): whole-table stale fallback
+    even though one column had finished."""
+    reader = two_column_reader(spark, allow_partial=False)
+    out, fresh = reader.freshen_with_timeout(NOW_MS, timeout_ms=8000)
+    assert fresh is False
+    assert names(out)["foo"] == "foo-val"  # original values, no partials
+    assert visits(out) == {"foo": 10, "bar": 100, "felix": None}
+
+
+def test_auto_reread_drops_capsule_cache(spark):
+    """Scheduled reread (RereadTask, InternalFreshKijiTableReader.java:
+    211-221): the capsule cache is invalidated every period without a
+    manual reread_policies call; stop cancels; period must be positive."""
+    df = user_counter_df(spark)
+    reader = make_reader(
+        spark, df, "info:visits", ShelfLife(DAY_MS), "",
+        f"{__name__}.IncrementVisitsProducer",
+    )
+    with pytest.raises(ValueError):
+        reader.start_auto_reread(0)
+    reader.preload()
+    assert reader._capsules is not None
+    reader.start_auto_reread(100)
+    deadline = time.monotonic() + 5.0
+    while reader._capsules is not None and time.monotonic() < deadline:
+        time.sleep(0.02)
+    assert reader._capsules is None  # timer fired and invalidated
+    reader.stop_auto_reread()
+    reader.preload()
+    time.sleep(0.3)  # stopped timer must NOT invalidate again
+    assert reader._capsules is not None
+
+
 CATS = [("Jennyanydots", "Old Gumbie Cat"), ("Skimbleshanks", "Railway Cat")]
 
 

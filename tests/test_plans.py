@@ -86,6 +86,44 @@ def test_declared_arrow_stages_are_arrow(spark, sf_dir, name):
     ), f"{name}: expected an Arrow-batched pandas stage"
 
 
+def test_pandas_freshen_no_forced_broadcast(spark):
+    """The scored-stale-rows merge join must NOT carry a broadcast hint:
+    with AlwaysFreshen (or any cold table) the stale side is the WHOLE
+    table, and a forced broadcast of an unbounded relation is a driver OOM
+    at 100 TB. AQE may still choose broadcast at runtime when the side is
+    actually small — the gate is on the hint, i.e. the optimized logical
+    plan (round-2 fix of fresh.py's pandas path)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from kiji_scoring_spark import model
+    from kiji_scoring_spark.fresh import Freshener, FreshTableReader
+    from kiji_scoring_spark.policies import AlwaysFreshen
+    from kiji_scoring_spark.producers import PandasProducer
+    from kiji_scoring_spark.registry import FreshenerRegistry
+
+    schema = StructType(
+        [
+            StructField("entity_id", StringType(), False),
+            StructField("info_visits", model.versions_type(LongType())),
+        ]
+    )
+    df = spark.createDataFrame([("foo", [(1, 10)])], schema)
+    producer = PandasProducer(
+        batch_fn=lambda pdf: pdf["info_visits"].map(lambda v: 1.0),
+        data_request=["info:visits"],
+        output_column="info:visits",
+    )
+    reader = FreshTableReader(spark, "t", df, FreshenerRegistry())
+    reader._capsules = {"info:visits": Freshener("info:visits", AlwaysFreshen(), producer)}
+    fresh_df = reader.freshen(1_000_000)
+    optimized = fresh_df._jdf.queryExecution().optimizedPlan().toString()
+    # a forced F.broadcast survives into the optimized plan as a join hint:
+    # `Join ..., rightHint=(strategy=broadcast)`
+    assert "strategy=broadcast" not in optimized, (
+        "freshen pandas path forces a broadcast of the scored stale side"
+    )
+
+
 def test_whole_stage_codegen_on_scan_agg(spark, sf_dir):
     df = QUERIES["q1_pricing_summary"].fn(spark, sf_dir)
     df.collect()  # AQE finalizes THIS df's plan only when it itself runs
