@@ -33,6 +33,11 @@ _DEFAULT_CONF: dict[str, str] = {
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",
+    # saveAsTable targets (bucketed tables for co-located joins) go to a
+    # temp warehouse, never the process cwd
+    "spark.sql.warehouse.dir": os.path.join(
+        tempfile.gettempdir(), "ksspark-warehouse"
+    ),
 }
 
 

@@ -124,6 +124,64 @@ def test_pandas_freshen_no_forced_broadcast(spark):
     )
 
 
+def test_bucketed_join_is_colocated_no_shuffle(spark, sf_dir):
+    """The 100 TB co-located join recipe: write both join sides bucketed
+    by the join key (same bucket count), and the join plans with ZERO
+    Exchange — neither side shuffles, ever. This is the layout for
+    repeated fact-to-fact joins at warehouse scale (bucket pruning +
+    shuffle elimination); the test locks the engine's ability to produce
+    and exploit it. Broadcast is disabled so the shuffle-free plan is the
+    sort-merge join itself, not a broadcast shortcut."""
+    from pyspark.sql import functions as F
+
+    from kiji_scoring_spark.sources import load_table
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    for name in ("b_orders", "b_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode("overwrite").saveAsTable("b_orders")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode("overwrite").saveAsTable("b_lineitem")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("b_orders").join(
+            spark.table("b_lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join still shuffled"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for name in ("b_orders", "b_lineitem"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_self_join_reuses_exchange(spark, sf_dir):
+    """Catalyst reuses one shuffle for both sides of a self-join over the
+    same aggregate (ReusedExchange) — the pattern freshen/analytics reuse
+    depends on: deriving two views of one aggregation must not scan or
+    shuffle twice."""
+    from pyspark.sql import functions as F
+
+    from kiji_scoring_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q")
+    )
+    j = agg.alias("a").join(agg.alias("b"), "l_orderkey").select(
+        "l_orderkey", F.col("a.q").alias("qa"), F.col("b.q").alias("qb")
+    )
+    j.collect()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan or "ReusedShuffle" in plan, (
+        "self-join re-executed the aggregate instead of reusing its shuffle"
+    )
+
+
 def test_whole_stage_codegen_on_scan_agg(spark, sf_dir):
     df = QUERIES["q1_pricing_summary"].fn(spark, sf_dir)
     df.collect()  # AQE finalizes THIS df's plan only when it itself runs
