@@ -146,6 +146,56 @@ def asof_join_union(
     return carried.filter(F.col("__is_left__") == 1).select(*out_cols)
 
 
+def range_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | None,
+    left_ts: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_width: int,
+) -> DataFrame:
+    """The scale path for ``range_join`` when there is no (or a
+    low-selectivity) equi-key: coarsen time into ``bucket_width``-sized
+    buckets, explode each right interval into every bucket it covers, and
+    equi-join on (keys…, bucket) with the exact interval predicate as a
+    residual — the classic interval-bucketing rewrite that turns a
+    near-cross-product theta join into a hash join.
+
+    Correctness: a left row's single bucket is covered by the right
+    interval iff the interval overlaps it, so each qualifying pair meets
+    in EXACTLY one bucket — no dedup needed. Inner-join semantics only.
+    Choose ``bucket_width`` ≈ the median interval length: wider wastes
+    residual comparisons, narrower multiplies the right side's explode
+    fan-out (fan-out = interval_len / width, so total right rows stay
+    bounded by Σ len/width).
+    ``left_ts``/``right_lo``/``right_hi`` must be numeric (epoch ms).
+    """
+    lb = left.withColumn("__bkt__", F.floor(F.col(left_ts) / bucket_width))
+    rb = right.filter(F.col(right_hi) > F.col(right_lo)).withColumn(
+        "__bkt__",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(right_lo) / bucket_width),
+                F.floor((F.col(right_hi) - 1) / bucket_width),
+            )
+        ),
+    )
+    keys = (on or []) + ["__bkt__"]
+    cond = (F.col(f"__l__.{left_ts}") >= F.col(f"__r__.{right_lo}")) & (
+        F.col(f"__l__.{left_ts}") < F.col(f"__r__.{right_hi}")
+    )
+    lalias, ralias = lb.alias("__l__"), rb.alias("__r__")
+    eq = functools_reduce_and(
+        [F.col(f"__l__.{k}") == F.col(f"__r__.{k}") for k in keys]
+    )
+    joined = lalias.join(ralias, eq & cond, "inner")
+    cols = [F.col(f"__l__.{c}") for c in left.columns] + [
+        F.col(f"__r__.{c}") for c in right.columns if not on or c not in on
+    ]
+    return joined.select(*cols)
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,

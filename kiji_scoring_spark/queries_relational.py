@@ -309,6 +309,58 @@ def range_join_events_per_day_window(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+@query(
+    "range_join_bucketed_sessions",
+    """
+    WITH wins AS (
+      SELECT win_id,
+        1704067200000 + win_id * 432000000 AS lo_ms,
+        1704067200000 + (win_id + 1) * 432000000 AS hi_ms
+      FROM (SELECT unnest(generate_series(0, 5)) AS win_id)
+    )
+    SELECT win_id, COUNT(*) AS n_events,
+      COUNT(DISTINCT user_id) AS n_users
+    FROM wins JOIN events
+      ON CAST(epoch_ms(ts) AS BIGINT) >= lo_ms
+     AND CAST(epoch_ms(ts) AS BIGINT) <  hi_ms
+    GROUP BY win_id ORDER BY win_id
+    """,
+    "join", "range", "agg",
+)
+def range_join_bucketed_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucketed interval-join rewrite (operators.joins.
+    range_join_bucketed) under the oracle gate: six 5-day windows over
+    January 2024, events matched by bucket equi-join + residual interval
+    predicate instead of a theta join. At 100 TB this is the difference
+    between a hash join on (bucket) and a broadcast-nested-loop over the
+    fact table — the bucket explode on the small interval side costs
+    interval_len/width rows each."""
+    from .operators.joins import range_join_bucketed
+
+    DAY_MS = 86_400_000
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / 1000).cast("long").alias("ts_ms"),
+    )
+    wins = spark.sql(
+        "SELECT explode(sequence(0, 5)) AS win_id"
+    ).select(
+        "win_id",
+        (F.lit(1_704_067_200_000) + F.col("win_id").cast("long") * (5 * DAY_MS)).alias("lo_ms"),
+        (F.lit(1_704_067_200_000) + (F.col("win_id").cast("long") + 1) * (5 * DAY_MS)).alias("hi_ms"),
+    )
+    joined = range_join_bucketed(ev, wins, None, "ts_ms", "lo_ms", "hi_ms", DAY_MS)
+    return (
+        joined.groupBy("win_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("win_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Set operations
 # ---------------------------------------------------------------------------

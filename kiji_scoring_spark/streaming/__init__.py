@@ -138,6 +138,71 @@ def make_stateful_freshener(
     return freshen
 
 
+def make_tws_freshener(shelf_life_ms: int, score_fn: Callable[[float], float]):
+    """The same per-key freshening contract as ``make_stateful_freshener``
+    but on ``transformWithStateInPandas`` — Spark 4's arbitrary-state API
+    (typed value state, timers, RocksDB-backed). Use with::
+
+        df.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=make_tws_freshener(...),
+            outputStructType=FRESHEN_OUTPUT_SCHEMA,
+            outputMode="Append", timeMode="None")
+
+    Requires the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``) and
+    ``google.protobuf`` on the Python workers (the tWS worker protocol is
+    protobuf-framed; absent in some minimal runtimes — the
+    ``applyInPandasWithState`` freshener above has no such dependency and
+    is the portable fallback). State is the same
+    O(1)-per-key (last_ts, last_score) record — the capsule-cache analog
+    (``InternalFreshKijiTableReader.java:356-386``); RocksDB keeps it off
+    the executor heap, which is what makes billions of keys viable."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class FreshenProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("fresh", FRESHEN_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as pd
+
+            user_id = key[0]
+            newest_ts, newest_val = None, None
+            for pdf in rows:
+                if len(pdf) == 0:
+                    continue
+                idx = pdf["ts_ms"].idxmax()
+                if newest_ts is None or pdf["ts_ms"][idx] > newest_ts:
+                    newest_ts = int(pdf["ts_ms"][idx])
+                    newest_val = float(pdf["value"][idx])
+            if newest_ts is None:
+                return
+            prior = self._state.get() if self._state.exists() else None
+            last_ts = prior[0] if prior is not None else None
+            last_score = prior[1] if prior is not None else None
+            stale = last_ts is None or (newest_ts - last_ts) > shelf_life_ms
+            if stale:
+                score = score_fn(newest_val)
+                self._state.update((newest_ts, score))
+                yield pd.DataFrame(
+                    {"user_id": [user_id], "score_ts": [newest_ts],
+                     "score": [score], "rescored": [1]}
+                )
+            else:
+                yield pd.DataFrame(
+                    {"user_id": [user_id], "score_ts": [last_ts],
+                     "score": [last_score], "rescored": [0]}
+                )
+
+        def close(self) -> None:
+            pass
+
+    return FreshenProcessor()
+
+
 def foreach_batch_scoring_sink(
     score_fn: Callable[[DataFrame, int], DataFrame], out_path: str
 ):

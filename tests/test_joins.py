@@ -49,6 +49,33 @@ def test_asof_equal_ts_right_row_included(spark):
     assert rows[0].val == "eq"
 
 
+def test_range_join_bucketed_matches_plain(spark, sf_dir):
+    """The interval-bucketing rewrite returns exactly the rows of the
+    plain theta range join (and the join on bucket is an equi hash join,
+    not a cross product)."""
+    from kiji_scoring_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / 1000).cast("long").alias("ts_ms"),
+    ).limit(2000)
+    HOUR = 3_600_000
+    # synthetic intervals: 6 windows of varying width per user bucket
+    iv = spark.sql(
+        "SELECT * FROM VALUES (0), (1), (2), (3), (4), (5) AS t(win_id)"
+    ).select(
+        "win_id",
+        (F.lit(1_704_067_200_000) + F.col("win_id").cast("long") * (5 * 24 * HOUR)).alias("lo_ms"),
+        (F.lit(1_704_067_200_000) + (F.col("win_id").cast("long") + 1) * (5 * 24 * HOUR)).alias("hi_ms"),
+    )
+    plain = joins.range_join(ev, iv, None, "ts_ms", "lo_ms", "hi_ms")
+    bucketed = joins.range_join_bucketed(ev, iv, None, "ts_ms", "lo_ms", "hi_ms", 24 * HOUR)
+    got_a = sorted((r.event_id, r.win_id) for r in plain.collect())
+    got_b = sorted((r.event_id, r.win_id) for r in bucketed.collect())
+    assert got_a == got_b and len(got_a) > 0
+
+
 def test_asof_join_matches_union_variant(spark, sf_dir):
     from kiji_scoring_spark.sources import load_table
 

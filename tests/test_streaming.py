@@ -148,6 +148,59 @@ def test_stateful_freshening_rescores_only_stale(spark, stream_dirs):
     assert 0 < total_rescored <= len(rows)
 
 
+def test_transform_with_state_freshening(spark, stream_dirs):
+    """Same freshening contract on transformWithStateInPandas (Spark 4
+    arbitrary-state API, RocksDB-backed) — both state APIs must agree on
+    the first-batch-rescores invariant.
+
+    Skipped where the runtime lacks ``google.protobuf`` — the tWS Python
+    worker protocol depends on it (stateful_processor_util imports
+    StateMessage_pb2); the operator itself is environment-independent."""
+    pytest.importorskip("google.protobuf")
+    src, schema, tmp = stream_dirs
+    stream = st.read_events_stream(spark, src, schema).withColumn(
+        "ts_ms", (F.unix_micros(F.col("ts").cast("timestamp")) / 1000).cast("long")
+    )
+    DAY = 86_400_000
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = stream.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=st.make_tws_freshener(5 * DAY, lambda v: v * 2.0),
+            outputStructType=st.FRESHEN_OUTPUT_SCHEMA,
+            outputMode="Append",
+            timeMode="None",
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("tws_scores")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        run_to_completion(q)
+        rows = spark.table("tws_scores").collect()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    assert len(rows) > 0
+    by_user: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: r["score_ts"]):
+        by_user.setdefault(r["user_id"], []).append(r)
+    sample = by_user[next(iter(by_user))]
+    assert sample[0]["rescored"] == 1  # no cached state in the first batch
+    for r in rows:
+        if r["rescored"] == 1:
+            assert r["score_ts"] is not None
+    total_rescored = sum(r["rescored"] for r in rows)
+    assert 0 < total_rescored <= len(rows)
+
+
 def test_foreach_batch_scoring_sink(spark, stream_dirs, tmp_path):
     """A8 writeback in streaming form: per-batch scoring appended to a
     scored parquet table."""
