@@ -435,6 +435,65 @@ def setop_except_nationkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "setop_intersect_all_priorities",
+    """
+    SELECT o_orderpriority AS priority FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1996-02-01 00:00:00'
+    INTERSECT ALL
+    SELECT o_orderpriority AS priority FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-02-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1996-03-01 00:00:00'
+    ORDER BY priority
+    """,
+    "setop",
+)
+def setop_intersect_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag semantics: each priority survives
+    min(count_jan, count_feb) times. Catalyst plans it as a counted
+    semi-join, one shuffle per side on the value."""
+    o = load_table(spark, sf_dir, "orders")
+    jan = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-02-01 00:00:00").cast("timestamp_ntz"))
+    ).select(F.col("o_orderpriority").alias("priority"))
+    feb = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-02-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-03-01 00:00:00").cast("timestamp_ntz"))
+    ).select(F.col("o_orderpriority").alias("priority"))
+    return jan.intersectAll(feb).orderBy("priority")
+
+
+@query(
+    "setop_except_all_priorities",
+    """
+    SELECT o_orderpriority AS priority FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1996-02-01 00:00:00'
+    EXCEPT ALL
+    SELECT o_orderpriority AS priority FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-02-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1996-03-01 00:00:00'
+    ORDER BY priority
+    """,
+    "setop",
+)
+def setop_except_all_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag difference: each priority survives
+    max(0, count_jan - count_feb) times."""
+    o = load_table(spark, sf_dir, "orders")
+    jan = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-02-01 00:00:00").cast("timestamp_ntz"))
+    ).select(F.col("o_orderpriority").alias("priority"))
+    feb = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-02-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-03-01 00:00:00").cast("timestamp_ntz"))
+    ).select(F.col("o_orderpriority").alias("priority"))
+    return jan.exceptAll(feb).orderBy("priority")
+
+
+@query(
     "distinct_segments_per_nation",
     "SELECT DISTINCT c_nationkey, c_mktsegment FROM customer ORDER BY c_nationkey, c_mktsegment",
     "setop", "dedup",

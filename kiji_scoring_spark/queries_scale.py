@@ -111,6 +111,49 @@ def udtf_positional_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "udf_pandas_scalar_discounted_cents",
+    """
+    SELECT l_orderkey, l_linenumber,
+      CAST(round(l_extendedprice * 100) AS BIGINT)
+        * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS discounted_c4
+    FROM lineitem WHERE l_orderkey < 2000
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    "udf", "pandas", "scalar",
+)
+def udf_pandas_scalar_discounted_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar ``pandas_udf`` (§2.E — the Series→Series vectorized UDF,
+    completing the UDAF/UDTF/scalar trio): discounted price in exact
+    integer 10⁻⁴-dollar units. The UDF works in int64 cents (price and
+    discount are 2-dp, so round() only ever snaps float noise, never a
+    true half) — no float accumulation, so Python and SQL agree exactly.
+    Scale: Arrow-batched, one batch per task — the 10-100× path over
+    row-at-a-time Python; still 10× slower than the equivalent built-in
+    expression, which is why only the declared UDF queries use Python."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _discounted(price, disc):
+        cents = (price * 100).round().astype("int64")
+        disc_pct = (disc * 100).round().astype("int64")
+        return cents * (100 - disc_pct)
+
+    # real (non-string) annotations: `from __future__ import annotations`
+    # stringifies inline hints, which pandas_udf's signature probe rejects
+    _discounted.__annotations__ = {
+        "price": pd.Series, "disc": pd.Series, "return": pd.Series
+    }
+    discounted_c4 = pandas_udf(_discounted, "bigint")
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        discounted_c4("l_extendedprice", "l_discount").alias("discounted_c4"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@query(
     "salted_agg_event_type_stats",
     """
     SELECT event_type, count(*) AS n_events,

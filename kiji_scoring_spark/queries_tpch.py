@@ -150,29 +150,31 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join", "agg", "topk",
 )
 def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18 shape: HAVING-filtered subquery feeding a semi-join into
-    a three-way join + top-k. Scale: the big-order key set is a tiny
-    fraction of orderkeys, so it broadcasts into the semi join; lineitem
-    aggregates partially before its shuffle; top-k carries o_orderkey as
-    the tiebreaker."""
+    """TPC-H Q18 shape: HAVING-filtered subquery feeding joins + top-k.
+
+    Round-2 plan: lineitem is aggregated per orderkey ONCE and the >210
+    filter applied to that aggregate directly — the original formulation
+    (semi-join on the filtered keys, then re-join raw lineitem and
+    re-aggregate) scanned and shuffled lineitem twice for the same
+    number. One lineitem shuffle; the tiny filtered aggregate then
+    BROADCASTS into orders (so orders never shuffles either) and customer
+    broadcasts. Result is identical because
+    orderkey is unique in the aggregate — the 5-column GROUP BY of the
+    SQL is just carrying order/customer attributes through the join."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"))
-        .filter(F.col("q") > 210)
-        .select("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("__q__"))
+        .filter(F.col("__q__") > 210)
     )
     return (
-        o.join(F.broadcast(big), F.col("o_orderkey") == big["l_orderkey"], "left_semi")
-        .join(c, F.col("c_custkey") == F.col("o_custkey"))
-        .join(li, F.col("o_orderkey") == li["l_orderkey"])
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("total_qty")
+        o.join(F.broadcast(big), F.col("o_orderkey") == big["l_orderkey"])
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+            F.col("__q__").cast("double").alias("total_qty"),
         )
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(20)

@@ -55,6 +55,7 @@ ARROW_QUERIES = {
     "multimodal_frame_samples",
     "multimodal_payload_embeddings",
     "udaf_trimmed_mean_acctbal",
+    "udf_pandas_scalar_discounted_cents",
 }
 
 
@@ -180,6 +181,29 @@ def test_self_join_reuses_exchange(spark, sf_dir):
     assert "ReusedExchange" in plan or "ReusedShuffle" in plan, (
         "self-join re-executed the aggregate instead of reusing its shuffle"
     )
+
+
+def test_sort_within_partitions_no_global_exchange(spark, sf_dir):
+    """sortWithinPartitions after a repartition(key) must plan a LOCAL
+    sort (global=false) with exactly the one repartition Exchange — the
+    write-sorted-runs layout (e.g. bucketBy+sortBy spills) — and the data
+    really is sorted within every partition."""
+    from pyspark.sql import functions as F
+
+    from kiji_scoring_spark.sources import load_table
+
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    df = o.repartition(4, "o_custkey").sortWithinPartitions("o_orderkey")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Sort [o_orderkey" in plan and "false, 0" in plan, (
+        "expected a local (global=false) sort"
+    )
+    assert plan.count("Exchange") == 1  # only the repartition, no sort range-exchange
+    parts = df.select(F.spark_partition_id().alias("pid"), "o_orderkey").collect()
+    seen: dict[int, int] = {}
+    for r in parts:
+        assert seen.get(r.pid, -1) <= r.o_orderkey  # monotone within partition
+        seen[r.pid] = r.o_orderkey
 
 
 def test_whole_stage_codegen_on_scan_agg(spark, sf_dir):
