@@ -81,6 +81,15 @@ RESIZE_SCHEMA = StructType(
     ]
 )
 
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("lead_byte", IntegerType()),
+    ]
+)
+
 
 def attach_media_columns(df: DataFrame, id_col: str, payload_col) -> DataFrame:
     """Normalize any (id, binary) pair into the canonical MEDIA_SCHEMA shape.
@@ -157,6 +166,32 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+def extract_audio_features(media: DataFrame, sample_rate: int = 16_000) -> DataFrame:
+    """Audio feature extraction stage (the §2.G audio modality). STUB
+    decode: treats the payload as 16-bit PCM at ``sample_rate`` and
+    derives duration + a lead-byte probe — deterministic and
+    oracle-replicable; a real deployment swaps in soundfile/librosa and
+    emits MFCC/RMS columns under the same (media → typed feature rows)
+    mapInPandas shape."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        bytes_per_sec = 2 * sample_rate
+        for pdf in batches:
+            payloads = [p if p is not None else b"" for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": [len(p) for p in payloads],
+                    "duration_ms": [len(p) * 1000 // bytes_per_sec for p in payloads],
+                    "lead_byte": [p[0] if len(p) else 0 for p in payloads],
+                }
+            )
+
+    return media.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
 
 
 def sample_frames(media: DataFrame, every_n_bytes: int = 4096, max_frames: int = 8) -> DataFrame:

@@ -645,6 +645,28 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_audio_features",
+    """
+    SELECT doc_id AS media_id,
+      CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+      CAST(octet_length(CAST(text AS BLOB)) * 1000 // 32000 AS BIGINT) AS duration_ms,
+      CAST(ascii(substring(text, 1, 1)) AS INTEGER) AS lead_byte
+    FROM documents ORDER BY media_id
+    """,
+    "multimodal", "pipeline",
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio modality (§2.G): payload → PCM duration + probe features via
+    Arrow-batched mapInPandas. Decode is an honest stub (no audio libs in
+    this container) but the Spark plumbing — binary column, batch shape,
+    typed output schema — is real and oracle-checked (ASCII text payloads
+    make lead_byte == ascii(first char) on both engines)."""
+    d = load_table(spark, sf_dir, "documents")
+    media = mm.attach_media_columns(d, "doc_id", F.encode("text", "utf-8"))
+    return mm.extract_audio_features(media).orderBy("media_id")
+
+
+@query(
     "multimodal_frame_samples",
     """
     SELECT doc_id AS media_id, 0 AS frame_idx, sha256(text) AS frame_sha256

@@ -54,6 +54,7 @@ ARROW_QUERIES = {
     "multimodal_image_features",
     "multimodal_frame_samples",
     "multimodal_payload_embeddings",
+    "multimodal_audio_features",
     "udaf_trimmed_mean_acctbal",
     "udf_pandas_scalar_discounted_cents",
 }

@@ -88,3 +88,19 @@ def test_deterministic_across_runs(spark, parts):
     e, centers, _ = parts
     again = sim.train_ivf_centroids(e, "vec_id", "embedding", k=16)
     assert centers == again  # fixed seed → stable quantizer
+
+
+def test_zero_norm_vector_yields_zero_not_nan(spark):
+    """Round-2 guard: an all-zero embedding must normalize to the zero
+    vector (cosine 0 everywhere), not divide by 0.0 and poison rankings
+    with NaN/Inf."""
+    import math
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [3.0, 4.0, 0.0])],
+        "vec_id INT, embedding ARRAY<DOUBLE>",
+    )
+    rows = {r.vec_id: r.ne for r in sim.unit_normalized(df, "vec_id", "embedding").collect()}
+    assert rows[1] == [0.0, 0.0, 0.0]
+    assert all(not math.isnan(x) for x in rows[1])
+    assert rows[2] == [0.6, 0.8, 0.0]

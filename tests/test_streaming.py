@@ -201,6 +201,67 @@ def test_transform_with_state_freshening(spark, stream_dirs):
     assert 0 < total_rescored <= len(rows)
 
 
+def test_watermark_drops_late_rows_append_mode(spark, tmp_path):
+    """§2.F late-data handling: in append mode with a 1-day watermark, a
+    row arriving in a later micro-batch with an event time far behind the
+    watermark is DROPPED — its window never reappears in the sink; windows
+    the watermark has passed emit exactly once with on-time rows only."""
+    import pandas as pd
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    d = lambda day, hh=0: pd.Timestamp(2024, 1, day, hh)  # noqa: E731
+
+    def write(path, users, tss, vals):
+        pdf = pd.DataFrame({"user_id": users, "value": vals})
+        # micros, not pandas-default nanos — Spark's declared TIMESTAMP
+        # schema reads TIMESTAMP(MICROS)
+        pdf["ts"] = pd.Series(tss).astype("datetime64[us]")
+        pdf[["user_id", "ts", "value"]].to_parquet(path)
+
+    schema = "user_id BIGINT, ts TIMESTAMP, value DOUBLE"
+    cp = str(tmp_path / "late_cp")
+    out = str(tmp_path / "late_out")
+
+    def run_once() -> dict:
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        agg = (
+            stream.withWatermark("ts", "1 day")
+            .groupBy(F.window("ts", "1 day").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        )
+        # file sink: append-mode + checkpoint-recoverable (memory is not)
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            r["w"]["start"].day: (r["n"], r["total"])
+            for r in spark.read.parquet(out).collect()
+        }
+
+    # run 1: on-time day-1 rows + a day-10 row; final watermark = day 9,
+    # so the day-1 window is emitted and the watermark persists in the
+    # checkpoint
+    write(src / "00.parquet", [1, 1, 2], [d(1), d(1, 3), d(10)], [1.0, 2.0, 3.0])
+    got1 = run_once()
+    assert got1.get(1) == (2, 3.0)
+
+    # run 2 (same checkpoint): a LATE day-2 row arrives with the restored
+    # watermark at day 9 -> dropped at ingest; the day-20 row advances the
+    # watermark and flushes the day-10 window
+    write(src / "01.parquet", [3, 4], [d(2), d(20)], [100.0, 4.0])
+    got2 = run_once()
+    assert 2 not in got2, "late row survived the watermark"
+    assert got2.get(10) == (1, 3.0)
+    assert all(total < 100.0 for _, total in got2.values())
+
+
 def test_foreach_batch_scoring_sink(spark, stream_dirs, tmp_path):
     """A8 writeback in streaming form: per-batch scoring appended to a
     scored parquet table."""
