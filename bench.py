@@ -50,6 +50,10 @@ HEADLINE = [
     "q10_returned_items",
     "q14_promo_revenue",
     "text_tfidf_top_terms",
+    # full-TPC-H completion: the two heaviest new shapes (5-way join agg,
+    # double self-agg with fact-fact join)
+    "q9_product_type_profit",
+    "q21_waiting_suppliers",
 ]
 
 #: round-over-round regression reference (sum over that round's HEADLINE):

@@ -613,3 +613,325 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+@query(
+    "q2_min_cost_supplier",
+    """
+    WITH eligible AS (
+      SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS pair_min
+      FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        JOIN region ON r_regionkey = n_regionkey
+        JOIN part ON p_partkey = l_partkey
+      WHERE r_name = 'EUROPE' AND p_type = 'STANDARD' AND p_size BETWEEN 10 AND 15
+      GROUP BY l_partkey, l_suppkey
+    ), ranked AS (
+      SELECT e.*, MIN(pair_min) OVER (PARTITION BY l_partkey) AS part_min
+      FROM eligible e
+    )
+    SELECT s_acctbal, s_name, n_name, l_partkey AS p_partkey, pair_min AS min_price
+    FROM ranked
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+    WHERE pair_min = part_min
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 50
+    """,
+    "join", "subquery", "window",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (partsupp-free: lineitem is the part-supplier
+    relation, unit sale price stands in for supply cost): for each
+    STANDARD mid-size part, the EUROPE supplier(s) offering the minimum
+    unit price — the correlated scalar-MIN subquery decorrelated into a
+    per-part window MIN over pre-aggregated (part, supplier) pairs.
+    Scale: supplier/nation/region/part are dims → broadcast into the
+    lineitem scan; one shuffle on (partkey, suppkey) for the pair agg,
+    window MIN reuses the partkey clustering (no second exchange of the
+    fact side). Unit price is a per-row division — deterministic across
+    engines, unlike an order-dependent float SUM/AVG."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size").between(10, 15))
+    )
+    euro_supp = s.join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey")).join(
+        F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey")
+    )
+    eligible = (
+        li.join(F.broadcast(euro_supp.select("s_suppkey")), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(p.select("p_partkey")), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("pair_min"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_partkey")
+    ranked = eligible.withColumn("part_min", F.min("pair_min").over(w))
+    return (
+        ranked.filter(F.col("pair_min") == F.col("part_min"))
+        .join(
+            F.broadcast(euro_supp.select("s_suppkey", "s_name", "s_acctbal", "n_name")),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("pair_min").alias("min_price"),
+        )
+        .orderBy(F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"), F.asc("p_partkey"))
+        .limit(50)
+    )
+
+
+@query(
+    "q9_product_type_profit",
+    """
+    SELECT n_name AS supp_nation, year(o_orderdate) AS o_year,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                    - p_retailprice * l_quantity * 0.1 AS DECIMAL(18,4))) AS DOUBLE)
+        AS profit
+    FROM lineitem
+      JOIN part ON p_partkey = l_partkey AND p_name LIKE '%widget%'
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN orders ON o_orderkey = l_orderkey
+    GROUP BY supp_nation, o_year
+    ORDER BY supp_nation, o_year DESC
+    """,
+    "join", "agg",
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (supply cost proxied by 10% of retail price ×
+    quantity — the schema has no partsupp): profit on widget parts by
+    supplier nation and order year. Scale: part (name-filtered),
+    supplier, nation broadcast; lineitem↔orders is the only fact-fact
+    join, on orderkey — both sides shuffle once and AQE handles skew;
+    the profit expression folds into the scan projection. Money in
+    DECIMAL, per-row, so both engines round identically before summing."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") * 0.1
+    ).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(p.select("p_partkey", "p_retailprice")), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(o.select("o_orderkey", "o_orderdate"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("supp_nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("double").alias("profit"))
+        .orderBy(F.asc("supp_nation"), F.desc("o_year"))
+    )
+
+
+@query(
+    "q12_late_shipment_priority_split",
+    """
+    SELECT l_returnflag,
+      CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+           AS BIGINT) AS high_line_count,
+      CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+           AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "join", "agg",
+)
+def q12_late_shipment_priority_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (returnflag stands in for shipmode; "late" =
+    shipped >30 days after ordering replaces the commit/receipt-date
+    window): conditional aggregation splitting line counts by order
+    priority class. Scale: the shipdate year-filter pushes to the
+    lineitem scan; the cross-table lateness predicate applies at the
+    join; 3-row output from a partial+final count — no wide shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1997-01-01 00:00:00"))
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q16_supplier_part_counts",
+    """
+    SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      AND p_size IN (5, 10, 15, 20, 25, 30)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_size
+    """,
+    "join", "agg", "subquery",
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute with
+    a NOT IN exclusion subquery — decorrelated to a broadcast left-anti
+    join (s_suppkey is non-null, so NOT IN ≡ anti join). Scale: the
+    excluded-supplier list is tiny (negative balances) → broadcast anti;
+    part filters broadcast into the lineitem scan; COUNT DISTINCT
+    shuffles (brand, size, suppkey) — narrow, partial-deduped by AQE."""
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(5, 10, 15, 20, 25, 30))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), F.col("s_suppkey") == F.col("l_suppkey"), "left_anti")
+        .join(F.broadcast(p.select("p_partkey", "p_brand", "p_size")), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_size"))
+    )
+
+
+@query(
+    "q20_excess_share_suppliers",
+    """
+    WITH qty AS (
+      SELECT l_partkey, l_suppkey, SUM(l_quantity) AS supp_qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      GROUP BY l_partkey, l_suppkey
+    ), tot AS (
+      SELECT l_partkey, SUM(supp_qty) AS part_qty FROM qty GROUP BY l_partkey
+    )
+    SELECT DISTINCT s_name, n_name
+    FROM supplier JOIN nation ON n_nationkey = s_nationkey
+    WHERE s_suppkey IN (
+      SELECT q.l_suppkey FROM qty q JOIN tot t ON q.l_partkey = t.l_partkey
+      WHERE q.supp_qty > 0.3 * t.part_qty
+    )
+    ORDER BY s_name
+    """,
+    "join", "subquery", "agg",
+)
+def q20_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (no partsupp.availqty, so "excess stock" becomes
+    "dominant supplier": shipped >30% of a small-part's 1996 volume):
+    nested aggregate subqueries decorrelated into two groupBys sharing
+    one clustering + a semi join. Scale: the second groupBy (partkey)
+    reuses the (partkey, suppkey) shuffle's clustering — no re-exchange
+    of fact rows; the qualifying-supplier set is bounded by |supplier| →
+    broadcast semi. l_quantity is integral, so double sums are exact and
+    the 0.3× threshold compares identically across engines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1997-01-01 00:00:00"))
+    )
+    small = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    qty = (
+        li.join(F.broadcast(small.select("p_partkey")), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("supp_qty"))
+    )
+    tot = qty.groupBy("l_partkey").agg(F.sum("supp_qty").alias("part_qty"))
+    dominant = (
+        qty.join(tot, "l_partkey")
+        .filter(F.col("supp_qty") > 0.3 * F.col("part_qty"))
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(dominant), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("s_name", "n_name")
+        .dropDuplicates()
+        .orderBy("s_name")
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    """
+    WITH late AS (
+      SELECT l_orderkey, l_suppkey,
+        MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END)
+          AS is_late
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey AND o_orderstatus = 'F'
+      GROUP BY l_orderkey, l_suppkey
+    ), per_order AS (
+      SELECT l_orderkey, COUNT(*) AS n_supp, SUM(is_late) AS n_late
+      FROM late GROUP BY l_orderkey
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM late JOIN per_order USING (l_orderkey)
+              JOIN supplier ON s_suppkey = l_suppkey
+    WHERE is_late = 1 AND n_supp > 1 AND n_late = 1
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+    "join", "agg", "subquery",
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape ("late" = shipped >60 days after ordering — the
+    schema has no commit/receipt dates): suppliers who were the SOLE
+    late supplier on a multi-supplier finalized order. The EXISTS
+    (another supplier) / NOT EXISTS (another late supplier) pair is
+    decorrelated into per-order supplier/late counts joined back — two
+    groupBys sharing the orderkey clustering instead of two correlated
+    self-joins of lineitem. Scale: per-order state is two longs; the
+    join back to `late` reuses the orderkey partitioning; supplier
+    broadcasts. All-integer arithmetic — no float parity risk."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    late = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"), 1
+                ).otherwise(0)
+            ).alias("is_late")
+        )
+    )
+    per_order = late.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("is_late").alias("n_late")
+    )
+    return (
+        late.join(per_order, "l_orderkey")
+        .filter((F.col("is_late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(s.select("s_suppkey", "s_name")), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
+    )
