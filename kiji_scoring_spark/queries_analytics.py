@@ -187,3 +187,112 @@ def sample_deterministic_documents(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "gapfill_forward_daily_user_values",
+    """
+    WITH days AS (
+      SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                    TIMESTAMP '2024-01-30 00:00:00',
+                                    INTERVAL 1 DAY)) AS day
+    ), users AS (
+      SELECT DISTINCT user_id FROM events
+    ), daily AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+      FROM events GROUP BY user_id, date_trunc('day', ts)
+    )
+    SELECT g.user_id, g.day,
+      LAST_VALUE(d.day_value IGNORE NULLS)
+        OVER (PARTITION BY g.user_id ORDER BY g.day) AS filled_value
+    FROM (SELECT user_id, day FROM users CROSS JOIN days) g
+    LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day
+    ORDER BY g.user_id, g.day
+    """,
+    "window", "pipeline", "timeseries",
+)
+def gapfill_forward_daily_user_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification + forward-fill (the pandas
+    resample('D').ffill() idiom, distributed): every (user, day) cell
+    over a fixed calendar, carrying the last observed daily value across
+    gaps via last(ignorenulls) — days before a user's first event stay
+    NULL. Scale: the calendar is a tiny broadcast literal; the grid is
+    |users| × |days| rows but only (user_id, day, double) wide; one
+    shuffle on user_id serves both the left join and the fill window
+    (same clustering, Catalyst reuses the exchange)."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    users = ev.select("user_id").distinct()
+    days = spark.sql(
+        "SELECT explode(sequence(timestamp_ntz'2024-01-01 00:00:00', "
+        "timestamp_ntz'2024-01-30 00:00:00', interval 1 day)) AS day"
+    )
+    daily = ev.groupBy("user_id", F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("day_value")
+    )
+    grid = users.crossJoin(F.broadcast(days))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(daily, ["user_id", "day"], "left")
+        .withColumn("filled_value", F.last("day_value", ignorenulls=True).over(w))
+        .select("user_id", "day", "filled_value")
+        .orderBy("user_id", "day")
+    )
+
+
+@query(
+    "stats_iqr_outlier_values",
+    """
+    WITH q AS (
+      SELECT event_type,
+        quantile_cont(value, 0.25) AS q1,
+        quantile_cont(value, 0.75) AS q3
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+      CAST(COUNT(*) AS BIGINT) AS n_outliers,
+      MIN(value) AS min_outlier,
+      MAX(value) AS max_outlier
+    FROM events e JOIN q ON e.event_type = q.event_type
+    WHERE value < q1 - 1.5 * (q3 - q1)
+       OR value > q3 + 1.5 * (q3 - q1)
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+    "stats", "agg",
+)
+def stats_iqr_outlier_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IQR outlier detection (Tukey fences) per event type — the
+    standard data-cleaning pass before training (the skewed events.value
+    distribution actually has tail outliers; uniform columns like
+    prices never trip a 1.5×IQR fence). Two jobs: exact quartiles per
+    group (5 bounded groups), then the fences broadcast back into a
+    scan-side filter — the second pass is filter + partial agg, no wide
+    shuffle. The fences derive from identical quantile values on both
+    engines, so the strict comparisons can't disagree."""
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.25).alias("q1"),
+        F.percentile("value", 0.75).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    return (
+        ev.join(F.broadcast(q), "event_type")
+        .filter(
+            (F.col("value") < F.col("q1") - 1.5 * iqr)
+            | (F.col("value") > F.col("q3") + 1.5 * iqr)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_outliers"),
+            F.min("value").alias("min_outlier"),
+            F.max("value").alias("max_outlier"),
+        )
+        .orderBy("event_type")
+    )
