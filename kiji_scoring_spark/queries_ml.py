@@ -483,3 +483,50 @@ def streaming_static_join_segments(spark: SparkSession, sf_dir: str) -> DataFram
     )
     q.awaitTermination()
     return spark.table(sink).orderBy("c_mktsegment")
+
+
+@query(
+    "streaming_dedup_event_keys",
+    """
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "streaming", "dedup",
+)
+def streaming_dedup_event_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact deduplication (§2.F × §2.G): a REAL StreamingQuery
+    runs state-store ``dropDuplicates`` on (user_id, event_type) — first
+    arrival wins, later duplicates are dropped across micro-batches —
+    into an append-mode memory sink; the sink is then aggregated to
+    distinct-key counts per event type, which is arrival-order-insensitive
+    and therefore oracle-checkable (WHICH row survives dedup depends on
+    file order; HOW MANY survive does not).
+    Scale: dedup state is one row per distinct key. On an unbounded
+    source bound it with ``dropDuplicatesWithinWatermark`` (streaming/
+    __init__.py) so expired keys leave the store; the bounded replay here
+    needs no watermark because AvailableNow drains and terminates."""
+    load_table(spark, sf_dir, "events")  # sets the nanos-parquet conf
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    deduped = stream.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    sink = "streaming_dedup_event_keys_sink"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(sink)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+        .orderBy("event_type")
+    )
