@@ -98,6 +98,12 @@ class FreshTableReader:
         self.scored_path = scored_path
         self._capsules: dict[str, Freshener] | None = None
         self._reread_timer: threading.Timer | None = None
+        #: serializes timer re-arm vs stop so a stop can never race a tick
+        #: into leaving an orphan timer armed
+        self._reread_lock = threading.Lock()
+        #: bumped by every start/stop; a tick re-arms only if its generation
+        #: is still current (stale ticks die silently)
+        self._reread_generation = 0
 
     # -- capsule lifecycle (A13) -----------------------------------------
 
@@ -135,33 +141,54 @@ class FreshTableReader:
             raise ValueError(f"reread period must be > 0 ms, got {period_ms}")
         self.stop_auto_reread()
 
-        def tick():
-            self.reread_policies()
-            # re-arm unless stopped while we ran
-            if self._reread_timer is not None:
-                self._reread_timer = threading.Timer(period_ms / 1000.0, tick)
-                self._reread_timer.daemon = True
-                self._reread_timer.start()
+        with self._reread_lock:
+            generation = self._reread_generation
 
-        self._reread_timer = threading.Timer(period_ms / 1000.0, tick)
-        self._reread_timer.daemon = True
-        self._reread_timer.start()
+            def tick():
+                self.reread_policies()
+                # re-arm atomically w.r.t. stop: a stop bumps the generation,
+                # so a tick that lost the race sees a stale generation and
+                # dies instead of arming an orphan timer
+                with self._reread_lock:
+                    if self._reread_generation != generation:
+                        return
+                    self._reread_timer = threading.Timer(period_ms / 1000.0, tick)
+                    self._reread_timer.daemon = True
+                    self._reread_timer.start()
+
+            self._reread_timer = threading.Timer(period_ms / 1000.0, tick)
+            self._reread_timer.daemon = True
+            self._reread_timer.start()
 
     def stop_auto_reread(self) -> None:
         """Cancel the scheduled reread (reader close semantics,
         ``InternalFreshKijiTableReader.java`` close cancels the timer)."""
-        t = self._reread_timer
-        self._reread_timer = None
+        with self._reread_lock:
+            self._reread_generation += 1
+            t = self._reread_timer
+            self._reread_timer = None
         if t is not None:
             t.cancel()
 
     # -- freshen pass (A7/A8/A10) ----------------------------------------
 
     def _versions_expr(self, layout: TableLayout, column: str, map_qual: str) -> Column:
-        """Versions expression for any 'family:qualifier' / map-family name."""
+        """Versions expression for any 'family:qualifier' / map-family name.
+
+        A map-type family resolves per qualifier: a qualified request
+        ('mapfam:q') reads THAT qualifier's versions; a bare family name
+        falls back to the attached producer's write qualifier. This lets a
+        policy data request (A6) target a different map cell than the one
+        the producer writes — without it, every map-family request would
+        silently read the producer's cell."""
         fam, qual = parse_column(column)
+        if layout.is_map_family(fam):
+            return model.map_get_versions(F.col(fam), qual if qual is not None else map_qual)
         if qual is None:
-            return model.map_get_versions(F.col(fam), map_qual)
+            raise ValueError(
+                f"column {column!r} is a group-type family; request a "
+                f"qualified column 'family:qualifier'"
+            )
         return F.col(layout.flat_name(column))
 
     def _freshen_column(self, df: DataFrame, cap: Freshener, as_of_ms: int) -> DataFrame:
@@ -252,7 +279,7 @@ class FreshTableReader:
                 df = self._freshen_column(df, cap, as_of_ms)
         return df
 
-    def _materialize(self, df: DataFrame, tag: str) -> DataFrame:
+    def _materialize(self, df: DataFrame, tag: str) -> tuple[DataFrame, str]:
         """Materialize a freshened table by WRITING it to the scored-table
         location and reading it back — the A8 writeback, and the right
         materialization at 100 TB (a cached table evicts under memory
@@ -263,7 +290,7 @@ class FreshTableReader:
 
         path = os.path.join(self._scored_root(), tag)
         df.write.mode("overwrite").parquet(path)
-        return self.spark.read.parquet(path)
+        return self.spark.read.parquet(path), path
 
     def _scored_root(self) -> str:
         if self.scored_path is None:
@@ -293,26 +320,39 @@ class FreshTableReader:
           FINISHED inside the budget is returned — the partially-fresh
           branch (``:703-708``). Per-column granularity matches the
           reference, whose freshness futures are per attached column.
+
+        Each per-column write supersedes the previous one, which is deleted
+        as soon as the next column materializes — only the newest write
+        (the one the returned DataFrame reads) survives, so repeated calls
+        don't accumulate table copies. Callers who want a DURABLE scored
+        table should pass ``scored_path`` at construction; the lazily
+        created default lives under the system temp dir and has temp-dir
+        lifetime.
         """
         budget = (timeout_ms if timeout_ms is not None else self.timeout_ms) / 1000.0
         partial = self.allow_partial if allow_partial is None else allow_partial
         deadline = time.monotonic() + budget
+        import shutil
+
         sc = self.spark.sparkContext
         caps = self._resolve_capsules()
         current = self.df
+        prev_path: str | None = None
         for i, (column, cap) in enumerate(sorted(caps.items())):
             remaining = deadline - time.monotonic()
             if remaining <= 0:
                 return (current, False) if partial else (self.df, False)
             group = f"freshen-{self.table_name}-{as_of_ms}-{i}"
-            result: dict[str, DataFrame] = {}
+            result: dict[str, object] = {}
             error: list[BaseException] = []
 
             def run(cap=cap, i=i, group=group):
                 try:
                     sc.setJobGroup(group, f"freshen {cap.column}", interruptOnCancel=True)
                     out = self._freshen_column(current, cap, as_of_ms)
-                    result["df"] = self._materialize(out, f"as_of={as_of_ms}/col={i}")
+                    result["df"], result["path"] = self._materialize(
+                        out, f"as_of={as_of_ms}/col={i}"
+                    )
                 except BaseException as e:  # noqa: BLE001 — cancelled jobs raise
                     error.append(e)
 
@@ -326,6 +366,11 @@ class FreshTableReader:
             if error:
                 raise error[0]
             current = result["df"]
+            # the new write is self-contained, so the superseded previous
+            # column's write (never the one `current` reads) can go now
+            if prev_path is not None:
+                shutil.rmtree(prev_path, ignore_errors=True)
+            prev_path = result["path"]
         return current, True
 
     # -- reads (A1/A2) ----------------------------------------------------

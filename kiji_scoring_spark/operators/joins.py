@@ -38,17 +38,31 @@ def asof_join(
     right_ts: str,
     direction: str = "backward",
     suffix: str = "_right",
+    left_id: str | None = None,
 ) -> DataFrame:
     """For each left row, attach the single right row with the same keys
     and the greatest ``right_ts`` <= ``left_ts`` (direction='backward'; use
     'forward' for the smallest right_ts >= left_ts). Unmatched left rows
     keep NULLs (left-outer semantics).
+
+    ``left_id`` names a column that uniquely identifies left rows; when
+    given, the per-row window partitions on it directly. Prefer passing it:
+    the synthetic fallback id is ``monotonically_increasing_id``, which is
+    nondeterministic across stage retries — after a shuffle-fetch failure
+    the left side can re-evaluate with different ids, which for DUPLICATE
+    left rows can drop or double a match — and, being nondeterministic,
+    also blocks predicate pushdown through the left side.
     """
-    # Unique per-left-row id: restores true per-row semantics (two identical
-    # left rows each keep their own match instead of collapsing into one
-    # window partition) and keeps the window key narrow — one long column
-    # instead of every left column, which matters for wide schemas.
-    lalias = left.withColumn("__lid__", F.monotonically_increasing_id()).alias("__l__")
+    if left_id is not None:
+        # caller-supplied unique key: deterministic under retry, pushdown-safe
+        lalias = left.withColumn("__lid__", F.col(left_id)).alias("__l__")
+    else:
+        # Unique per-left-row id: restores true per-row semantics (two
+        # identical left rows each keep their own match instead of collapsing
+        # into one window partition) and keeps the window key narrow — one
+        # long column instead of every left column, which matters for wide
+        # schemas.
+        lalias = left.withColumn("__lid__", F.monotonically_increasing_id()).alias("__l__")
     ralias = right.alias("__r__")
     keys = [F.col(f"__l__.{k}") == F.col(f"__r__.{k}") for k in on]
     if direction == "backward":

@@ -411,3 +411,61 @@ def test_kv_store_lookup_and_masking(spark):
     policy_store = {"cats": {"df": masked, "on": model.most_recent_value("info_name") == F.col("key")}}
     merged = merge_stores(producer.required_stores, policy_store)
     assert merged["cats"]["df"] is masked
+
+
+class MapScoreFromRawProducer(ExpressionProducer):
+    """Family-wide producer: writes 10 * newest metrics['raw'] into
+    metrics['score'] (map_qualifier chooses the write cell,
+    impl/KijiFreshProducerContext.java:115-131)."""
+
+    map_qualifier = "score"
+
+    def __init__(self):
+        super().__init__(
+            lambda df: (model.map_most_recent_value("metrics", "raw") * 10).cast("double"),
+            data_request=["metrics:raw"],
+            output_column="metrics",
+        )
+
+
+def test_a6_policy_request_map_family_other_qualifier(spark):
+    """A policy data request may name a map-family cell by qualifier
+    ('metrics:raw') DIFFERENT from the producer's write cell
+    ('metrics:score') — each request column resolves to its own map cell,
+    not the producer's (ADVICE r2: previously every map-family request
+    silently read the producer's map_qualifier)."""
+    from pyspark.sql.types import DoubleType, MapType
+
+    from kiji_scoring_spark.policies import FresherThanColumn
+
+    schema = StructType(
+        [
+            StructField("entity_id", StringType(), False),
+            StructField(
+                "metrics", MapType(StringType(), model.versions_type(DoubleType()))
+            ),
+        ]
+    )
+    rows = [
+        ("a", {"raw": [(10, 7.0)], "score": [(5, 1.0)]}),    # score older than raw
+        ("b", {"raw": [(100, 3.0)], "score": [(200, 6.0)]}),  # score newer than raw
+        ("c", {"raw": [(50, 4.0)]}),                          # never scored
+    ]
+    df = spark.createDataFrame(rows, schema)
+    policy = FresherThanColumn("metrics:score", "metrics:raw")
+    reader = make_reader(
+        spark, df, "metrics", policy, "", f"{__name__}.MapScoreFromRawProducer"
+    )
+    got = {
+        r["entity_id"]: (r["v"], r["ts"])
+        for r in reader.scan(NOW_MS)
+        .select(
+            "entity_id",
+            model.map_most_recent_value("metrics", "score").alias("v"),
+            model.most_recent_ts(model.map_get_versions("metrics", "score")).alias("ts"),
+        )
+        .collect()
+    }
+    assert got["a"] == (70.0, NOW_MS)  # rescored from raw=7.0
+    assert got["b"] == (6.0, 200)      # untouched
+    assert got["c"] == (40.0, NOW_MS)  # first score from raw=4.0
