@@ -54,6 +54,11 @@ HEADLINE = [
     # double self-agg with fact-fact join)
     "q9_product_type_profit",
     "q21_waiting_suppliers",
+    # round 3 additions: training-pipeline ops (sessionize window chain,
+    # chunking flatMap fan-out, vector-cell aggregation)
+    "sessionize_events_gap",
+    "chunk_documents_token_windows",
+    "embedding_centroids_per_label",
 ]
 
 #: round-over-round regression reference (sum over that round's HEADLINE):

@@ -296,3 +296,205 @@ def stats_iqr_outlier_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "sessionize_events_gap",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+        CASE WHEN LAG(ts) OVER w IS NULL
+               OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                            ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        AS session_seq
+      FROM flagged
+    )
+    SELECT user_id, session_seq,
+      COUNT(*) AS n_events,
+      MIN(ts) AS session_start,
+      MAX(ts) AS session_end,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+    FROM sess
+    GROUP BY user_id, session_seq
+    ORDER BY user_id, session_seq
+    """,
+    "window", "timeseries", "pipeline",
+)
+def sessionize_events_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization — the gap-based session id assignment every
+    clickstream/training-telemetry pipeline needs (the batch twin of the
+    streaming `session_window` query): a new session starts when a user
+    is idle > 30 minutes; session ids are the running count of
+    session-start flags. Scale: ONE shuffle on user_id serves the lag
+    window, the running sum, and the final per-session aggregate (same
+    clustering — Catalyst reuses the exchange); per-user window state is
+    a single row. Ties broken by event_id so the flag assignment is
+    deterministic."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_session = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.col("ts") - F.lag("ts").over(w) > F.expr("INTERVAL 30 MINUTES")),
+        1,
+    ).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        ev.select("user_id", "ts", "event_id", "value")
+        .withColumn("new_session", new_session)
+        .withColumn("session_seq", F.sum("new_session").over(run))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("session_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+@query(
+    "rollup_hierarchical_event_stats",
+    """
+    SELECT event_type, date_trunc('day', ts) AS day,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      MIN(value) AS min_value,
+      MAX(value) AS max_value,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
+    FROM events
+    GROUP BY event_type, date_trunc('day', ts)
+    ORDER BY event_type, day
+    """,
+    "agg", "timeseries", "pipeline",
+)
+def rollup_hierarchical_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical (hypertable-style) rollup: events aggregate to HOURLY
+    partials first, and the daily result REAGGREGATES the hourly layer —
+    sum of sums, min of mins, count of counts — never touching raw rows
+    twice. This is the continuous-aggregate pattern for 100 TB telemetry:
+    the hourly layer is what you'd persist and incrementally refresh;
+    every coarser granularity derives from it (cheap — one row per
+    (type, hour)), and the avg derives from reaggregated sum/count, not
+    an avg of avgs. The oracle computes the same result directly from raw
+    events, proving reaggregation correctness. DECIMAL partials keep the
+    double sums order-independent across both layers."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("h_n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("h_sum"),
+        F.min("value").alias("h_min"),
+        F.max("value").alias("h_max"),
+    )
+    return (
+        hourly.groupBy("event_type", F.date_trunc("day", F.col("hour")).alias("day"))
+        .agg(
+            F.sum("h_n").alias("n_events"),
+            F.sum("h_sum").cast("double").alias("sum_value"),
+            F.min("h_min").alias("min_value"),
+            F.max("h_max").alias("max_value"),
+            (F.sum("h_sum").cast("double") / F.sum("h_n")).alias("avg_value"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@query(
+    "merge_upsert_customer_scores",
+    """
+    WITH target AS (
+      SELECT c_custkey, c_acctbal AS score FROM customer WHERE c_custkey % 3 <> 0
+    ), updates AS (
+      SELECT c_custkey, c_acctbal + 100.0 AS score FROM customer WHERE c_custkey % 2 = 0
+    )
+    SELECT COALESCE(t.c_custkey, u.c_custkey) AS c_custkey,
+      COALESCE(u.score, t.score) AS score,
+      CASE WHEN t.c_custkey IS NULL THEN 'insert'
+           WHEN u.c_custkey IS NULL THEN 'keep'
+           ELSE 'update' END AS action
+    FROM target t FULL OUTER JOIN updates u ON t.c_custkey = u.c_custkey
+    ORDER BY c_custkey
+    """,
+    "join", "sink", "pipeline",
+)
+def merge_upsert_customer_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert semantics on a scored table without a table format
+    that has MERGE INTO: full-outer join of target and updates, source
+    value wins where present (matched → update, unmatched source →
+    insert, unmatched target → keep). This is the A8 writeback pattern
+    generalized to set-oriented maintenance — at scale both sides
+    shuffle once on the key (or the updates side broadcasts when small,
+    the common case for incremental scoring); the result overwrites the
+    scored-table partition. The `action` tag makes the row-level merge
+    decision auditable — and hash-checkable."""
+    c = load_table(spark, sf_dir, "customer")
+    target = c.filter(F.col("c_custkey") % 3 != 0).select(
+        "c_custkey", F.col("c_acctbal").alias("score")
+    )
+    updates = c.filter(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey", (F.col("c_acctbal") + 100.0).alias("score")
+    )
+    t, u = target.alias("t"), updates.alias("u")
+    return (
+        t.join(u, F.col("t.c_custkey") == F.col("u.c_custkey"), "full_outer")
+        .select(
+            F.coalesce(F.col("t.c_custkey"), F.col("u.c_custkey")).alias("c_custkey"),
+            F.coalesce(F.col("u.score"), F.col("t.score")).alias("score"),
+            F.when(F.col("t.c_custkey").isNull(), "insert")
+            .when(F.col("u.c_custkey").isNull(), "keep")
+            .otherwise("update")
+            .alias("action"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query(
+    "sample_stratified_documents",
+    """
+    SELECT lang, COUNT(*) AS n_sampled, CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM (
+      SELECT *, ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+        AS bucket
+      FROM documents
+    ) d
+    WHERE bucket < (CASE WHEN lang = 'en' THEN 10 ELSE 40 END)
+    GROUP BY lang ORDER BY lang
+    """,
+    "pipeline", "sample",
+)
+def sample_stratified_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling — per-stratum rates (10% of the
+    dominant 'en' stratum, 40% of everything else): the
+    rebalance-by-downsampling step of corpus construction, done with the
+    same md5 bucketing as `sample_deterministic_documents` so the
+    selection is engine- and run-stable (df.sampleBy is seed- and
+    partition-layout-dependent — unusable for reproducible corpora).
+    Scale: narrow map + scan-side filter, no shuffle before the tiny
+    per-stratum aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    rate = F.when(F.col("lang") == "en", 10).otherwise(40)
+    return (
+        d.withColumn("bucket", bucket)
+        .filter(F.col("bucket") < rate)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").cast("bigint").alias("chars"),
+        )
+        .orderBy("lang")
+    )

@@ -682,3 +682,136 @@ def multimodal_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     media = mm.attach_media_columns(d, "doc_id", F.encode("text", "utf-8"))
     return mm.sample_frames(media).orderBy("media_id", "frame_idx")
+
+
+@query(
+    "chunk_documents_token_windows",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w, len(string_split(text, ' ')) AS n
+      FROM documents
+    ), starts AS (
+      SELECT doc_id, w, n, unnest(generate_series(1, n, 30)) AS start FROM t
+    )
+    SELECT doc_id,
+      CAST((start - 1) // 30 AS BIGINT) AS chunk_idx,
+      CAST(LEAST(40, n - start + 1) AS BIGINT) AS n_tokens,
+      array_to_string(list_slice(w, start, start + 39), ' ') AS chunk_text
+    FROM starts
+    ORDER BY doc_id, chunk_idx
+    """,
+    "text", "pipeline",
+)
+def chunk_documents_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking into overlapping token windows (40-token chunks,
+    stride 30 → 10-token overlap) — the context-window packing step of
+    every LLM training pipeline. The token array materializes ONCE as a
+    projected column; chunk starts come from `sequence` (stride as step)
+    and each chunk is a `slice` + join — all JVM-side HOFs, no Python,
+    no shuffle: chunking is a pure flatMap over the scan, which is
+    exactly what you want at 100 TB (explode fan-out ≈ n_tokens/stride
+    per doc, linear in corpus size). Short docs yield one short chunk."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.split("text", " ").alias("w")
+    ).withColumn("n", F.size("w"))
+    starts = words.withColumn(
+        "start", F.explode(F.sequence(F.lit(1), F.col("n"), F.lit(30)))
+    )
+    return starts.select(
+        "doc_id",
+        ((F.col("start") - 1) / F.lit(30)).cast("bigint").alias("chunk_idx"),
+        F.least(F.lit(40), F.col("n") - F.col("start") + 1)
+        .cast("bigint")
+        .alias("n_tokens"),
+        F.concat_ws(" ", F.slice(F.col("w"), F.col("start"), 40)).alias("chunk_text"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+@query(
+    "pii_redact_event_props",
+    """
+    SELECT event_id,
+      regexp_replace(
+        regexp_replace(props, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', '<EMAIL>', 'g'),
+        '[0-9]+', '<NUM>', 'g') AS props_redacted,
+      CAST(len(regexp_extract_all(props, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', 0))
+        + len(regexp_extract_all(
+            regexp_replace(props, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', '<EMAIL>', 'g'),
+            '[0-9]+', 0)) AS INT) AS n_redactions
+    FROM events
+    ORDER BY event_id
+    """,
+    "text", "pipeline", "scalar",
+)
+def pii_redact_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over a raw-payload column — the redaction pass a
+    training pipeline runs before anything else persists: emails first
+    (so their digits don't double-count), then digit runs, each replaced
+    by a typed placeholder, with a per-row redaction count for audit
+    sampling. Both patterns are RE2-safe (no backrefs/lookahead) so
+    Spark's Java regex and the oracle's RE2 agree. Scale: pure scan-side
+    projection in codegen — no shuffle, no Python; the count lets you
+    route high-PII rows to quarantine with a filter instead of a second
+    scan."""
+    email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+"
+    deemailed = F.regexp_replace("props", email, "<EMAIL>")
+    return (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            F.regexp_replace(deemailed, "[0-9]+", "<NUM>").alias("props_redacted"),
+            (
+                F.regexp_count("props", F.lit(email))
+                + F.regexp_count(deemailed, F.lit("[0-9]+"))
+            )
+            .cast("int")
+            .alias("n_redactions"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "embedding_centroids_per_label",
+    """
+    WITH ex AS (
+      SELECT label, embedding,
+        unnest(generate_series(1, len(embedding))) AS pos
+      FROM embeddings
+    )
+    SELECT label, CAST(pos AS INT) AS pos,
+      CAST(SUM(CAST(FLOOR(CAST(embedding[pos] AS DOUBLE) * 1000000) AS BIGINT))
+           AS DOUBLE) / COUNT(*) AS centroid_q6,
+      COUNT(*) AS n_vectors
+    FROM ex
+    GROUP BY label, pos
+    ORDER BY label, pos
+    """,
+    "similarity", "agg", "pipeline",
+)
+def embedding_centroids_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding centroids — the building block of IVF coarse
+    quantizers, class prototypes, and drift monitoring: posexplode the
+    vector to (label, pos, component) rows and average per cell. The
+    component is fixed-pointed (floor(x·1e6), exact on doubles, no
+    rounding-mode ambiguity) so the sum is an exact integer in ANY
+    aggregation order — float centroid sums would differ between Spark's
+    parallel partial aggregation and a serial engine in the last ulp.
+    Scale: one shuffle of (label, pos) pairs, 64·|labels| cells of
+    two-long state; the explode is map-side and fuses with the scan."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos0", "x"))
+        .select(
+            "label",
+            (F.col("pos0") + 1).cast("int").alias("pos"),
+            F.floor(F.col("x").cast("double") * 1_000_000).cast("bigint").alias("q"),
+        )
+        .groupBy("label", "pos")
+        .agg(
+            (F.sum("q").cast("double") / F.count(F.lit(1))).alias("centroid_q6"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+        .orderBy("label", "pos")
+    )

@@ -902,11 +902,15 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema has no commit/receipt dates): suppliers who were the SOLE
     late supplier on a multi-supplier finalized order. The EXISTS
     (another supplier) / NOT EXISTS (another late supplier) pair is
-    decorrelated into per-order supplier/late counts joined back — two
-    groupBys sharing the orderkey clustering instead of two correlated
-    self-joins of lineitem. Scale: per-order state is two longs; the
-    join back to `late` reuses the orderkey partitioning; supplier
-    broadcasts. All-integer arithmetic — no float parity risk."""
+    decorrelated into per-order supplier/late counts computed as WINDOW
+    aggregates over the per-(order,supplier) rollup — one orderkey
+    shuffle serves both counts AND the filter, where an agg-then-join
+    would shuffle the rollup twice and re-join it with itself (measured
+    1.7× at sf0.1). Scale: per-order window state is two longs over a
+    handful of suppliers per order; supplier broadcasts. All-integer
+    arithmetic — no float parity risk."""
+    from pyspark.sql import Window
+
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
         "o_orderkey", "o_orderdate"
@@ -923,11 +927,10 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("is_late")
         )
     )
-    per_order = late.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supp"), F.sum("is_late").alias("n_late")
-    )
+    w = Window.partitionBy("l_orderkey")
     return (
-        late.join(per_order, "l_orderkey")
+        late.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_late", F.sum("is_late").over(w))
         .filter((F.col("is_late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
         .join(F.broadcast(s.select("s_suppkey", "s_name")), F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
