@@ -906,9 +906,15 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates over the per-(order,supplier) rollup — one orderkey
     shuffle serves both counts AND the filter, where an agg-then-join
     would shuffle the rollup twice and re-join it with itself (measured
-    1.7× at sf0.1). Scale: per-order window state is two longs over a
-    handful of suppliers per order; supplier broadcasts. All-integer
-    arithmetic — no float parity risk."""
+    1.7× at sf0.1). The explicit repartition("l_orderkey") before the
+    rollup makes that sharing real: HashPartitioning(l_orderkey)
+    satisfies the groupBy's (l_orderkey, l_suppkey) clustering (subset
+    rule) AND the window's l_orderkey clustering, so the rollup and both
+    window aggs run in ONE exchange — without it a broadcast orders join
+    leaves the agg free to pick two-key partitioning and the window
+    re-shuffles (measured another 1.3× at sf0.1). Scale: per-order window
+    state is two longs over a handful of suppliers per order; supplier
+    broadcasts. All-integer arithmetic — no float parity risk."""
     from pyspark.sql import Window
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
@@ -918,6 +924,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     late = (
         li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .repartition("l_orderkey")
         .groupBy("l_orderkey", "l_suppkey")
         .agg(
             F.max(
