@@ -318,3 +318,4 @@ from . import queries_ml  # noqa: E402,F401
 from . import queries_scale  # noqa: E402,F401
 from . import queries_tpch  # noqa: E402,F401
 from . import queries_analytics  # noqa: E402,F401
+from . import queries_train  # noqa: E402,F401
