@@ -59,6 +59,10 @@ HEADLINE = [
     "sessionize_events_gap",
     "chunk_documents_token_windows",
     "embedding_centroids_per_label",
+    # round 3 corpus-hygiene ops: eval-set contamination (broadcast
+    # shingle join) and repetition quality flags (two-level agg)
+    "contamination_ngram_overlap",
+    "quality_repetition_flags",
 ]
 
 #: round-over-round regression reference (sum over that round's HEADLINE):
@@ -73,12 +77,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     names = [n for n in HEADLINE if n in QUERIES]
-    # warm-up: JVM JIT + file metadata cache (not part of the measurement)
-    for n in names:
-        QUERIES[n].fn(spark, sf_dir).count()
-
+    # Warm-up runs IMMEDIATELY before each timed run (not one batch pass
+    # over all queries first): Spark's whole-stage-codegen compilation
+    # cache holds ~100 generated classes, so with 30+ headline queries a
+    # warm-all-then-time-all loop evicts a query's compiled code before
+    # its timed run and the measurement silently includes a Janino
+    # recompile (~2.5s for the wide unpacked-vector plans).
     per_query: dict[str, float] = {}
     for n in names:
+        QUERIES[n].fn(spark, sf_dir).count()  # JIT/codegen/scan-cache warm
         t0 = time.perf_counter()
         QUERIES[n].fn(spark, sf_dir).count()
         per_query[n] = round(time.perf_counter() - t0, 4)

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .queries import query
-from .sources import load_table, read_csv, read_json
+from .sources import load_table, read_csv, read_json, read_orc
 
 _FORMAT_CACHE = os.path.join(tempfile.gettempdir(), "kiji_scoring_spark_formats")
 
@@ -40,10 +40,14 @@ def _materialized(spark: SparkSession, sf_dir: str, name: str, fmt: str) -> Data
         writer = src.write.mode("overwrite")
         if fmt == "csv":
             writer.option("header", "true").csv(path)
+        elif fmt == "orc":
+            writer.orc(path)
         else:
             writer.json(path)
     if fmt == "csv":
         return read_csv(spark, path, src.schema, header="true")
+    if fmt == "orc":
+        return read_orc(spark, path)
     return read_json(spark, path, src.schema)
 
 
@@ -90,6 +94,34 @@ def json_scan_supplier_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_acctbal"),
         )
         .orderBy("s_nationkey")
+    )
+
+
+@query(
+    "orc_scan_part_brand_stats",
+    """
+    SELECT p_brand, count(*) AS n_parts,
+      CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_retail
+    FROM part GROUP BY p_brand ORDER BY p_brand
+    """,
+    "source", "orc",
+)
+def orc_scan_part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC scan (§2.B): part round-trips through Spark's ORC writer and
+    reader. ORC is self-describing, so unlike the CSV/JSON round-trips no
+    schema is supplied on read — the group-agg matching the parquet
+    oracle proves types survive natively; column pruning and predicate
+    pushdown work as for parquet (same DataSource V2 scan machinery)."""
+    p = _materialized(spark, sf_dir, "part", "orc")
+    return (
+        p.groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum(F.col("p_retailprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_retail"),
+        )
+        .orderBy("p_brand")
     )
 
 

@@ -129,14 +129,19 @@ def quality_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     per 3 tokens). Repetition filters are the highest-yield quality rule
     in published corpus-cleaning recipes (Gopher/MassiveText, RefinedWeb).
 
-    Scale: explode + two-level aggregation — the (doc_id, word) rollup
-    partially aggregates map-side before its shuffle, and the second
-    groupBy(doc_id) reuses the same clustering (doc_id is a prefix of the
-    first grouping, so EnsureRequirements inserts no second exchange).
+    Scale: ONE exchange, moving one compact row per document — the
+    repartition(doc_id) runs BEFORE the explode (Generate preserves its
+    child's partitioning), so the shuffle carries document rows, not a
+    row per token; HashPartitioning(doc_id) then satisfies both the
+    (doc_id, word) rollup's clustering (subset rule) and the outer
+    groupBy(doc_id). Letting the first groupBy pick its own two-key
+    partitioning instead costs a second shuffle (verified 2 → 1).
     Flags use integer cross-multiplication, never float thresholds."""
     d = load_table(spark, sf_dir, "documents")
     wc = (
-        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        d.select("doc_id", "text")
+        .repartition("doc_id")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
         .groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

@@ -78,6 +78,13 @@ def read_json(spark: SparkSession, path: str, schema, **options) -> DataFrame:
     return spark.read.options(**options).schema(schema).json(path)
 
 
+def read_orc(spark: SparkSession, path: str, **options) -> DataFrame:
+    """ORC scan. ORC is self-describing (typed, columnar, min/max
+    indexed) so no schema needs supplying; predicate pushdown and column
+    pruning work exactly as for parquet."""
+    return spark.read.options(**options).orc(path)
+
+
 def write_parquet(
     df: DataFrame,
     path: str,
