@@ -214,3 +214,45 @@ def test_whole_stage_codegen_on_scan_agg(spark, sf_dir):
     assert "isFinalPlan=true" in plan
     # codegen stages print as `*(n) Operator` in the plan string
     assert "*(" in plan, "no whole-stage-codegen span in final plan"
+
+
+def test_contamination_eval_set_broadcasts(spark, sf_dir):
+    """The contamination check's eval-shingle join must broadcast (the
+    benchmark side is tiny next to the corpus) — a shuffled join here
+    would move every training shingle twice at 100 TB."""
+    plan = executed_plan(spark, sf_dir, "contamination_ngram_overlap")
+    assert "BroadcastHashJoin" in plan, "eval shingle set not broadcast"
+
+
+def test_repetition_flags_single_shuffle(spark, sf_dir):
+    """quality_repetition_flags shares ONE hash exchange (on compact
+    pre-explode document rows) between its two aggregation levels; the
+    only other exchange is the final presentation sort."""
+    plan = executed_plan(spark, sf_dir, "quality_repetition_flags")
+    assert plan.count("Exchange hashpartitioning") == 1, (
+        "two-level token aggregation stopped sharing its doc_id exchange"
+    )
+
+
+def test_q21_rollup_and_windows_share_exchange(spark, sf_dir):
+    """Q21's per-(order,supplier) rollup and both per-order window
+    aggregates must all run inside the single l_orderkey exchange the
+    explicit repartition provides (subset-satisfaction of the two-key
+    grouping) — no second shuffle between aggregate and window."""
+    plan = executed_plan(spark, sf_dir, "q21_waiting_suppliers")
+    hashes = [
+        seg.split(")")[0]
+        for seg in plan.split("Exchange hashpartitioning(")[1:]
+    ]
+    orderkey_exchanges = [h for h in hashes if "l_orderkey" in h]
+    assert len(orderkey_exchanges) == 1, (
+        f"expected one l_orderkey exchange, saw {len(orderkey_exchanges)}"
+    )
+
+
+def test_contiguous_ids_offsets_broadcast(spark, sf_dir):
+    """ids_contiguous_no_global_sort joins bucket offsets back by
+    broadcast; the row-numbering sort must be per-bucket (the window's
+    local sort), never a single-partition global sort of the data."""
+    plan = executed_plan(spark, sf_dir, "ids_contiguous_no_global_sort")
+    assert "BroadcastHashJoin" in plan, "bucket offsets not broadcast"
