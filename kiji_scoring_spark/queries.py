@@ -129,9 +129,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join", "agg", "topk",
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape. Scale: customer and orders are dimension-sized next
-    to lineitem — broadcast both (explicit hint; AQE would also demote the
-    shuffle), so lineitem never shuffles before aggregation."""
+    """TPC-H Q3 shape. Scale: no forced broadcast — orders and customer
+    are fact-sized at 100 TB, so a broadcast HINT would be a driver OOM;
+    at small scale AQE broadcasts them anyway (both under the 10 MB
+    threshold here, so lineitem still never shuffles), and at full scale
+    the same plan degrades gracefully to a shuffled join on the
+    equi-keys instead of failing."""
     cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
@@ -140,8 +143,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1996-03-15 00:00:00").cast("timestamp_ntz")
     )
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")

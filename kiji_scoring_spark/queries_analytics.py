@@ -44,7 +44,7 @@ def pivot_segment_revenue_by_status(spark: SparkSession, sf_dir: str) -> DataFra
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     piv = (
-        o.join(F.broadcast(c.select("c_custkey", "c_mktsegment")), o.o_custkey == c.c_custkey)
+        o.join(c.select("c_custkey", "c_mktsegment"), o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .pivot("o_orderstatus", ["F", "O", "P"])
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"))

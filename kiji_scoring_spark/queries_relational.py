@@ -190,9 +190,12 @@ def join_theta_richer_customers_same_nation(spark: SparkSession, sf_dir: str) ->
     "join", "agg",
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: 6-way join. Scale: all dimensions broadcast;
-    lineitem (the fact) is scanned once and never shuffled before the
-    final 25-group aggregation."""
+    """TPC-H Q5 shape: 6-way join. Scale: only the constant-size tables
+    (nation 25 rows, region 5) carry a forced broadcast hint. Orders,
+    customer, and supplier all grow with the data — at 100 TB a
+    broadcast HINT on any of them is a driver OOM — so AQE chooses by
+    measured size: it broadcasts them at this scale (lineitem never
+    shuffles) and degrades to shuffled equi-joins at full scale."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
@@ -203,10 +206,10 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)

@@ -108,8 +108,10 @@ def q4_late_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: fact-to-dimension join + conditional aggregation.
-    Scale: part broadcasts (it is orders of magnitude smaller than
-    lineitem), so the month of lineitem never shuffles; the CASE folds
+    Scale: no forced broadcast hint — part grows with the data, so the
+    hint that is safe at sf0.1 is a driver OOM at 100 TB; AQE broadcasts
+    part here by measured size (the month of lineitem never shuffles)
+    and falls back to a shuffled equi-join at full scale. The CASE folds
     into the same partial aggregate pass."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= _ts("1996-09-01 00:00:00"))
@@ -119,7 +121,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
     zero = F.lit(0).cast("decimal(18,4)")
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             (
                 F.lit(100.0)
@@ -156,9 +158,11 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter applied to that aggregate directly — the original formulation
     (semi-join on the filtered keys, then re-join raw lineitem and
     re-aggregate) scanned and shuffled lineitem twice for the same
-    number. One lineitem shuffle; the tiny filtered aggregate then
-    BROADCASTS into orders (so orders never shuffles either) and customer
-    broadcasts. Result is identical because
+    number. One lineitem shuffle; AQE then broadcasts the highly
+    selective filtered aggregate into orders by its MEASURED size (no
+    forced hint — the qualifying-order count grows with the data, so a
+    static hint would eventually OOM; AQE re-plans the join after the
+    aggregate materializes). Result is identical because
     orderkey is unique in the aggregate — the 5-column GROUP BY of the
     SQL is just carrying order/customer attributes through the join."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -170,8 +174,8 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__q__") > 210)
     )
     return (
-        o.join(F.broadcast(big), F.col("o_orderkey") == big["l_orderkey"])
-        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        o.join(big, F.col("o_orderkey") == big["l_orderkey"])
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
         .select(
             "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
             F.col("__q__").cast("double").alias("total_qty"),
@@ -209,7 +213,8 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q7_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: five-way join with a DISJUNCTIVE cross-dimension
     pair predicate and per-year rollup. Scale: both nation copies and
-    customer/supplier broadcast; the disjunction evaluates after the dim
+    customer/supplier joins are AQE-sized (broadcast here, shuffled at
+    100 TB — no forced hints); the disjunction evaluates after the dim
     joins, so lineitem shuffles once (to orders) at most — with orders
     also broadcastable at dimension scale, not at all."""
     li = load_table(spark, sf_dir, "lineitem").filter(
@@ -227,9 +232,9 @@ def q7_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     return (
-        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(pair)
@@ -268,7 +273,8 @@ def q7_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: national market share — a conditional share of a
-    sum, 8-way star join. Scale: every dimension broadcasts; the only
+    sum, 8-way star join. Scale: nation/region carry forced broadcasts
+    (constant-size); part/supplier/customer are AQE-sized; the only
     shuffle is lineitem→orders (and the final 2-row-per-year agg).
     Exact-DECIMAL numerator/denominator make the double ratio
     bit-reproducible across engines."""
@@ -287,10 +293,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
     zero = F.lit(0).cast("decimal(18,4)")
     return (
-        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
         .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
@@ -425,8 +431,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_revenue") == F.col("__mx__")
     )
     return (
-        F.broadcast(s)
-        .join(top, F.col("s_suppkey") == F.col("supplier_no"))
+        s.join(F.broadcast(top), F.col("s_suppkey") == F.col("supplier_no"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -450,7 +455,9 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: correlated per-part average threshold. The
     correlated subquery decorrelates into a per-part aggregate joined
     back to the fact rows. Scale: the per-part avg table is part-sized →
-    broadcasts; lineitem never shuffles. The avg is computed as exact
+    is AQE-sized into a broadcast here (no forced hint — part-cardinality
+    grows with the data); lineitem never shuffles at this scale. The avg
+    is computed as exact
     DECIMAL sum / count in both engines so the 0.2× threshold is the
     identical double."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -465,8 +472,8 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("__qty_thresh__")
     )
     return (
-        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(per_part_avg), F.col("l_partkey") == F.col("avg_partkey"))
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(per_part_avg, F.col("l_partkey") == F.col("avg_partkey"))
         .filter(F.col("l_quantity") < F.col("__qty_thresh__"))
         .agg(
             (
@@ -495,7 +502,8 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: disjunction of conjunctive (brand, size, qty)
     triples across the join — the classic OR-of-ANDs predicate. Scale:
-    part broadcasts; Catalyst pushes the common qty/size bounds where it
+    part joins via AQE-sized broadcast; Catalyst pushes the common
+    qty/size bounds where it
     can and evaluates the residual disjunction post-join in codegen."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
@@ -513,7 +521,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").between(20, 30)
     )
     return (
-        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .filter(cond)
         .agg(
             F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)"))
@@ -592,7 +600,8 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: four-way join with two selective fact filters and
-    a top-k by aggregated revenue. Scale: customer/nation broadcast;
+    a top-k by aggregated revenue. Scale: nation carries the only forced
+    broadcast; customer is AQE-sized;
     lineitem's returnflag filter and orders' date filter push to the
     scans, so the join input is a small slice of each fact table."""
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
@@ -605,7 +614,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
     return (
         o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(F.sum(disc).cast("double").alias("revenue"))
@@ -647,7 +656,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     STANDARD mid-size part, the EUROPE supplier(s) offering the minimum
     unit price — the correlated scalar-MIN subquery decorrelated into a
     per-part window MIN over pre-aggregated (part, supplier) pairs.
-    Scale: supplier/nation/region/part are dims → broadcast into the
+    Scale: nation/region force-broadcast; supplier/part and the derived
+    euro-supplier set are AQE-sized into the
     lineitem scan; one shuffle on (partkey, suppkey) for the pair agg,
     window MIN reuses the partkey clustering (no second exchange of the
     fact side). Unit price is a per-row division — deterministic across
@@ -663,8 +673,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey")
     )
     eligible = (
-        li.join(F.broadcast(euro_supp.select("s_suppkey")), F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(F.broadcast(p.select("p_partkey")), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(euro_supp.select("s_suppkey"), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(p.select("p_partkey"), F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("pair_min"))
     )
@@ -675,7 +685,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ranked.filter(F.col("pair_min") == F.col("part_min"))
         .join(
-            F.broadcast(euro_supp.select("s_suppkey", "s_name", "s_acctbal", "n_name")),
+            euro_supp.select("s_suppkey", "s_name", "s_acctbal", "n_name"),
             F.col("s_suppkey") == F.col("l_suppkey"),
         )
         .select(
@@ -711,7 +721,8 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape (supply cost proxied by 10% of retail price ×
     quantity — the schema has no partsupp): profit on widget parts by
     supplier nation and order year. Scale: part (name-filtered),
-    supplier, nation broadcast; lineitem↔orders is the only fact-fact
+    supplier/part AQE-size to broadcasts, nation force-broadcasts;
+    lineitem↔orders is the only fact-fact
     join, on orderkey — both sides shuffle once and AQE handles skew;
     the profit expression folds into the scan projection. Money in
     DECIMAL, per-row, so both engines round identically before summing."""
@@ -725,8 +736,8 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.col("p_retailprice") * F.col("l_quantity") * 0.1
     ).cast("decimal(18,4)")
     return (
-        li.join(F.broadcast(p.select("p_partkey", "p_retailprice")), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")), F.col("s_suppkey") == F.col("l_suppkey"))
+        li.join(p.select("p_partkey", "p_retailprice"), F.col("p_partkey") == F.col("l_partkey"))
+        .join(s.select("s_suppkey", "s_nationkey"), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
         .join(o.select("o_orderkey", "o_orderdate"), F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy(
@@ -796,7 +807,8 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape: distinct-supplier counts per part attribute with
     a NOT IN exclusion subquery — decorrelated to a broadcast left-anti
     join (s_suppkey is non-null, so NOT IN ≡ anti join). Scale: the
-    excluded-supplier list is tiny (negative balances) → broadcast anti;
+    excluded-supplier list is small (negative balances) → AQE-sized
+    broadcast anti (no forced hint; it grows with supplier count);
     part filters broadcast into the lineitem scan; COUNT DISTINCT
     shuffles (brand, size, suppkey) — narrow, partial-deduped by AQE."""
     p = load_table(spark, sf_dir, "part").filter(
@@ -807,8 +819,8 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
     return (
-        li.join(F.broadcast(bad), F.col("s_suppkey") == F.col("l_suppkey"), "left_anti")
-        .join(F.broadcast(p.select("p_partkey", "p_brand", "p_size")), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(bad, F.col("s_suppkey") == F.col("l_suppkey"), "left_anti")
+        .join(p.select("p_partkey", "p_brand", "p_size"), F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_size"))
@@ -845,7 +857,8 @@ def q20_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     one clustering + a semi join. Scale: the second groupBy (partkey)
     reuses the (partkey, suppkey) shuffle's clustering — no re-exchange
     of fact rows; the qualifying-supplier set is bounded by |supplier| →
-    broadcast semi. l_quantity is integral, so double sums are exact and
+    AQE-sized broadcast semi. l_quantity is integral, so double sums are
+    exact and
     the 0.3× threshold compares identically across engines."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= _ts("1996-01-01 00:00:00"))
@@ -855,7 +868,7 @@ def q20_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     qty = (
-        li.join(F.broadcast(small.select("p_partkey")), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(small.select("p_partkey"), F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum("l_quantity").alias("supp_qty"))
     )
@@ -866,7 +879,7 @@ def q20_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_suppkey")
     )
     return (
-        s.join(F.broadcast(dominant), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        s.join(dominant, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
         .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
         .select("s_name", "n_name")
         .dropDuplicates()
@@ -913,8 +926,9 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     window aggs run in ONE exchange — without it a broadcast orders join
     leaves the agg free to pick two-key partitioning and the window
     re-shuffles (measured another 1.3× at sf0.1). Scale: per-order window
-    state is two longs over a handful of suppliers per order; supplier
-    broadcasts. All-integer arithmetic — no float parity risk."""
+    state is two longs over a handful of suppliers per order; the
+    supplier join is AQE-sized (broadcast here, shuffled at 100 TB).
+    All-integer arithmetic — no float parity risk."""
     from pyspark.sql import Window
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
@@ -939,7 +953,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         late.withColumn("n_supp", F.count(F.lit(1)).over(w))
         .withColumn("n_late", F.sum("is_late").over(w))
         .filter((F.col("is_late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
-        .join(F.broadcast(s.select("s_suppkey", "s_name")), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(s.select("s_suppkey", "s_name"), F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
