@@ -555,3 +555,93 @@ def streaming_dedup_event_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_keys"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "streaming_stream_stream_join",
+    """
+    SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+      v.ts AS view_ts, p.ts AS purchase_ts
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 2 HOUR
+    WHERE v.user_id < 40
+    ORDER BY v.user_id, view_id, purchase_id
+    """,
+    "streaming", "join",
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (§2.F): view→purchase attribution —
+    each view joined to the same user's purchases within the next 2
+    hours, as a REAL StreamingQuery joining two event streams. Both
+    sides carry watermarks and the join has a two-sided time-range
+    condition, which is exactly what lets Structured Streaming bound the
+    join state: a buffered view can be evicted once the purchase-side
+    watermark passes view_ts + 2h, so state is the last ~2h of views per
+    side, not the history of the stream.
+
+    Scale: the join shuffles both streams by user_id (state-store
+    partitioning); state size is watermark-bounded regardless of stream
+    length. The bounded replay (AvailableNow) drains in one batch and
+    terminates, so the append-mode inner join emits every match — which
+    is why the batch self-join oracle is exact."""
+    load_table(spark, sf_dir, "events")  # sets the nanos-parquet conf
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def side(alias_type: str):
+        s = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        if dict(s.dtypes).get("ts") == "bigint":
+            s = s.withColumn(
+                "ts", F.expr("CAST(timestamp_micros(ts DIV 1000) AS timestamp)")
+            )
+        else:
+            s = s.withColumn("ts", F.col("ts").cast("timestamp"))
+        return (
+            s.filter((F.col("event_type") == alias_type) & (F.col("user_id") < 40))
+            .select("user_id", "event_id", "ts")
+            .withWatermark("ts", "1 minute")
+        )
+
+    v = side("view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = side("purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    joined = v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 2 HOURS")),
+    )
+    sink = "streaming_stream_stream_join_sink"
+    with _state_partitions(spark, 8):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    ts_type = load_table(spark, sf_dir, "events").schema["ts"].dataType
+    return (
+        spark.table(sink)
+        .select(
+            F.col("v_user").alias("user_id"),
+            "view_id",
+            "purchase_id",
+            F.col("view_ts").cast(ts_type).alias("view_ts"),
+            F.col("purchase_ts").cast(ts_type).alias("purchase_ts"),
+        )
+        .orderBy("user_id", "view_id", "purchase_id")
+    )
