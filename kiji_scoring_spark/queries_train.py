@@ -59,11 +59,18 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     n-gram-overlap decontamination step every serious pretraining corpus
     runs against its eval benchmarks.
 
-    Scale: the eval side of the join is benchmark-sized (thousands of
-    docs vs billions), so its distinct-shingle set BROADCASTS; the
-    training corpus takes one explode + one groupBy(doc_id) shuffle, and
-    per-doc shingle totals are computed map-side (array_distinct + size
-    before the explode) so no second pass over the text is needed. The
+    Scale: SINGLE PASS over the training corpus — the eval side is
+    benchmark-sized (thousands of docs vs billions), so its
+    distinct-shingle set BROADCASTS into a LEFT join against the
+    exploded training shingles; n_shared is the count of non-null probe
+    hits and n_shingles the per-doc row count (the shingle array is
+    distinct, so exploded cardinality IS the total), which means
+    zero-overlap docs survive with no second scan and no totals re-join
+    — the obvious inner-join + join-back shape re-executes the whole
+    shingle pipeline twice, which is what kills a 100 TB scan (locally
+    the double-scan is ~20% faster because everything is page-cached;
+    that trade inverts when the corpus doesn't fit in memory). One
+    groupBy(doc_id) shuffle total, partial-aggregated map-side. The
     contamination flag is integer arithmetic (n_shared*5 >= n_shingles)
     — engines cannot disagree on a float threshold."""
     d = load_table(spark, sf_dir, "documents")
@@ -77,27 +84,25 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh.filter(F.col("doc_id") < 25)
         .select(F.explode("sh").alias("s"))
         .distinct()
+        .withColumn("hit", F.lit(1))
     )
     train = sh.filter((F.col("doc_id") >= 25) & (F.size("sh") > 0))
-    hits = (
-        train.select("doc_id", F.explode("sh").alias("s"))
-        .join(F.broadcast(eval_sh), "s")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
     return (
-        train.select("doc_id", F.size("sh").alias("n_shingles"))
-        .join(hits, "doc_id", "left")
+        train.select("doc_id", F.explode("sh").alias("s"))
+        .join(F.broadcast(eval_sh), "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("hit").alias("n_shared"),
+        )
         .select(
             "doc_id",
             "n_shingles",
-            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
-            (
-                F.coalesce("n_shared", F.lit(0)).cast("double") / F.col("n_shingles")
-            ).alias("overlap_ratio"),
-            (F.coalesce("n_shared", F.lit(0)) * 5 >= F.col("n_shingles")).alias(
-                "contaminated"
+            "n_shared",
+            (F.col("n_shared").cast("double") / F.col("n_shingles")).alias(
+                "overlap_ratio"
             ),
+            (F.col("n_shared") * 5 >= F.col("n_shingles")).alias("contaminated"),
         )
         .orderBy("doc_id")
     )
