@@ -63,6 +63,8 @@ HEADLINE = [
     # shingle join) and repetition quality flags (two-level agg)
     "contamination_ngram_overlap",
     "quality_repetition_flags",
+    # round 3 streaming addition: watermark-bounded stream-stream join
+    "streaming_stream_stream_join",
 ]
 
 #: round-over-round regression reference (sum over that round's HEADLINE):
