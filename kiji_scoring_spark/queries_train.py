@@ -11,11 +11,16 @@ deterministic orderings.
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .operators import dedup as dd
 from .operators.dedup import _shingles_of_words
 from .queries import query
+from .queries_pipeline import _minhash_oracle_sql
 from .sources import load_table
 
 #: DuckDB mirror of operators.dedup shingling (3-word shingles)
@@ -277,4 +282,172 @@ def ids_contiguous_no_global_sort(spark: SparkSession, sf_dir: str) -> DataFrame
             (F.col("offset") + rn - 1).alias("global_id"),
         )
         .orderBy("global_id")
+    )
+
+
+@query(
+    "split_train_valid_test_hash",
+    """
+    WITH d AS (
+      SELECT *,
+        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+      FROM documents
+    )
+    SELECT
+      CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'valid' ELSE 'test' END
+        AS split,
+      source,
+      count(*) AS n_docs,
+      CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM d GROUP BY split, source ORDER BY split, source
+    """,
+    "pipeline", "sample", "split",
+)
+def split_train_valid_test_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/valid/test split by content-stable hash
+    bucketing — the split every training corpus needs before anything
+    touches an optimizer. The same doc lands in the same split on every
+    engine, run, and scale (unlike randomSplit, whose assignment depends
+    on partition layout and seed plumbing).
+
+    Scale: the split label is a narrow map fused into the scan — zero
+    shuffle until the tiny (split, source) aggregate. Re-splitting a
+    grown corpus never moves an existing doc between splits, which is
+    the property that keeps eval sets uncontaminated across refreshes."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "valid").otherwise("test")
+    )
+    return (
+        d.withColumn("split", split)
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("chars"),
+        )
+        .orderBy("split", "source")
+    )
+
+
+def _keep_best_oracle() -> str:
+    return f"""
+    WITH RECURSIVE base AS ({_minhash_oracle_sql().replace("ORDER BY doc_a, doc_b", "")}
+    ), edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM base
+      UNION ALL
+      SELECT doc_b, doc_a FROM base
+    ), cc(node, label) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.v, cc.label FROM cc JOIN edges e ON e.u = cc.node
+    ), comp AS (
+      SELECT node AS doc_id, min(label) AS component FROM cc GROUP BY node
+    ), clustered AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster_id, d.n_chars
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    )
+    SELECT doc_id, cluster_id,
+      FIRST_VALUE(doc_id) OVER (
+        PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id
+      ) AS keep_doc_id,
+      doc_id = FIRST_VALUE(doc_id) OVER (
+        PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id
+      ) AS is_kept
+    FROM clustered ORDER BY doc_id
+    """
+
+
+@query(
+    "dedup_keep_best_per_cluster",
+    _keep_best_oracle(),
+    "dedup", "pipeline", "lsh",
+)
+def dedup_keep_best_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full dedup resolution (§2.G end-game): MinHash candidate pairs →
+    connected components → every document mapped to its duplicate
+    cluster, keeping the HIGHEST-QUALITY member (longest text, doc_id
+    tiebreak) rather than the arbitrary min-id — the policy real corpus
+    dedup uses (keep the best copy, drop the rest). Singleton docs form
+    their own cluster and keep themselves.
+
+    Scale: components run on the candidate-pair graph only (tiny vs the
+    corpus); mapping back is one left join on doc_id; the keep choice is
+    FIRST_VALUE over a window keyed by cluster_id — one shuffle of
+    narrow (doc_id, cluster_id, n_chars) rows, no join-back of a ranked
+    subquery (which would re-execute the whole LSH pipeline a second
+    time)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    docs = load_table(spark, sf_dir, "documents")
+    sig = dd.minhash_signature_df(docs, "doc_id", "text")
+    bands = dd.minhash_band_keys(sig, "doc_id")
+    pairs = dd.band_pairs(bands, "doc_id")
+    comp = dd.connected_components(pairs, "doc_a", "doc_b")
+    clustered = (
+        d.join(comp, d["doc_id"] == comp["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("cluster_id"),
+            "n_chars",
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"), "doc_id")
+    keep = F.first("doc_id").over(w)
+    return (
+        clustered.select(
+            "doc_id",
+            "cluster_id",
+            keep.alias("keep_doc_id"),
+            (F.col("doc_id") == keep).alias("is_kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_BINARY_CACHE = os.path.join(tempfile.gettempdir(), "kiji_scoring_spark_binfiles")
+
+
+@query(
+    "binaryfile_scan_doc_lengths",
+    """
+    SELECT doc_id, CAST(n_chars + 1 AS BIGINT) AS n_bytes
+    FROM documents WHERE doc_id < 100 ORDER BY doc_id
+    """,
+    "source", "multimodal", "pipeline",
+)
+def binaryfile_scan_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-per-object ingestion (§2.B / §2.G multimodal): documents are
+    materialized once as one text file per doc (Spark's partitioned text
+    writer — no driver-side loop), then scanned back with the
+    ``binaryFile`` source, which is how raw image/audio/document blobs
+    enter a multimodal corpus. The partition directory yields the doc_id;
+    the payload byte length must equal n_chars + the writer's trailing
+    newline, proving the bytes survived the round trip.
+
+    Scale: binaryFile scans parallelize per file and never split one blob
+    across tasks; partition discovery prunes on doc_id like any
+    partitioned source. Bounded here to 100 files so the one-time
+    materialization cost is constant across scale factors."""
+    d = load_table(spark, sf_dir, "documents")
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(_BINARY_CACHE, tag, "docs_txt")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            d.filter(F.col("doc_id") < 100)
+            .select("doc_id", "text")
+            .write.mode("overwrite")
+            .partitionBy("doc_id")
+            .text(path)
+        )
+    back = spark.read.format("binaryFile").load(path)
+    return (
+        back.select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.octet_length("content").cast("bigint").alias("n_bytes"),
+        )
+        .orderBy("doc_id")
     )
