@@ -877,3 +877,75 @@ def window_range_frame_value_sums(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("double")
         .alias("recent_value_sum"),
     ).orderBy("user_id", "event_id")
+
+
+@query(
+    "window_percent_rank_cume_dist",
+    """
+    SELECT c_custkey, c_nationkey,
+      round(percent_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey), 9)
+        AS pct_rank,
+      round(cume_dist() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey), 9)
+        AS cume_d
+    FROM customer WHERE c_nationkey < 3
+    ORDER BY c_nationkey, c_custkey
+    """,
+    "window",
+)
+def window_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-position window functions (§2.C ranking tail):
+    percent_rank and cume_dist per nation over account balance — the
+    normalized-rank primitives quantile bucketing and percentile
+    feature-engineering build on. Ordering carries a c_custkey tiebreak
+    so rank positions are total; values rounded to 9 dp so the two
+    engines' division cannot differ in the last ulp.
+    Scale: one shuffle on the partition key, same as any ranking window;
+    nation-keyed partitions are balanced by design."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_nationkey") < 3)
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume_d"),
+    ).orderBy("c_nationkey", "c_custkey")
+
+
+@query(
+    "join_null_safe_returnflag",
+    """
+    WITH a AS (
+      SELECT NULLIF(l_returnflag, 'N') AS rf, count(*) AS n_rows
+      FROM lineitem GROUP BY NULLIF(l_returnflag, 'N')
+    ), b AS (
+      SELECT NULLIF(l_returnflag, 'N') AS rf,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS BIGINT) AS sum_qty
+      FROM lineitem GROUP BY NULLIF(l_returnflag, 'N')
+    )
+    SELECT a.rf, a.n_rows, b.sum_qty
+    FROM a JOIN b ON a.rf IS NOT DISTINCT FROM b.rf
+    ORDER BY a.rf NULLS FIRST
+    """,
+    "join",
+)
+def join_null_safe_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (§2.C joins tail): `<=>` / IS NOT DISTINCT
+    FROM, where NULL keys match each other instead of dropping out —
+    required when a join key legitimately carries NULL as a category
+    (here: return flag 'N' nulled to model unknown). A plain equi-join
+    silently loses the NULL group; the null-safe row count proves it
+    survived.
+    Scale: null-safe equality still hash-partitions both sides (NULL
+    hashes to one partition — if NULLs dominate, pre-split them as a
+    skew key; see operators/skew.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rf = F.nullif(F.col("l_returnflag"), F.lit("N")).alias("rf")
+    a = li.groupBy(rf).agg(F.count(F.lit(1)).alias("n_rows"))
+    b = li.groupBy(rf).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("bigint").alias("sum_qty")
+    )
+    return (
+        a.join(b, a["rf"].eqNullSafe(b["rf"]))
+        .select(a["rf"], "n_rows", "sum_qty")
+        .orderBy(F.asc_nulls_first("rf"))
+    )

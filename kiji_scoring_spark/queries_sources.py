@@ -266,3 +266,53 @@ def parquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "dpp_partitioned_orders_join",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+    FROM orders WHERE o_orderpriority LIKE '1%'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "source", "join", "dpp",
+)
+def dpp_partitioned_orders_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning (§2.B + §4): orders materialized once as
+    a priority-partitioned table (the layout a 100 TB fact table uses for
+    its hottest filter key), then joined with a dimension that is only
+    known after a filter runs. Catalyst injects a
+    `dynamicpruningexpression` into the fact scan's PartitionFilters —
+    the broadcast dim's keys prune fact partitions AT RUNTIME, so the
+    scan never reads the ~60% of files outside the dim's priorities
+    (gated in tests/test_plans.py). This is the single biggest scan
+    saver for partitioned fact tables; without it the join reads every
+    partition and filters after the fact.
+    The oracle is the equivalent static filter — value parity proves
+    pruning lost no rows."""
+    o = load_table(spark, sf_dir, "orders")
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(_FORMAT_CACHE, tag, "orders_by_priority.parquet")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from .sources import write_parquet
+
+        write_parquet(o, path, partition_by=["o_orderpriority"])
+    fact = spark.read.parquet(path)
+    dim = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderpriority")
+        .distinct()
+        .filter(F.col("o_orderpriority").startswith("1"))
+    )
+    return (
+        fact.join(F.broadcast(dim), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_total"),
+        )
+        .orderBy("o_orderpriority")
+    )

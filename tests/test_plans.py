@@ -256,3 +256,14 @@ def test_contiguous_ids_offsets_broadcast(spark, sf_dir):
     local sort), never a single-partition global sort of the data."""
     plan = executed_plan(spark, sf_dir, "ids_contiguous_no_global_sort")
     assert "BroadcastHashJoin" in plan, "bucket offsets not broadcast"
+
+
+def test_dpp_prunes_partitioned_fact_scan(spark, sf_dir):
+    """The priority-partitioned fact scan must carry a
+    dynamicpruningexpression in its PartitionFilters — the broadcast
+    dim's keys prune fact partitions at runtime. Without DPP the join
+    reads every partition of a 100 TB fact table and filters afterward."""
+    plan = executed_plan(spark, sf_dir, "dpp_partitioned_orders_join")
+    assert "dynamicpruning" in plan.lower(), (
+        "no dynamic partition pruning on the partitioned fact scan"
+    )
