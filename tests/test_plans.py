@@ -267,3 +267,51 @@ def test_dpp_prunes_partitioned_fact_scan(spark, sf_dir):
     assert "dynamicpruning" in plan.lower(), (
         "no dynamic partition pruning on the partitioned fact scan"
     )
+
+
+def test_scd2_single_exchange(spark, sf_dir):
+    """The whole SCD2 build — lag window, running sum, period aggregate,
+    valid_to lead window — must run inside ONE user_id hash exchange
+    (subset-satisfaction: HashPartitioning(user_id) serves the
+    (user_id, period_seq) aggregate and both windows). A second shuffle
+    here doubles the movement of a 100 TB event log."""
+    plan = executed_plan(spark, sf_dir, "scd2_event_type_history")
+    hashes = [
+        seg.split(")")[0]
+        for seg in plan.split("Exchange hashpartitioning(")[1:]
+    ]
+    user_exchanges = [h for h in hashes if "user_id" in h]
+    assert len(user_exchanges) == 1, (
+        f"expected one user_id exchange, saw {len(user_exchanges)}"
+    )
+
+
+def test_bloom_runtime_filter_prunes_probe_side(spark, sf_dir):
+    """With the shuffle path forced (no broadcast), the selective orders
+    filter must inject a runtime bloom filter into the lineitem scan
+    (BloomFilterMightContain / might_contain) — at 100 TB this prunes the
+    probe side BEFORE the join shuffle. The registered query leaves AQE
+    free to broadcast instead (same pruning, different mechanism); this
+    gate proves the bloom path exists when broadcast is off the table."""
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_creation = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "1GB",
+        )
+        plan = executed_plan(
+            spark, sf_dir, "runtimefilter_bloom_join_revenue"
+        )
+        assert "might_contain" in plan.lower(), (
+            "no runtime bloom filter on the lineitem probe side"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            old_creation,
+        )
