@@ -323,3 +323,4 @@ from . import queries_tpch  # noqa: E402,F401
 from . import queries_analytics  # noqa: E402,F401
 from . import queries_train  # noqa: E402,F401
 from . import queries_warehouse  # noqa: E402,F401
+from . import queries_behavior  # noqa: E402,F401

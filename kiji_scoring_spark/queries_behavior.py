@@ -1,0 +1,291 @@
+"""Behavioral / product-analytics operators (SURVEY §2.C extensions):
+cohort retention, ordered funnels, fuzzy entity-resolution joins, and
+fixed-width histograms.
+
+The event-log analyses a product warehouse runs daily, plus the
+entity-resolution join an identity pipeline needs. Parity rules: date
+arithmetic via date_trunc (ISO weeks in both engines), conditional
+aggregation instead of engine-specific funnel intrinsics, unit-cost
+levenshtein (identical definition in Spark and DuckDB), and integer bin
+arithmetic for histograms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .queries import query
+from .sources import load_table
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention (first-seen week × activity week)
+# ---------------------------------------------------------------------------
+
+@query(
+    "cohort_retention_weekly",
+    """
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+        CAST(date_diff('day', f.cohort_week, date_trunc('week', e.ts)) // 7
+             AS BIGINT) AS week_offset
+      FROM events e JOIN firsts f USING (user_id)
+    )
+    SELECT cohort_week, week_offset,
+      COUNT(*) AS n_active_users
+    FROM activity
+    GROUP BY cohort_week, week_offset
+    ORDER BY cohort_week, week_offset
+    """,
+    "behavior", "agg", "timeseries",
+)
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention — users grouped by first-seen week, counted
+    in every subsequent week they were active: the retention triangle
+    every product-analytics warehouse materializes. date_trunc('week')
+    is ISO-Monday in both engines and the offset is exact day arithmetic
+    divided by 7 (integer), so no timezone/week-numbering drift.
+
+    Scale: two shuffles — one user_id aggregate for first-seen, one
+    (cohort, offset) aggregate after a user-keyed join. The firsts side
+    is one row per user; at 100 TB both sides of the join are clustered
+    on user_id so AQE plans a co-located join off the same exchange, and
+    the DISTINCT dedupes (user, week) map-side before the final count."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                .cast("long")
+                / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel (view -> click -> purchase)
+# ---------------------------------------------------------------------------
+
+@query(
+    "funnel_view_click_purchase",
+    """
+    WITH s1 AS (
+      SELECT user_id,
+        MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+      FROM events GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, s1.t_view,
+        MIN(CASE WHEN e.event_type = 'click' AND e.ts > s1.t_view
+                 THEN e.ts END) AS t_click
+      FROM events e JOIN s1 USING (user_id)
+      GROUP BY e.user_id, s1.t_view
+    ), s3 AS (
+      SELECT e.user_id, s2.t_view, s2.t_click,
+        MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > s2.t_click
+                 THEN e.ts END) AS t_purchase
+      FROM events e JOIN s2 USING (user_id)
+      GROUP BY e.user_id, s2.t_view, s2.t_click
+    )
+    SELECT
+      CAST(COUNT(t_view) AS BIGINT) AS n_view,
+      CAST(COUNT(CASE WHEN t_click IS NOT NULL THEN 1 END) AS BIGINT)
+        AS n_view_click,
+      CAST(COUNT(CASE WHEN t_purchase IS NOT NULL THEN 1 END) AS BIGINT)
+        AS n_view_click_purchase
+    FROM s3
+    """,
+    "behavior", "agg", "window",
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel — how many users did view, then click AFTER the
+    view, then purchase AFTER the click. Each stage is a conditional MIN
+    over the user's events anchored at the previous stage's timestamp —
+    the strictly-ordered funnel definition (an unordered intersect
+    overcounts users who purchased before ever viewing).
+
+    Scale: the three stages are window passes over ONE user_id
+    clustering — Spark computes them as chained window aggregates on a
+    single exchange (the SQL mirror re-joins per stage because plain SQL
+    cannot chain window-derived predicates, but the Spark plan shuffles
+    events once). Final output is a 3-number global rollup."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    t_view = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    staged = ev.withColumn("t_view", t_view)
+    t_click = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = staged.withColumn("t_click", t_click)
+    t_purchase = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_click")),
+            F.col("ts"),
+        )
+    ).over(w)
+    staged = staged.withColumn("t_purchase", t_purchase)
+    per_user = staged.groupBy("user_id").agg(
+        F.min("t_view").alias("t_view"),
+        F.min("t_click").alias("t_click"),
+        F.min("t_purchase").alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count("t_view").alias("n_view"),
+        F.count(F.when(F.col("t_click").isNotNull(), 1)).alias("n_view_click"),
+        F.count(F.when(F.col("t_purchase").isNotNull(), 1)).alias(
+            "n_view_click_purchase"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy entity-resolution join (blocked levenshtein match)
+# ---------------------------------------------------------------------------
+
+#: dirty probe records an identity pipeline must resolve — typos within
+#: edit distance 2 of real customer names, plus one non-match control.
+_DIRTY_NAMES = (
+    "Custmer#000000042",     # deletion
+    "Customer#00000O113",    # 0 -> O substitution
+    "Customer#0000001377",   # insertion
+    "Costumer#000000205",    # transposition-ish (2 substitutions)
+    "Customer#999999999",    # control: no real customer within distance 2
+)
+
+
+@query(
+    "fuzzy_join_customer_names",
+    f"""
+    WITH probes AS (
+      SELECT * FROM (VALUES {", ".join(f"('{n}')" for n in _DIRTY_NAMES)})
+        AS t(dirty_name)
+    ), blocked AS (
+      SELECT p.dirty_name, c.c_custkey, c.c_name,
+        levenshtein(p.dirty_name, c.c_name) AS edit_dist
+      FROM probes p
+      JOIN customer c
+        ON substr(p.dirty_name, length(p.dirty_name) - 2, 3)
+         = substr(c.c_name, length(c.c_name) - 2, 3)
+    )
+    SELECT dirty_name, c_custkey, c_name, edit_dist
+    FROM blocked
+    WHERE edit_dist <= 2
+    ORDER BY dirty_name, c_custkey
+    """,
+    "behavior", "join", "pipeline",
+)
+def fuzzy_join_customer_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity-resolution join: match dirty probe names to the
+    customer master within levenshtein distance 2, BLOCKED on the last
+    3 characters so the match is an equi-join plus a cheap residual —
+    never an all-pairs cross join. Blocking on a suffix works here
+    because the discriminating digits are name-final; real pipelines
+    block on phonetic keys or q-gram LSH, same plan shape
+    (dedup_minhash_candidate_pairs is that scale path).
+
+    Scale: probes are benchmark-sized → broadcast equi-join on the
+    block key; levenshtein (unit-cost edit distance, identical
+    definition in both engines) runs only inside blocks. The control
+    probe proves non-matches drop out."""
+    c = load_table(spark, sf_dir, "customer")
+    probes = spark.createDataFrame(
+        [(n,) for n in _DIRTY_NAMES], ["dirty_name"]
+    )
+    blocked = probes.join(
+        c,
+        F.expr(
+            "substring(dirty_name, length(dirty_name) - 2, 3)"
+            " = substring(c_name, length(c_name) - 2, 3)"
+        ),
+    ).select(
+        "dirty_name",
+        "c_custkey",
+        "c_name",
+        F.levenshtein("dirty_name", "c_name").alias("edit_dist"),
+    )
+    return (
+        blocked.where(F.col("edit_dist") <= 2)
+        .orderBy("dirty_name", "c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width histogram
+# ---------------------------------------------------------------------------
+
+@query(
+    "histogram_order_totalprice",
+    """
+    WITH b AS (
+      SELECT CAST(LEAST(FLOOR(o_totalprice / 30000.0), 19) AS BIGINT) AS bin,
+        o_totalprice
+      FROM orders
+    )
+    SELECT bin,
+      bin * 30000.0 AS bin_lo,
+      (bin + 1) * 30000.0 AS bin_hi,
+      COUNT(*) AS n_orders,
+      MIN(o_totalprice) AS min_price,
+      MAX(o_totalprice) AS max_price
+    FROM b
+    GROUP BY bin
+    ORDER BY bin
+    """,
+    "behavior", "agg", "stats",
+)
+def histogram_order_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order values: 20 bins of 30k with an
+    open-ended top bin — the profile/EDA primitive behind every
+    dashboard distribution chart. Bin assignment is FLOOR on a single
+    division (identical IEEE double op in both engines) capped with
+    LEAST, so bins are bit-deterministic; no width_bucket intrinsic
+    needed.
+
+    Scale: map-side bin arithmetic, one 20-key partial-aggregated
+    shuffle — the cheapest possible profile of a 100 TB column. The
+    equal-frequency companion is bucketize_decile_order_value."""
+    o = load_table(spark, sf_dir, "orders")
+    binned = o.select(
+        F.least(F.floor(F.col("o_totalprice") / 30000.0), F.lit(19))
+        .cast("bigint")
+        .alias("bin"),
+        "o_totalprice",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .select(
+            "bin",
+            (F.col("bin") * 30000.0).alias("bin_lo"),
+            ((F.col("bin") + 1) * 30000.0).alias("bin_hi"),
+            "n_orders",
+            "min_price",
+            "max_price",
+        )
+        .orderBy("bin")
+    )
