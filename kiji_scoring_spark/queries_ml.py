@@ -19,6 +19,7 @@ same oracle gate as everything else instead of a weaker rows-only check.
 
 from __future__ import annotations
 
+import os
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
@@ -650,4 +651,88 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("purchase_ts").cast(ts_type).alias("purchase_ts"),
         )
         .orderBy("user_id", "view_id", "purchase_id")
+    )
+
+
+@query(
+    "streaming_parquet_sink_daily",
+    """
+    WITH mx AS (SELECT max(ts) AS m FROM events)
+    SELECT date_trunc('day', ts) AS window_start,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events, mx
+    GROUP BY window_start, m
+    HAVING window_start + INTERVAL 1 DAY <= m - INTERVAL 10 MINUTE
+    ORDER BY window_start
+    """,
+    "streaming", "agg", "sink",
+)
+def streaming_parquet_sink_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full streaming-ETL loop as a REAL StreamingQuery (§2.F sink
+    row): parquet micro-batch source → watermarked daily tumbling
+    aggregate → APPEND-mode PARQUET FILE SINK with a checkpoint → read
+    the sink files back as the result. Append mode emits a window
+    exactly once, when the watermark (max event time − 10 min) passes
+    the window end — so the final, still-open day never reaches the
+    sink, and the oracle states that contract explicitly with its
+    HAVING window_end <= max(ts) − 10min clause. This is the
+    exactly-once incremental materialization pattern (checkpoint +
+    deterministic file manifest) a production pipeline runs every
+    night, where the memory-sink queries are test harnesses.
+
+    Scale: incremental state-store aggregation (one row per open
+    window); the file sink writes one atomic manifest per micro-batch,
+    so downstream readers never see partial output. Sink/checkpoint
+    dirs are cleared per call — repeated runs are deterministic."""
+    import shutil
+    import tempfile
+
+    ev_schema = load_table(spark, sf_dir, "events").schema
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.expr("CAST(timestamp_micros(ts DIV 1000) AS timestamp)")
+        )
+    else:
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"kss_stream_sink_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    out, cp = os.path.join(base, "out"), os.path.join(base, "cp")
+    with _state_partitions(spark, 8):
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .select(
+            F.col("w.start").cast(ev_schema["ts"].dataType).alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start")
     )
