@@ -65,6 +65,9 @@ HEADLINE = [
     "quality_repetition_flags",
     # round 3 streaming addition: watermark-bounded stream-stream join
     "streaming_stream_stream_join",
+    # round 3 flagship composite: full corpus-prep pass (quality +
+    # decontamination + dedup + audit rollup in ~4 shuffles)
+    "corpus_prep_end_to_end",
 ]
 
 #: round-over-round regression reference (sum over that round's HEADLINE):

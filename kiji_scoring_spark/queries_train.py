@@ -451,3 +451,193 @@ def binaryfile_scan_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "corpus_prep_end_to_end",
+    f"""
+    WITH base AS (
+      SELECT doc_id, lang, text, string_split(text, ' ') AS w
+      FROM documents
+    ), wc AS (
+      SELECT doc_id, wrd, count(*) AS cnt
+      FROM (SELECT doc_id, unnest(w) AS wrd FROM base WHERE doc_id >= 25)
+      GROUP BY doc_id, wrd
+    ), rep AS (
+      SELECT doc_id, COUNT(*) AS n_distinct, MAX(cnt) AS top_cnt
+      FROM wc GROUP BY doc_id
+    ), sh AS (
+      SELECT doc_id, {_SHINGLE_SQL} AS sh FROM base
+    ), eval_sh AS (
+      SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id < 25
+    ), hits AS (
+      SELECT t.doc_id, count(*) AS n_shared
+      FROM (SELECT doc_id, unnest(sh) AS s FROM sh WHERE doc_id >= 25) t
+      JOIN eval_sh e ON t.s = e.s
+      GROUP BY t.doc_id
+    ), flagged AS (
+      SELECT b.doc_id, b.lang, b.text,
+        len(b.w) AS n_tokens,
+        (r.top_cnt * 10 >= len(b.w) OR r.n_distinct * 3 < len(b.w)
+         OR len(b.w) < 30) AS quality_fail,
+        (len(s.sh) > 0 AND COALESCE(h.n_shared, 0) * 5 >= len(s.sh))
+          AS contaminated
+      FROM base b
+      JOIN rep r USING (doc_id)
+      JOIN sh s USING (doc_id)
+      LEFT JOIN hits h USING (doc_id)
+      WHERE b.doc_id >= 25
+    ), ranked AS (
+      SELECT *,
+        SUM(CASE WHEN NOT quality_fail AND NOT contaminated THEN 1 ELSE 0 END)
+          OVER (PARTITION BY md5(text) ORDER BY doc_id
+                ROWS UNBOUNDED PRECEDING) AS dup_rank,
+        CASE WHEN quality_fail THEN 'quality'
+             WHEN contaminated THEN 'contaminated'
+             ELSE 'candidate' END AS pre_stage
+      FROM flagged
+    ), staged AS (
+      SELECT lang, n_tokens,
+        CASE WHEN pre_stage <> 'candidate' THEN pre_stage
+             WHEN dup_rank > 1 THEN 'duplicate'
+             ELSE 'kept' END AS stage
+      FROM ranked
+    )
+    SELECT lang,
+      COUNT(*) AS n_input,
+      CAST(SUM(CASE WHEN stage = 'quality' THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_quality_fail,
+      CAST(SUM(CASE WHEN stage = 'contaminated' THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_contaminated,
+      CAST(SUM(CASE WHEN stage = 'duplicate' THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_duplicate,
+      CAST(SUM(CASE WHEN stage = 'kept' THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_kept,
+      CAST(SUM(CASE WHEN stage = 'kept' THEN n_tokens ELSE 0 END) AS BIGINT)
+        AS kept_tokens
+    FROM staged
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    "pipeline", "dedup", "quality", "contamination",
+)
+def corpus_prep_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE corpus-preparation pipeline as one audited pass —
+    quality gate (Gopher repetition flags + minimum length), benchmark
+    decontamination (3-gram overlap vs the doc_id<25 eval set), exact
+    dedup (md5, first-doc-wins *among gate survivors*), and a
+    per-language audit rollup: how many documents each stage dropped and
+    how many tokens survive. This is the integration exhibit: every
+    stage is the same logic as its standalone query
+    (quality_repetition_flags, contamination_ngram_overlap,
+    dedup_exact_documents), composed the way a production corpus build
+    chains them, with the stage attribution (quality > contamination >
+    duplicate) every data-governance review asks for.
+
+    Scale: doc-clustered throughout — the word-count rollup, the
+    shingle-hit count, and the flag joins all hash on doc_id (the
+    repartition runs before the explode so shuffles carry one compact
+    row per document; the eval-shingle side broadcasts); the dedup
+    ranking is a windowed running count over md5(text) — counting only
+    gate survivors, so a discarded duplicate whose earlier twin failed
+    quality does NOT shadow a clean later copy; the final rollup is a
+    5-key aggregate. No stage re-scans the corpus: one pass, ~4
+    shuffles end-to-end at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", "lang", "text", F.split("text", " ").alias("w"))
+    corpus = base.filter(F.col("doc_id") >= 25)
+
+    rep = (
+        corpus.select("doc_id", "text")
+        .repartition("doc_id")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("wrd"))
+        .groupBy("doc_id", "wrd")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("cnt").alias("top_cnt"),
+        )
+    )
+
+    sh = base.select(
+        "doc_id", F.array_distinct(_shingles_of_words(F.col("w"), 3)).alias("sh")
+    )
+    eval_sh = (
+        sh.filter(F.col("doc_id") < 25)
+        .select(F.explode("sh").alias("s"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    hits = (
+        sh.filter(F.col("doc_id") >= 25)
+        .select("doc_id", F.explode("sh").alias("s"))
+        .join(F.broadcast(eval_sh), "s", "left")
+        .groupBy("doc_id")
+        .agg(F.count("hit").alias("n_shared"))
+    )
+    n_sh = sh.filter(F.col("doc_id") >= 25).select(
+        "doc_id", F.size("sh").alias("n_shingles")
+    )
+
+    flagged = (
+        corpus.select("doc_id", "lang", "text", F.size("w").alias("n_tokens"))
+        .join(rep, "doc_id")
+        .join(n_sh, "doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "text",
+            "n_tokens",
+            (
+                (F.col("top_cnt") * 10 >= F.col("n_tokens"))
+                | (F.col("n_distinct") * 3 < F.col("n_tokens"))
+                | (F.col("n_tokens") < 30)
+            ).alias("quality_fail"),
+            (
+                (F.col("n_shingles") > 0)
+                & (F.coalesce(F.col("n_shared"), F.lit(0)) * 5 >= F.col("n_shingles"))
+            ).alias("contaminated"),
+        )
+    )
+
+    wdup = (
+        Window.partitionBy(F.md5("text"))
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    staged = flagged.withColumn(
+        "dup_rank",
+        F.sum(
+            F.when(~F.col("quality_fail") & ~F.col("contaminated"), 1).otherwise(0)
+        ).over(wdup),
+    ).select(
+        "lang",
+        "n_tokens",
+        F.when(F.col("quality_fail"), F.lit("quality"))
+        .when(F.col("contaminated"), F.lit("contaminated"))
+        .when(F.col("dup_rank") > 1, F.lit("duplicate"))
+        .otherwise(F.lit("kept"))
+        .alias("stage"),
+    )
+    return (
+        staged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_input"),
+            F.sum(F.when(F.col("stage") == "quality", 1).otherwise(0)).alias(
+                "n_quality_fail"
+            ),
+            F.sum(F.when(F.col("stage") == "contaminated", 1).otherwise(0)).alias(
+                "n_contaminated"
+            ),
+            F.sum(F.when(F.col("stage") == "duplicate", 1).otherwise(0)).alias(
+                "n_duplicate"
+            ),
+            F.sum(F.when(F.col("stage") == "kept", 1).otherwise(0)).alias("n_kept"),
+            F.sum(
+                F.when(F.col("stage") == "kept", F.col("n_tokens")).otherwise(0)
+            ).alias("kept_tokens"),
+        )
+        .orderBy("lang")
+    )
