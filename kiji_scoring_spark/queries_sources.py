@@ -316,3 +316,46 @@ def dpp_partitioned_orders_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "stats_linear_regression_price_qty",
+    """
+    SELECT l_returnflag,
+      CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+      round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+      round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+      round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+      round(regr_avgx(l_extendedprice, l_quantity), 6) AS avg_qty,
+      round(regr_avgy(l_extendedprice, l_quantity), 6) AS avg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    "stats", "agg", "pipeline",
+)
+def stats_linear_regression_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality/stats (§2.G): per-group ordinary-least-squares fit with the
+    SQL-standard regression aggregates (slope, intercept, R², group
+    means) — the one-pass drift/trend profile a feature store computes
+    per segment. Both engines implement the identical standard
+    definitions; results are rounded so accumulation order cannot flip a
+    last bit.
+
+    Scale: single partial+final aggregation on a 3-key group — each
+    regr_* is a handful of running moments, so the shuffle carries six
+    doubles per group, never raw rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.regr_count(y, x).cast("bigint").alias("n"),
+            F.round(F.regr_slope(y, x), 6).alias("slope"),
+            F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+            F.round(F.regr_r2(y, x), 6).alias("r2"),
+            F.round(F.regr_avgx(y, x), 6).alias("avg_qty"),
+            F.round(F.regr_avgy(y, x), 6).alias("avg_price"),
+        )
+        .orderBy("l_returnflag")
+    )
