@@ -96,20 +96,24 @@ def subquery_not_exists_quiet_suppliers(spark, sf_dir):
 
 # ---------------------------------------------------------------------------
 # Correlated scalar subquery — customers above their nation's average
-# balance. Decorrelated to groupBy(nation).avg + equi-join back; the
-# comparison is done in DECIMAL so partial/final aggregation order cannot
-# flip a boundary row between engines.
+# balance. Decorrelated to groupBy(nation).avg + equi-join back. The
+# average is computed identically on both engines: exact DECIMAL sum
+# (aggregation order cannot change it), one IEEE-rounded cast to DOUBLE,
+# one double division by COUNT(*). Both engines therefore compare the
+# same IEEE doubles, so no boundary row can flip. The output column is
+# DOUBLE per the registry parity rule (queries.py header): Spark returns
+# DECIMAL as Python Decimal objects (pandas dtype object) while DuckDB
+# returns float64, so a DECIMAL final projection can never hash-match.
 # ---------------------------------------------------------------------------
 
 @query(
     "subquery_scalar_above_nation_avg",
     """
     SELECT c_custkey, c_nationkey,
-      CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal
+      CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
     FROM customer c
-    WHERE CAST(c_acctbal AS DECIMAL(18,2)) > (
-      SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) / COUNT(*)
-                  AS DECIMAL(18,6))
+    WHERE CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) > (
+      SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
       FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey
     )
     ORDER BY c_custkey
@@ -121,11 +125,10 @@ def subquery_scalar_above_nation_avg(spark, sf_dir):
     return spark.sql(
         """
         SELECT c_custkey, c_nationkey,
-          CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal
+          CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
         FROM customer c
-        WHERE CAST(c_acctbal AS DECIMAL(18,2)) > (
-          SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) / COUNT(*)
-                      AS DECIMAL(18,6))
+        WHERE CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) > (
+          SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
           FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey
         )
         ORDER BY c_custkey
@@ -177,7 +180,7 @@ def subquery_in_building_segment_orders(spark, sf_dir):
     "lateral_top2_orders_per_customer",
     """
     SELECT c.c_custkey, t.o_orderkey,
-      CAST(t.o_totalprice AS DECIMAL(18,2)) AS totalprice
+      CAST(CAST(t.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice
     FROM customer c,
     LATERAL (
       SELECT o_orderkey, o_totalprice
@@ -192,11 +195,15 @@ def subquery_in_building_segment_orders(spark, sf_dir):
     "subquery", "lateral",
 )
 def lateral_top2_orders_per_customer(spark, sf_dir):
+    """Output column is DOUBLE (not DECIMAL) per the registry parity rule;
+    the DECIMAL cast stays inside the projection so cents are exact before
+    the single IEEE rounding, and ordering/tiebreak inside the LATERAL is
+    on the raw column identically on both engines."""
     _views(spark, sf_dir, "customer", "orders")
     return spark.sql(
         """
         SELECT c.c_custkey, t.o_orderkey,
-          CAST(t.o_totalprice AS DECIMAL(18,2)) AS totalprice
+          CAST(CAST(t.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice
         FROM customer c,
         LATERAL (
           SELECT o_orderkey, o_totalprice
