@@ -203,6 +203,20 @@ class FreshTableReader:
         # (impl/KijiFreshProducerContext.java:115-131)
         map_qual = getattr(cap.producer, "map_qualifier", "score")
 
+        # A9: KV side-inputs attach BEFORE the freshness predicate is
+        # evaluated and on EVERY producer branch — in the reference a policy
+        # may consult its getRequiredStores() stores inside isFresh
+        # regardless of producer type (KijiFreshnessPolicy.java:86-88,
+        # exercised by TestKVStores.java:126-131), with policy stores
+        # masking producer stores of the same name
+        # (InternalFreshKijiTableReader.java:374-379). The joined columns
+        # are visible to the predicate, to ExpressionProducer.score, and to
+        # a PandasProducer's data_request; the final select(orig_cols)
+        # drops them.
+        stores = merge_stores(cap.producer.required_stores, cap.policy.required_stores)
+        if stores:
+            df = attach_stores(df, stores)
+
         # A6: a policy with its own data request evaluates freshness over
         # THAT projection, not the attached column (the reference's
         # shouldUseClientDataRequest=false branch,
@@ -248,10 +262,8 @@ class FreshTableReader:
             df = df.join(scored, on=self.key_col, how="left")
             score_col = F.col("__score__")
         else:
-            # Expression producer: stays fully in codegen; KV stores join in
-            stores = merge_stores(producer.required_stores, cap.policy.required_stores)
-            if stores:
-                df = attach_stores(df, stores)
+            # Expression producer: stays fully in codegen; KV store columns
+            # were already attached above
             score_col = producer.score(df)
 
         written = (

@@ -123,11 +123,13 @@ class MLlibProducer(Producer):
         prediction_col: str = "prediction",
         data_request: list[str] | None = None,
         output_column: str | None = None,
+        required_stores: dict[str, Any] | None = None,
     ):
         self.transformer = transformer
         self.prediction_col = prediction_col
         self.data_request = data_request or []
         self.output_column = output_column
+        self.required_stores = required_stores or {}
 
     def transform(self, df: DataFrame) -> DataFrame:
         return self.transformer.transform(df)

@@ -413,6 +413,86 @@ def test_kv_store_lookup_and_masking(spark):
     assert merged["cats"]["df"] is masked
 
 
+def test_policy_store_drives_pandas_producer_with_masking(spark):
+    """A9 on the Python producer path: a policy may consult its
+    getRequiredStores() stores inside isFresh regardless of producer type
+    (KijiFreshnessPolicy.java:86-88, exercised by TestKVStores.java:126-131)
+    — previously stores were only attached on the ExpressionProducer
+    branch. The producer here declares a DECOY store under the same name
+    whose flags say everything is fresh; the policy's store must mask it
+    (InternalFreshKijiTableReader.java:374-379), so 'foo' still rescores.
+    """
+    from pyspark.sql.types import DoubleType
+
+    from kiji_scoring_spark.fresh import Freshener
+    from kiji_scoring_spark.policies import FreshnessPolicy
+
+    schema = StructType(
+        [
+            StructField("entity_id", StringType(), False),
+            StructField("info_visits", model.versions_type(DoubleType())),
+        ]
+    )
+    df = spark.createDataFrame([("foo", [(1, 10.0)]), ("bar", [(1, 7.0)])], schema)
+    flags = spark.sql(
+        "SELECT * FROM VALUES ('foo','stale'),('bar','fresh') AS t(key, __flag__)"
+    )
+    decoy = spark.sql(
+        "SELECT * FROM VALUES ('foo','fresh'),('bar','fresh') AS t(key, __flag__)"
+    )
+
+    class StoreFlagPolicy(FreshnessPolicy):
+        """Fresh iff the side-input KV store says so."""
+
+        def __init__(self, store_df):
+            self._store_df = store_df
+
+        def is_fresh(self, versions, as_of_ms):
+            return F.coalesce(F.col("__flag__") == "fresh", F.lit(False))
+
+        @property
+        def required_stores(self):
+            return {
+                "flags": {
+                    "df": self._store_df,
+                    "on": F.col("entity_id") == F.col("key"),
+                }
+            }
+
+    def double_visits(pdf):
+        return pdf["info_visits"].map(lambda v: float(v[0]["value"]) * 2)
+
+    producer = PandasProducer(
+        batch_fn=double_visits,
+        data_request=["info:visits"],
+        output_column="info:visits",
+        required_stores={
+            "flags": {"df": decoy, "on": F.col("entity_id") == F.col("key")}
+        },
+    )
+    reader = FreshTableReader(spark, "t", df, FreshenerRegistry())
+    reader._capsules = {
+        "info:visits": Freshener("info:visits", StoreFlagPolicy(flags), producer)
+    }
+    out = {
+        r["entity_id"]: (r["v"], r["ts"])
+        for r in reader.scan(NOW_MS)
+        .select(
+            "entity_id",
+            model.most_recent_value("info_visits").alias("v"),
+            model.most_recent_ts("info_visits").alias("ts"),
+        )
+        .collect()
+    }
+    # policy store flags foo stale → pandas-rescored at NOW_MS (decoy store
+    # would have said fresh: masking holds on the Python path)
+    assert out["foo"] == (20.0, NOW_MS)
+    # bar flagged fresh → untouched
+    assert out["bar"] == (7.0, 1)
+    # store columns (__flag__, key) never leak into the result schema
+    assert set(reader.scan(NOW_MS).columns) == {"entity_id", "info_visits"}
+
+
 class MapScoreFromRawProducer(ExpressionProducer):
     """Family-wide producer: writes 10 * newest metrics['raw'] into
     metrics['score'] (map_qualifier chooses the write cell,
