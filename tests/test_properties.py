@@ -120,3 +120,45 @@ def test_minhash_band_pairs_symmetric_and_ordered(spark, texts):
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
                 assert (ids[i], ids[j]) in pairs
+
+
+# ---------------------------------------------------------------------------
+# as-of join with a caller-supplied unique left id (round-4: the
+# retry-deterministic path) vs a straight-line Python reference, with
+# duplicate left (key, ts) rows that the id must keep apart.
+# ---------------------------------------------------------------------------
+
+left_rows_strategy = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=1, max_size=8
+)
+right_rows_strategy = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 50), st.integers(-9, 9)),
+    max_size=8,
+    unique_by=lambda r: (r[0], r[1]),
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(lrows=left_rows_strategy, rrows=right_rows_strategy)
+def test_asof_join_left_id_matches_reference(spark, lrows, rrows):
+    from kiji_scoring_spark.operators import joins
+
+    left = spark.createDataFrame(
+        [(i, u, t) for i, (u, t) in enumerate(lrows)], "rowid long, uid long, ts long"
+    )
+    right = spark.createDataFrame(rrows, "uid long, ts long, val long") if rrows else (
+        spark.createDataFrame([], "uid long, ts long, val long")
+    )
+    got = sorted(
+        (r.rowid, r.val)
+        for r in joins.asof_join(
+            left, right, ["uid"], "ts", "ts", left_id="rowid"
+        ).collect()
+    )
+    want = []
+    for i, (u, t) in enumerate(lrows):
+        matches = [(rt, rv) for ru, rt, rv in rrows if ru == u and rt <= t]
+        want.append((i, max(matches)[1] if matches else None))
+    # every left row survives exactly once — duplicates of (uid, ts) keep
+    # their own identity under the caller-supplied id
+    assert got == sorted(want)
