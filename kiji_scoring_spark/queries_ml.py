@@ -224,18 +224,25 @@ def text_bigrams_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "text_word2vec_neighbors",
-    None,  # iterative trainer — no closed-form SQL analog; rows-only gate,
-    # determinism pinned by seed + single partition (tests assert stability)
-    "text", "mllib", "pipeline",
-)
-def text_word2vec_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word2Vec (SURVEY §2.G text row): embed the 200-doc probe corpus and
-    return the 5 nearest neighbors of the corpus's most frequent token.
-    Scale: Word2Vec training is the iterative stage (MLlib distributes
-    skip-gram minibatches); the synonym lookup is a driver-side top-k over
-    the (vocab × dim) matrix — vocab-bounded, never data-bounded."""
+def word2vec_synonyms(
+    spark: SparkSession, sf_dir: str, num_partitions: int, k: int = 5
+) -> DataFrame:
+    """Fit Word2Vec on the 200-doc probe corpus and return the k nearest
+    neighbors of the corpus's most frequent token.
+
+    ``num_partitions`` controls BOTH the input layout (hash-repartitioned
+    on doc_id, so the layout is deterministic regardless of scan split
+    count) and the trainer's ``numPartitions``:
+
+    - ``1``: bit-reproducible fit (fixed seed, one task) — the pinned
+      exact variant, kept ONLY for the determinism unit test. At 100×
+      data a single-task fit is THE bottleneck (round-3 verdict's one
+      scale-killer), so no query uses it.
+    - ``>1``: the scale shape. Multi-partition skip-gram training
+      aggregates float updates in task-completion order, so exact vectors
+      may jitter run-to-run; correctness is therefore gated on top-k
+      neighbor-SET stability (tests/test_word2vec.py), not exact values.
+    """
     from pyspark.ml.feature import RegexTokenizer, Word2Vec
 
     docs = (
@@ -243,11 +250,11 @@ def text_word2vec_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < 200)
         .select("doc_id", "text")
     )
-    tokenized = RegexTokenizer(
-        inputCol="text", outputCol="tokens", pattern=r"\W+"
-    ).transform(docs)
-    # single partition + fixed seed + one thread -> reproducible fit
-    tokenized = tokenized.coalesce(1)
+    tokenized = (
+        RegexTokenizer(inputCol="text", outputCol="tokens", pattern=r"\W+")
+        .transform(docs)
+        .repartition(num_partitions, "doc_id")
+    )
     top_token = (
         tokenized.select(F.explode("tokens").alias("tok"))
         .groupBy("tok")
@@ -256,13 +263,29 @@ def text_word2vec_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .first()["tok"]
     )
     model = Word2Vec(
-        vectorSize=16, minCount=2, seed=42, numPartitions=1,
+        vectorSize=16, minCount=2, seed=42, numPartitions=num_partitions,
         inputCol="tokens", outputCol="vec",
     ).fit(tokenized)
     return (
-        model.findSynonyms(top_token, 5)
+        model.findSynonyms(top_token, k)
         .select("word", F.round("similarity", 6).alias("similarity"))
     )
+
+
+@query(
+    "text_word2vec_neighbors",
+    None,  # iterative trainer — no closed-form SQL analog; rows-only gate,
+    # correctness pinned by the neighbor-stability tests in test_word2vec.py
+    "text", "mllib", "pipeline",
+)
+def text_word2vec_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word2Vec (SURVEY §2.G text row): embed the 200-doc probe corpus and
+    return the 5 nearest neighbors of the corpus's most frequent token.
+    Scale: the fit is multi-partition (4-way here; proportional on a real
+    cluster) — MLlib distributes skip-gram minibatches — and the synonym
+    lookup is a driver-side top-k over the (vocab × dim) matrix —
+    vocab-bounded, never data-bounded."""
+    return word2vec_synonyms(spark, sf_dir, num_partitions=4, k=5)
 
 
 @query(
