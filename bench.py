@@ -2,14 +2,18 @@
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
 and prints ONE JSON line for the driver's BENCH_r{N}.json.
 
-Each query is executed once to warm the JVM/scan cache and once timed
-(count() to force full execution without driver-side materialization).
+Each query is executed once to warm the JVM/scan cache, then timed three
+times with the MEDIAN reported (count() to force full execution without
+driver-side materialization). Medians keep AQE re-planning variance and
+shared-session noise from masquerading as regressions — the round-3
+verdict traced several apparent per-query regressions to n=1 sampling.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -91,9 +95,12 @@ def main() -> None:
     per_query: dict[str, float] = {}
     for n in names:
         QUERIES[n].fn(spark, sf_dir).count()  # JIT/codegen/scan-cache warm
-        t0 = time.perf_counter()
-        QUERIES[n].fn(spark, sf_dir).count()
-        per_query[n] = round(time.perf_counter() - t0, 4)
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            QUERIES[n].fn(spark, sf_dir).count()
+            samples.append(time.perf_counter() - t0)
+        per_query[n] = round(statistics.median(samples), 4)
 
     total = round(sum(per_query.values()), 4)
     print(
