@@ -153,7 +153,10 @@ def make_tws_freshener(shelf_life_ms: int, score_fn: Callable[[float], float]):
     ``google.protobuf`` on the Python workers (the tWS worker protocol is
     protobuf-framed; absent in some minimal runtimes — the
     ``applyInPandasWithState`` freshener above has no such dependency and
-    is the portable fallback). State is the same
+    is the portable fallback; the two are held to one contract by
+    ``tests/test_streaming.py::test_tws_processor_agrees_with_group_state_freshener``,
+    which drives both over stub state handles so the tWS logic is
+    verified even where the wire protocol cannot run). State is the same
     O(1)-per-key (last_ts, last_score) record — the capsule-cache analog
     (``InternalFreshKijiTableReader.java:356-386``); RocksDB keeps it off
     the executor heap, which is what makes billions of keys viable."""
