@@ -359,3 +359,53 @@ def stats_linear_regression_price_qty(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "avro_cell_roundtrip_nation_stats",
+    """
+    SELECT c_nationkey AS nationkey,
+      COUNT(*) AS n_customers,
+      CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+      MAX(c_name) AS max_name
+    FROM customer
+    GROUP BY c_nationkey
+    ORDER BY nationkey
+    """,
+    "sources", "avro", "multimodal",
+)
+def avro_cell_roundtrip_nation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro-record cell values (SURVEY §1.2): pack (name, cents) into a
+    binary Avro record cell per customer — the reference stores every
+    cell Avro-encoded (``KijiFreshnessManager.java:31-38``) — then decode
+    the cells back and aggregate the DECODED values per nation. The
+    oracle computes the same stats straight from the parquet columns, so
+    any asymmetry or value loss in the encode/decode path fails the hash
+    match (spec compliance itself is pinned by golden bytes in
+    tests/test_avro.py). All aggregates are integers/strings — no float
+    accumulation to flip.
+
+    Scale: both codec stages are Arrow-batched mapInPandas (per-batch
+    Python, never per-row) and fuse with the scan — no shuffle until the
+    final 25-group aggregation. On a cluster with the spark-avro
+    connector loaded the codec runs JVM-side via from_avro/to_avro
+    (decode_avro_cells auto-probes), dropping Python entirely."""
+    from .operators.avro import decode_avro_cells, encode_avro_cells
+
+    fields = [("name", "string"), ("cents", "long")]
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_name").alias("name"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    cells = encode_avro_cells(cust, fields, "cell")
+    decoded = decode_avro_cells(cells, "cell", fields)
+    return (
+        decoded.groupBy("nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("cents").alias("sum_cents"),
+            F.max("name").alias("max_name"),
+        )
+        .orderBy("nationkey")
+    )

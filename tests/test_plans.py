@@ -57,6 +57,9 @@ ARROW_QUERIES = {
     "multimodal_audio_features",
     "udaf_trimmed_mean_acctbal",
     "udf_pandas_scalar_discounted_cents",
+    # Avro cell codec: pure-Python fallback path is two mapInPandas
+    # stages; JVM-side (from_avro) where the connector jar exists
+    "avro_cell_roundtrip_nation_stats",
 }
 
 
