@@ -949,3 +949,48 @@ def join_null_safe_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(a["rf"], "n_rows", "sum_qty")
         .orderBy(F.asc_nulls_first("rf"))
     )
+
+
+@query(
+    "recursive_cte_month_spine_orders",
+    """
+    WITH RECURSIVE spine(m) AS (
+      SELECT CAST(date_trunc('month', (SELECT MIN(o_orderdate) FROM orders)) AS DATE)
+      UNION ALL
+      SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM spine
+      WHERE m < CAST(date_trunc('month', (SELECT MAX(o_orderdate) FROM orders)) AS DATE)
+    )
+    SELECT strftime(s.m, '%Y-%m') AS month, COUNT(o.o_orderkey) AS n_orders
+    FROM spine s LEFT JOIN orders o
+      ON CAST(date_trunc('month', o.o_orderdate) AS DATE) = s.m
+    GROUP BY s.m ORDER BY month
+    """,
+    "relational", "recursive-cte",
+)
+def recursive_cte_month_spine_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (§2.C extension; Spark 4 WITH RECURSIVE): generate a
+    complete month spine from MIN to MAX order date, then LEFT JOIN order
+    counts onto it — the gap-free calendar shape reports need, expressed
+    as the standard SQL recursion instead of a driver-side loop.
+
+    Scale: recursion depth = number of months (bounded by the data's time
+    span, ~84 here), each step a one-row projection — the iterative part
+    is O(months) driver-scheduled tiny jobs, never data-sized. The spine
+    (~100 rows) broadcasts into the join against orders, so the only
+    data-sized operation is one pass over orders pre-aggregated on the
+    month key (partial agg before the shuffle)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE spine(m) AS (
+          SELECT CAST(date_trunc('month', (SELECT MIN(o_orderdate) FROM orders)) AS DATE)
+          UNION ALL
+          SELECT add_months(m, 1) FROM spine
+          WHERE m < CAST(date_trunc('month', (SELECT MAX(o_orderdate) FROM orders)) AS DATE)
+        )
+        SELECT date_format(s.m, 'yyyy-MM') AS month, COUNT(o.o_orderkey) AS n_orders
+        FROM spine s LEFT JOIN orders o
+          ON CAST(date_trunc('month', o.o_orderdate) AS DATE) = s.m
+        GROUP BY s.m ORDER BY month
+        """
+    )

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .queries import query
-from .sources import load_table, read_csv, read_json, read_orc
+from .sources import load_table, read_csv, read_json, read_orc, read_xml
 
 _FORMAT_CACHE = os.path.join(tempfile.gettempdir(), "kiji_scoring_spark_formats")
 
@@ -42,12 +42,16 @@ def _materialized(spark: SparkSession, sf_dir: str, name: str, fmt: str) -> Data
             writer.option("header", "true").csv(path)
         elif fmt == "orc":
             writer.orc(path)
+        elif fmt == "xml":
+            writer.format("xml").options(rootTag="rows", rowTag="row").save(path)
         else:
             writer.json(path)
     if fmt == "csv":
         return read_csv(spark, path, src.schema, header="true")
     if fmt == "orc":
         return read_orc(spark, path)
+    if fmt == "xml":
+        return read_xml(spark, path, src.schema, row_tag="row")
     return read_json(spark, path, src.schema)
 
 
@@ -358,6 +362,35 @@ def stats_linear_regression_price_qty(spark: SparkSession, sf_dir: str) -> DataF
             F.round(F.regr_avgy(y, x), 6).alias("avg_price"),
         )
         .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "xml_scan_customer_segments",
+    """
+    SELECT c_mktsegment, count(*) AS n_customers,
+      CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+    FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    "source", "xml",
+)
+def xml_scan_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML scan (§2.B): customer round-trips through Spark 4's built-in
+    XML source (the former spark-xml package, merged upstream) and
+    ``read_xml`` with explicit schema; the group-agg matching the parquet
+    oracle proves tag escaping and type restoration. XML splits by FILE,
+    not byte range, so the write side keeps many moderate files — the
+    ingest layout that stays parallel at 100 TB."""
+    c = _materialized(spark, sf_dir, "customer", "xml")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_acctbal"),
+        )
+        .orderBy("c_mktsegment")
     )
 
 

@@ -641,3 +641,107 @@ def corpus_prep_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "domain_cap_sample_documents",
+    """
+    SELECT source, doc_id, n_chars FROM (
+      SELECT source, doc_id, n_chars,
+        ROW_NUMBER() OVER (
+          PARTITION BY source
+          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        ) AS rn
+      FROM documents
+    ) t WHERE rn <= 20
+    ORDER BY source, doc_id
+    """,
+    "pipeline", "sampling", "domain-cap",
+)
+def domain_cap_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap (§2.G sampling): keep at most K=20 documents per
+    source, chosen by a deterministic md5 shuffle — the standard web-corpus
+    guard against any one domain dominating the training mix. Hash order
+    (not doc_id order) so the kept subset is an unbiased sample of each
+    domain, yet reproducible run-to-run with no RNG state.
+
+    Scale: one shuffle on source + a ranked window that early-stops at
+    rank K per partition (WindowGroupLimit pushes the limit below the
+    sort). Skewed domains are exactly the point — the cap bounds each
+    group's output at K regardless of its input size; the window sort for
+    a mega-domain is the one data-sized cost, and at 100 TB the md5 rank
+    can be pre-filtered by a quantile-estimated hash cutoff per domain to
+    prune before the sort."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("source", "doc_id", "n_chars")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .drop("rn")
+        .orderBy("source", "doc_id")
+    )
+
+
+@query(
+    "quality_char_entropy",
+    """
+    WITH chars AS (
+      SELECT doc_id, substr(text, i, 1) AS ch
+      FROM documents, LATERAL (
+        SELECT unnest(range(1, length(text) + 1)) AS i
+      )
+      WHERE doc_id < 300
+    ),
+    freqs AS (
+      SELECT doc_id, ch, COUNT(*) AS cnt FROM chars GROUP BY doc_id, ch
+    ),
+    totals AS (
+      SELECT doc_id, SUM(cnt) AS total, COUNT(*) AS alphabet FROM freqs GROUP BY doc_id
+    )
+    SELECT f.doc_id,
+      CAST(t.alphabet AS BIGINT) AS alphabet,
+      ROUND(-SUM((f.cnt / t.total) * log2(f.cnt / t.total)), 6) AS entropy_bits
+    FROM freqs f JOIN totals t USING (doc_id)
+    GROUP BY f.doc_id, t.alphabet
+    ORDER BY f.doc_id
+    """,
+    "pipeline", "text", "quality",
+)
+def quality_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document (§2.G quality): the
+    repetition-junk detector orthogonal to the n-gram flags — machine-
+    generated or boilerplate text has a collapsed character distribution
+    and scores low; natural prose sits near 4-4.5 bits. Computed wholly
+    in codegen: posexplode of the char positions, two hash aggregations
+    (per-(doc,char) counts, then per-doc -sum(p*log2(p))).
+
+    Scale: the explode fans out len(text) rows per doc but they fold
+    straight into the first partial aggregation map-side (alphabet-bounded
+    state per doc, ~100 entries); the shuffle carries only (doc, char,
+    cnt) triples. Rounded to 6 so float summation order over the small
+    alphabet can't flip a bit."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", "text")
+    )
+    chars = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"),
+        "text",
+    ).select("doc_id", F.expr("substr(text, i, 1)").alias("ch"))
+    freqs = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = freqs.groupBy("doc_id").agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("alphabet")
+    )
+    p = F.col("cnt") / F.col("total")
+    return (
+        freqs.join(totals, "doc_id")
+        .groupBy("doc_id", "alphabet")
+        .agg(F.round(-F.sum(p * F.log2(p)), 6).alias("entropy_bits"))
+        .select("doc_id", F.col("alphabet").cast("bigint").alias("alphabet"), "entropy_bits")
+        .orderBy("doc_id")
+    )

@@ -85,6 +85,21 @@ def read_orc(spark: SparkSession, path: str, **options) -> DataFrame:
     return spark.read.options(**options).orc(path)
 
 
+def read_xml(spark: SparkSession, path: str, schema, row_tag: str = "row", **options) -> DataFrame:
+    """XML scan (Spark 4's built-in XML source — the former spark-xml
+    package merged upstream) with an explicit schema, same
+    no-inference-at-scale rationale as CSV/JSON. XML splits by file, not
+    by byte range (a row can span arbitrary tag nesting), so at 100 TB
+    the ingest layout must be many moderate files, never one giant
+    document."""
+    return (
+        spark.read.format("xml")
+        .options(rowTag=row_tag, **options)
+        .schema(schema)
+        .load(path)
+    )
+
+
 def write_parquet(
     df: DataFrame,
     path: str,
