@@ -72,6 +72,13 @@ HEADLINE = [
     # round 3 flagship composite: full corpus-prep pass (quality +
     # decontamination + dedup + audit rollup in ~4 shuffles)
     "corpus_prep_end_to_end",
+    # round 4 additions: Avro cell codec (Arrow-batched Python fallback
+    # path), per-domain cap (WindowGroupLimit), char-entropy quality
+    # (explode -> map-side partial agg), VARIANT shredded JSON access
+    "avro_cell_roundtrip_nation_stats",
+    "domain_cap_sample_documents",
+    "quality_char_entropy",
+    "variant_shred_event_props",
 ]
 
 #: round-over-round regression reference (sum over that round's HEADLINE):

@@ -226,6 +226,42 @@ def scalar_json_events_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "variant_shred_event_props",
+    """
+    SELECT event_type,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS sum_k,
+      MIN(CAST(props->>'$.k' AS INTEGER)) AS min_k,
+      MAX(CAST(props->>'$.k' AS INTEGER)) AS max_k
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "scalar", "json", "variant",
+)
+def variant_shred_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (§2.D extension, Spark 4): parse the
+    JSON props column to VARIANT once, then typed ``variant_get``
+    extractions feed the aggregation. Unlike get_json_object (which
+    re-parses the string per extraction), VARIANT is a shredded binary
+    encoding — repeated field access is an offset lookup, the right shape
+    when a 100 TB event stream is queried on a handful of props keys.
+    The oracle shreds the same fields with DuckDB's JSON extraction."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.parse_json("props").alias("v")
+    )
+    k = F.variant_get(F.col("v"), "$.k", "int")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(k).alias("sum_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
     "scalar_map_battery",
     """
     SELECT n_nationkey,
