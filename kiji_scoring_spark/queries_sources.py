@@ -442,3 +442,58 @@ def avro_cell_roundtrip_nation_stats(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("nationkey")
     )
+
+
+@query(
+    "pyds_synthetic_events_stats",
+    """
+    WITH e AS (
+      SELECT event_id,
+        (event_id * 2654435761) % 10000 AS user_id,
+        CASE event_id % 4 WHEN 0 THEN 'view' WHEN 1 THEN 'click'
+                          WHEN 2 THEN 'purchase' ELSE 'refund' END AS event_type,
+        (event_id * 31) % 9700 AS value_cents
+      FROM range(0, 40000) t(event_id)
+    )
+    SELECT event_type, COUNT(*) AS n_events,
+      CAST(SUM(value_cents) AS BIGINT) AS sum_cents,
+      CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM e GROUP BY event_type ORDER BY event_type
+    """,
+    "source", "datasource", "python-ds",
+)
+def pyds_synthetic_events_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource scan (§2.B extension, Spark 4): read 40k
+    synthetic events from ``SyntheticEventsDataSource`` — 8 planned
+    InputPartitions, each generated executor-side — and aggregate. The
+    rows are pure integer functions of event_id, so the oracle re-derives
+    the identical relation from ``range()``: the custom-source path is
+    hash-checked end to end, not just smoke-run.
+
+    Scale: the source IS the partition plan — volume scales by adding
+    partitions (tasks), rows never touch the driver or any storage; the
+    aggregation behind it is ordinary partial+final codegen. This is the
+    wrap-anything pattern for systems without a JVM connector (REST
+    cursors, bespoke binary stores): plan splits in ``partitions()``,
+    stream each split in ``read()``."""
+    from .sources.synthetic import SyntheticEventsDataSource
+
+    try:
+        spark.dataSource.register(SyntheticEventsDataSource)
+    except Exception:
+        pass  # already registered in this session
+    ev = (
+        spark.read.format("synthetic_events")
+        .option("rows_per_partition", 5000)
+        .option("num_partitions", 8)
+        .load()
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value_cents").alias("sum_cents"),
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
