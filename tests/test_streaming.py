@@ -388,3 +388,45 @@ def test_foreach_batch_scoring_sink(spark, stream_dirs, tmp_path):
     src_row = spark.read.parquet(src).orderBy("event_id").limit(1).collect()[0]
     assert one["score"] == src_row["value"] * 2
     assert scored.select("batch_id").distinct().count() >= 2  # multiple micro-batches
+
+
+def test_checkpoint_restart_processes_each_row_exactly_once(spark, tmp_path):
+    """§2.F recovery contract: an availableNow run drains the source and
+    stops; files that arrive AFTER it are picked up by a restart with the
+    SAME checkpoint — and only those files. The offset log must prevent
+    any reprocessing of already-committed micro-batches across the
+    restart: total sink rows == total source rows, each exactly once.
+    This is the property that makes incremental daily reruns safe at
+    100 TB — a restart must never re-bill the whole history."""
+    import pandas as pd
+
+    src = tmp_path / "restart_src"
+    src.mkdir()
+    sink = str(tmp_path / "restart_sink")
+    ckpt = str(tmp_path / "restart_ckpt")
+
+    def write_file(name, lo, hi):
+        pd.DataFrame({"user_id": list(range(lo, hi))}).to_parquet(src / name)
+
+    def run_once():
+        stream = spark.readStream.schema("user_id long").parquet(str(src))
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda b, _bid: b.write.mode("append").parquet(sink)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        run_to_completion(q)
+
+    write_file("a.parquet", 0, 100)
+    run_once()
+    first = spark.read.parquet(sink).collect()
+    assert sorted(r.user_id for r in first) == list(range(100))
+
+    write_file("b.parquet", 100, 150)
+    run_once()
+    second = spark.read.parquet(sink).collect()
+    # 150 rows total, no duplicates: batch A was not reprocessed
+    assert sorted(r.user_id for r in second) == list(range(150))
