@@ -745,3 +745,66 @@ def quality_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("alphabet").cast("bigint").alias("alphabet"), "entropy_bits")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "quality_unigram_logprob",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, lower(unnest(list_filter(
+        regexp_split_to_array(text, '\W+'), x -> x <> ''))) AS tok
+      FROM documents
+    ),
+    freqs AS (
+      SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+    ),
+    corpus AS (
+      SELECT SUM(cnt) AS total FROM freqs
+    )
+    SELECT t.doc_id,
+      CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      ROUND(AVG(-log2(f.cnt / c.total)), 6) AS avg_neg_logprob
+    FROM toks t JOIN freqs f ON t.tok = f.tok CROSS JOIN corpus c
+    GROUP BY t.doc_id
+    HAVING COUNT(*) >= 5
+    ORDER BY t.doc_id
+    """,
+    "pipeline", "text", "quality",
+)
+def quality_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram log-probability quality score (§2.G): each document's mean
+    -log2 p(token) under the corpus's own unigram distribution — the
+    closed-form proxy for the KenLM-perplexity filter used in web-corpus
+    pipelines (high = rare/garbled vocabulary, low = repetitive
+    boilerplate; both tails get filtered). Self-trained: the "model" is
+    one aggregation over the very corpus being scored.
+
+    Scale: tokenize is a narrow flatMap; the unigram table is
+    vocab-sized (Zipf-bounded, orders of magnitude smaller than the
+    corpus) so the score join broadcasts it; one shuffle builds the
+    vocab, one aggregates per doc. AVG of -log2 over a doc's tokens is
+    rounded to 6 so accumulation order can't flip a bit."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col("text"), r"\W+"), lambda x: x != "")
+        ).alias("tok"),
+    ).withColumn("tok", F.lower("tok"))
+    freqs = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = freqs.agg(F.sum("cnt").alias("total"))
+    scored = (
+        toks.join(F.broadcast(freqs), "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(-F.log2(F.col("cnt") / F.col("total"))), 6).alias(
+                "avg_neg_logprob"
+            ),
+        )
+        .filter(F.col("n_tokens") >= 5)
+        .select("doc_id", "n_tokens", "avg_neg_logprob")
+        .orderBy("doc_id")
+    )
+    return scored
