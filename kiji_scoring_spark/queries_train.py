@@ -808,3 +808,79 @@ def quality_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
     )
     return scored
+
+
+@query(
+    "mixture_rebalance_sources",
+    """
+    WITH t AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens,
+        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS h
+      FROM documents
+    ), totals AS (
+      SELECT source, SUM(n_tokens) AS total FROM t GROUP BY source
+    ), budget AS (
+      SELECT MIN(total) AS b FROM totals
+    )
+    SELECT t.source,
+      CAST(tt.total AS BIGINT) AS orig_tokens,
+      COUNT(CASE WHEN CAST(t.h AS HUGEINT) * tt.total
+                      < CAST(b.b AS HUGEINT) * 281474976710656 THEN 1 END)
+        AS kept_docs,
+      CAST(COALESCE(SUM(CASE WHEN CAST(t.h AS HUGEINT) * tt.total
+                                  < CAST(b.b AS HUGEINT) * 281474976710656
+                             THEN t.n_tokens END), 0) AS BIGINT) AS kept_tokens
+    FROM t JOIN totals tt USING (source) CROSS JOIN budget b
+    GROUP BY t.source, tt.total ORDER BY t.source
+    """,
+    "pipeline", "sampling", "mixture",
+)
+def mixture_rebalance_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture rebalancing (§2.G): subsample every source down to the
+    smallest source's token budget so each contributes an equal expected
+    token share — the mixture-weight step between corpus cleaning and
+    tokenization. A doc survives iff md5-uniform(doc_id) < budget/total
+    for its source, evaluated as EXACT integer cross-multiplication
+    (h * total < budget * 2^48, in DECIMAL(38,0)/HUGEINT) — no float
+    threshold for engines to disagree on, and md5 makes the subsample
+    reproducible and auditable, the property a training mix needs.
+
+    Scale: one shuffle computes per-source token totals (a source-count-
+    sized table that broadcasts back, as does the single-row budget); the
+    keep decision is then a stateless per-row predicate, so the corpus
+    streams through once. Changing target weights only changes the
+    broadcast side."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10
+    ).cast("bigint")
+    t = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        h.alias("h"),
+    )
+    totals = t.groupBy("source").agg(F.sum("n_tokens").alias("total"))
+    budget = totals.agg(F.min("total").alias("b"))
+    keep = (F.col("h").cast("decimal(38,0)") * F.col("total")) < (
+        F.col("b").cast("decimal(38,0)") * F.lit(281474976710656)
+    )
+    return (
+        t.join(F.broadcast(totals), "source")
+        .crossJoin(F.broadcast(budget))
+        .withColumn("keep", keep)
+        .groupBy("source", "total")
+        .agg(
+            F.count(F.when(F.col("keep"), 1)).alias("kept_docs"),
+            F.coalesce(
+                F.sum(F.when(F.col("keep"), F.col("n_tokens"))), F.lit(0)
+            ).alias("kept_tokens"),
+        )
+        .select(
+            "source",
+            F.col("total").alias("orig_tokens"),
+            "kept_docs",
+            "kept_tokens",
+        )
+        .orderBy("source")
+    )
