@@ -852,3 +852,47 @@ def embedding_centroids_per_label(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("label", "pos")
     )
+
+
+_INCR_SPLIT = 400  # docs >= split form the "newly arrived shard"
+
+
+@query(
+    "dedup_incremental_new_vs_corpus",
+    _minhash_oracle_sql().replace(
+        "AND a.doc_id < b.doc_id",
+        f"AND a.doc_id < {_INCR_SPLIT} AND b.doc_id >= {_INCR_SPLIT}",
+    ),
+    "dedup", "pipeline", "lsh", "incremental",
+)
+def dedup_incremental_new_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup (§2.G): candidate near-dup pairs
+    between a NEWLY ARRIVED shard (doc_id >= 400) and the EXISTING corpus
+    (doc_id < 400) — the shape a continuously-fed training pipeline runs
+    on every batch, where re-deduping the whole corpus per arrival would
+    be quadratic over time.
+
+    Scale: the corpus side of the band equi-join is exactly the persisted
+    band index a production pipeline maintains (signature pipeline runs
+    once per doc EVER — here both sides derive from one shared signature
+    scan); each new shard probes it on (band_idx, band_key) and appends
+    its own bands afterward. New-shard bands are small relative to the
+    index, so AQE picks a broadcast probe; no all-pairs, no corpus
+    recompute. doc_a < doc_b holds by construction (old < split <= new)."""
+    d = load_table(spark, sf_dir, "documents")
+    sig = dd.minhash_signature_df(d, "doc_id", "text")
+    bands = dd.minhash_band_keys(sig, "doc_id")
+    old_b = bands.filter(F.col("doc_id") < _INCR_SPLIT).alias("a")
+    new_b = bands.filter(F.col("doc_id") >= _INCR_SPLIT).alias("b")
+    return (
+        old_b.join(
+            new_b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
