@@ -872,27 +872,42 @@ def dedup_incremental_new_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFra
     on every batch, where re-deduping the whole corpus per arrival would
     be quadratic over time.
 
-    Scale: the corpus side of the band equi-join is exactly the persisted
-    band index a production pipeline maintains (signature pipeline runs
-    once per doc EVER — here both sides derive from one shared signature
-    scan); each new shard probes it on (band_idx, band_key) and appends
-    its own bands afterward. New-shard bands are small relative to the
-    index, so AQE picks a broadcast probe; no all-pairs, no corpus
-    recompute. doc_a < doc_b holds by construction (old < split <= new)."""
+    Scale: in production the corpus band index is PERSISTED parquet and
+    each new shard probes it with an equi-join on (band_idx, band_key),
+    appending its own bands afterward — the signature pipeline runs once
+    per document ever. Here both sides derive from the same scan, so a
+    literal two-sided join would re-execute that pipeline per side
+    (verified: 4 scans, no exchange reuse); instead the band buckets are
+    grouped ONCE (one shuffle, pipeline executed once — the band_pairs
+    formulation) and cross-boundary pairs are built in-bucket with array
+    HOFs. doc_a < doc_b holds by construction (old < split <= new);
+    DISTINCT collapses pairs that collide in both bands."""
     d = load_table(spark, sf_dir, "documents")
     sig = dd.minhash_signature_df(d, "doc_id", "text")
     bands = dd.minhash_band_keys(sig, "doc_id")
-    old_b = bands.filter(F.col("doc_id") < _INCR_SPLIT).alias("a")
-    new_b = bands.filter(F.col("doc_id") >= _INCR_SPLIT).alias("b")
+    buckets = (
+        bands.groupBy("band_idx", "band_key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    # olds/news materialized as projected columns BEFORE the pair HOF —
+    # interpreted lambdas have no CSE, so referencing the filter
+    # expressions inside the nested transform would re-run them per element
+    split_buckets = buckets.select(
+        F.filter("ids", lambda x: x < F.lit(_INCR_SPLIT)).alias("olds"),
+        F.filter("ids", lambda x: x >= F.lit(_INCR_SPLIT)).alias("news"),
+    ).filter((F.size("olds") > 0) & (F.size("news") > 0))
+    pairs = F.flatten(
+        F.transform(
+            "olds",
+            lambda a: F.transform(
+                "news", lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b"))
+            ),
+        )
+    )
     return (
-        old_b.join(
-            new_b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        split_buckets.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
         .orderBy("doc_a", "doc_b")
     )
