@@ -884,3 +884,86 @@ def mixture_rebalance_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def _leakage_safe_split_oracle() -> str:
+    return f"""
+    WITH RECURSIVE base AS ({_minhash_oracle_sql().replace("ORDER BY doc_a, doc_b", "")}
+    ), edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM base
+      UNION ALL
+      SELECT doc_b, doc_a FROM base
+    ), cc(node, label) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.v, cc.label FROM cc JOIN edges e ON e.u = cc.node
+    ), canon AS (
+      SELECT node AS doc_id, MIN(label) AS canonical FROM cc GROUP BY node
+    ), labeled AS (
+      SELECT d.doc_id, d.n_chars,
+        COALESCE(c.canonical, d.doc_id) AS canonical,
+        ('0x' || substr(md5(CAST(COALESCE(c.canonical, d.doc_id) AS VARCHAR)),
+                        1, 8))::BIGINT % 100 AS b
+      FROM documents d LEFT JOIN canon c USING (doc_id)
+    )
+    SELECT
+      CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'valid' ELSE 'test' END
+        AS split,
+      COUNT(*) AS n_docs,
+      CAST(COUNT(DISTINCT canonical) AS BIGINT) AS n_clusters,
+      CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM labeled GROUP BY split ORDER BY split
+    """
+
+
+@query(
+    "split_leakage_safe_by_cluster",
+    _leakage_safe_split_oracle(),
+    "pipeline", "sample", "split", "lsh",
+)
+def split_leakage_safe_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/valid/test split (§2.G): hash-bucket by the
+    near-dup CLUSTER's canonical id, not the document id. A plain per-doc
+    split puts two near-duplicates on opposite sides of the train/test
+    boundary — the classic eval-contamination leak that per-doc hashing
+    cannot prevent; splitting by the connected component's canonical
+    representative keeps every near-dup family in ONE split by
+    construction. Docs outside any cluster are their own canonical.
+
+    Scale: minhash bands → in-bucket pairs → iterative min-label
+    propagation (per-round localCheckpoint, driver sees only a changed
+    count) — all shapes already proven by the dedup queries; the cluster
+    map is duplicate-family-sized, so its join back to the corpus
+    broadcasts. Split assignment is then the same zero-shuffle md5 map as
+    split_train_valid_test_hash, and re-splitting a grown corpus moves a
+    doc only if its CLUSTER changed."""
+    d = load_table(spark, sf_dir, "documents")
+    sig = dd.minhash_signature_df(d, "doc_id", "text")
+    bands = dd.minhash_band_keys(sig, "doc_id")
+    pairs = dd.band_pairs(bands, "doc_id")
+    canon = dd.connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("__canon__")
+    )
+    labeled = (
+        d.select("doc_id", "n_chars")
+        .join(F.broadcast(canon), "doc_id", "left")
+        .withColumn("canonical", F.coalesce("__canon__", "doc_id"))
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("canonical").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "valid").otherwise("test")
+    )
+    return (
+        labeled.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct(F.col("canonical")).alias("n_clusters"),
+            F.sum("n_chars").alias("chars"),
+        )
+        .orderBy("split")
+    )
