@@ -79,6 +79,11 @@ HEADLINE = [
     "domain_cap_sample_documents",
     "quality_char_entropy",
     "variant_shred_event_props",
+    # round 4 pipeline ops: incremental band-index probe, equal-token
+    # mixture rebalance, unigram-logprob quality (vocab broadcast)
+    "dedup_incremental_new_vs_corpus",
+    "mixture_rebalance_sources",
+    "quality_unigram_logprob",
 ]
 
 #: round-over-round regression reference (sum over that round's HEADLINE):
