@@ -994,3 +994,48 @@ def recursive_cte_month_spine_orders(spark: SparkSession, sf_dir: str) -> DataFr
         GROUP BY s.m ORDER BY month
         """
     )
+
+
+@query(
+    "asof_join_pairwise_event_probes",
+    """
+    WITH probes AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_id % 97 = 0
+    ), r AS (
+      SELECT user_id, ts, MAX(value) AS value FROM events GROUP BY user_id, ts
+    )
+    SELECT p.event_id, p.user_id, m.value AS asof_value
+    FROM probes p
+    LEFT JOIN LATERAL (
+      SELECT value FROM r WHERE r.user_id = p.user_id AND r.ts <= p.ts
+      ORDER BY r.ts DESC LIMIT 1
+    ) m ON TRUE
+    ORDER BY p.event_id
+    """,
+    "join", "asof",
+)
+def asof_join_pairwise_event_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PAIRWISE as-of join variant (operators/joins.asof_join) on a
+    deterministic ~1% probe sample, driver-checked alongside the union
+    variant: equi-join on user_id + backward time inequality + per-left-row
+    window keyed on the caller-supplied unique event_id — the
+    retry-deterministic path (round-4: a synthetic
+    monotonically_increasing_id can renumber on stage retry; a real key
+    cannot). Right side is deduped to unique (user_id, ts) so the single
+    match is well-defined on both engines.
+
+    Scale: both sides shuffle once on user_id; the dedup window's state is
+    one row per (left row, match), with the window key one long column.
+    Use asof_join_union instead when the right side is dense per key (no
+    join fan-out there); this shape wins when matches per key are few."""
+    from .operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    probes = ev.filter(F.col("event_id") % 97 == 0).select(
+        "event_id", "user_id", "ts"
+    )
+    r = ev.groupBy("user_id", "ts").agg(F.max("value").alias("value"))
+    out = asof_join(probes, r, ["user_id"], "ts", "ts", left_id="event_id")
+    return out.select(
+        "event_id", "user_id", F.col("value").alias("asof_value")
+    ).orderBy("event_id")
