@@ -911,3 +911,108 @@ def dedup_incremental_new_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFra
         .distinct()
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query(
+    "setsim_join_exact_jaccard",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+        list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS tk
+      FROM documents WHERE doc_id < 150
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      CAST(len(list_intersect(a.tk, b.tk)) AS BIGINT) AS n_inter,
+      CAST(len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk)) AS BIGINT)
+        AS n_union
+    FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+    WHERE 8 * len(list_intersect(a.tk, b.tk)) >= 3 * (len(a.tk) + len(b.tk))
+    ORDER BY doc_a, doc_b
+    """,
+    "dedup", "pipeline", "setsim",
+)
+def setsim_join_exact_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join (Jaccard >= 0.6) via PPJoin-style
+    prefix filtering — the deterministic complement to probabilistic
+    minhash: no false negatives, no tuning, same never-all-pairs shape.
+    Two sets with J >= t MUST share a token among each one's first
+    n - ceil(t*n) + 1 tokens under any shared global order; ordering
+    rare-tokens-first makes those prefix buckets tiny. Candidates come
+    from grouping prefix-token buckets (one shuffle, in-bucket pairs —
+    the band_pairs formulation); the exact Jaccard check then keeps true
+    pairs, compared in integer cross-multiplication (8*inter >= 3*(|a|+|b|)
+    <=> J >= 0.6) so no float threshold exists.
+
+    The oracle brute-forces all pairs on the bounded probe set — valid
+    precisely because prefix filtering is LOSSLESS, so the scale path and
+    the quadratic path must return identical rows.
+
+    Scale: prefix explode is ~(1-t)·|tokens| rows; buckets are rare-token
+    buckets; the verify join re-derives token arrays from the scan (a
+    narrow map fused with it) keyed by doc — never a cross product."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    toks = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.filter(F.split("text", " "), lambda x: x != "")
+        ).alias("tk"),
+    ).filter(F.size("tk") > 0)
+
+    # global rare-first order: (corpus frequency, token)
+    exploded = toks.select("doc_id", F.explode("tk").alias("tok"))
+    freq = exploded.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    # per-doc tokens sorted rare-first; prefix keeps n - ceil(0.6n) + 1
+    ordered = (
+        exploded.join(F.broadcast(freq), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("cnt", "tok"))),
+                lambda s: s["tok"],
+            ).alias("sorted_tk")
+        )
+    )
+    n = F.size("sorted_tk")
+    prefix_len = n - F.floor((3 * n + 4) / 5).cast("int") + 1
+    prefix = ordered.select(
+        "doc_id", F.explode(F.slice("sorted_tk", 1, prefix_len)).alias("tok")
+    )
+    buckets = (
+        prefix.groupBy("tok")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size("ids")),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    cands = (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    a = toks.select(F.col("doc_id").alias("doc_a"), F.col("tk").alias("tka"))
+    b = toks.select(F.col("doc_id").alias("doc_b"), F.col("tk").alias("tkb"))
+    inter = F.size(F.array_intersect("tka", "tkb"))
+    verified = (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("n_inter", inter)
+        .filter(
+            8 * F.col("n_inter") >= 3 * (F.size("tka") + F.size("tkb"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_inter").cast("long").alias("n_inter"),
+            (F.size("tka") + F.size("tkb") - F.col("n_inter"))
+            .cast("long")
+            .alias("n_union"),
+        )
+    )
+    return verified.orderBy("doc_a", "doc_b")
