@@ -10,7 +10,7 @@ collections sorted before comparison, md5 as the portable hash.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .queries import query
@@ -498,3 +498,58 @@ def sample_stratified_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "feature_decayed_engagement",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, value,
+        CAST(epoch_us(ts) AS DOUBLE) / 86400000000.0 AS td
+      FROM events WHERE user_id < 50
+    ), n AS (
+      SELECT user_id, event_id, value,
+        td - MIN(td) OVER (PARTITION BY user_id) AS d
+      FROM e
+    )
+    SELECT user_id, event_id,
+      ROUND(
+        SUM(value * exp(d / 7.0)) OVER (
+          PARTITION BY user_id ORDER BY d, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) * exp(-d / 7.0), 6) AS decayed_sum
+    FROM n ORDER BY user_id, event_id
+    """,
+    "window", "feature", "timeseries",
+)
+def feature_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed engagement score per user (7-day
+    half-life-ish τ): decayed_i = Σ_{j≤i} v_j·exp(-(t_i-t_j)/τ) — the
+    standard recency-weighted feature for scoring models, computed WITHOUT
+    a stateful UDAF via the factorization Σ v_j·exp(t_j/τ) · exp(-t_i/τ):
+    one ordered running sum per user. Times are normalized to days since
+    the user's first event (one extra window min) so the exponentials stay
+    in range regardless of epoch magnitude.
+
+    Scale: two windows over the same (user_id) partitioning — one
+    exchange, state is a single running double per user; no UDAF, no
+    Python. Ordered running sums accumulate in the same row order on both
+    engines, so rounding to 6 dp is deterministic. The τ knob moves into
+    a column for per-segment decay without changing the plan."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    td = (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86_400_000_000.0))
+    e = ev.select("user_id", "event_id", "value", td.alias("td"))
+    w_min = Window.partitionBy("user_id")
+    n = e.withColumn("d", F.col("td") - F.min("td").over(w_min))
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("d", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    decayed = (
+        F.sum(F.col("value") * F.exp(F.col("d") / 7.0)).over(w_run)
+        * F.exp(-F.col("d") / 7.0)
+    )
+    return n.select(
+        "user_id", "event_id", F.round(decayed, 6).alias("decayed_sum")
+    ).orderBy("user_id", "event_id")
