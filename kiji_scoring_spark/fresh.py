@@ -360,6 +360,12 @@ class FreshTableReader:
 
             def run(cap=cap, i=i, group=group):
                 try:
+                    # interruptOnCancel=True requires spark.python.worker.
+                    # reuse=false (session.py): interrupting a pandas stage
+                    # kills its Arrow workers mid-protocol, and a REUSE pool
+                    # would hand the poisoned worker to a later pandas stage
+                    # (CancelledKeyException in PythonRunner). With per-task
+                    # workers the interrupt is safely scoped to this job.
                     sc.setJobGroup(group, f"freshen {cap.column}", interruptOnCancel=True)
                     out = self._freshen_column(current, cap, as_of_ms)
                     result["df"], result["path"] = self._materialize(

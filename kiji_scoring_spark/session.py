@@ -32,6 +32,15 @@ _DEFAULT_CONF: dict[str, str] = {
     "spark.sql.mapKeyDedupPolicy": "LAST_WIN",
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # No Python-worker reuse: a cancelled freshen (A10 timeout) kills its
+    # Arrow workers mid-protocol, and the reuse pool then hands the
+    # poisoned worker to a LATER pandas stage, which dies with
+    # CancelledKeyException inside PythonRunner (reproduced: any pandas
+    # query after a timed-out freshen). Fresh daemon-forked workers cost
+    # ~10ms per task — noise next to an Arrow batch — and make worker
+    # state per-task, which is the correct isolation for an engine whose
+    # timeout contract cancels jobs as a matter of course.
+    "spark.python.worker.reuse": "false",
     "spark.ui.enabled": "false",
     # saveAsTable targets (bucketed tables for co-located joins) go to a
     # temp warehouse, never the process cwd
