@@ -1039,3 +1039,55 @@ def asof_join_pairwise_event_probes(spark: SparkSession, sf_dir: str) -> DataFra
     return out.select(
         "event_id", "user_id", F.col("value").alias("asof_value")
     ).orderBy("event_id")
+
+
+@query(
+    "agg_argextreme_median_battery",
+    """
+    WITH k AS (
+      SELECT c_nationkey, c_name, c_acctbal,
+        lpad(CAST(CAST(ROUND(c_acctbal * 100) AS BIGINT) + 1000000 AS VARCHAR),
+             12, '0') || c_name AS ordkey
+      FROM customer
+    )
+    SELECT c_nationkey,
+      arg_max(c_name, ordkey) AS richest_customer,
+      arg_min(c_name, ordkey) AS poorest_customer,
+      ROUND(median(c_acctbal), 6) AS median_acctbal
+    FROM k GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+    "agg", "relational",
+)
+def agg_argextreme_median_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arg-extreme + median aggregates (§2.C): per nation, the customer
+    holding the max/min balance (max_by/min_by) and the exact interpolated
+    median balance. Determinism under ties: the ordering key is the cent
+    balance zero-padded to fixed width (offset keeps it non-negative so
+    lexicographic == numeric) concatenated with the unique name — both
+    engines order identically, so arg extremes can never disagree on a
+    tied balance.
+
+    Scale: all three are single partial+final hash aggregates except
+    median, which buffers per-group values — bounded here by customers
+    per nation; for uncountable groups use approx_percentile(0.5)."""
+    c = load_table(spark, sf_dir, "customer")
+    ordkey = F.concat(
+        F.lpad(
+            (F.round(F.col("c_acctbal") * 100).cast("bigint") + 1_000_000).cast(
+                "string"
+            ),
+            12,
+            "0",
+        ),
+        F.col("c_name"),
+    )
+    return (
+        c.withColumn("ordkey", ordkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.max_by("c_name", F.col("ordkey")).alias("richest_customer"),
+            F.min_by("c_name", F.col("ordkey")).alias("poorest_customer"),
+            F.round(F.median("c_acctbal"), 6).alias("median_acctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
