@@ -1091,3 +1091,39 @@ def agg_argextreme_median_battery(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("c_nationkey")
     )
+
+
+@query(
+    "agg_empty_relation_semantics",
+    """
+    SELECT COUNT(*) AS n_rows,
+      COUNT(l_orderkey) AS n_vals,
+      CAST(SUM(l_quantity) AS DOUBLE) AS sum_empty,
+      MAX(l_returnflag) AS max_empty,
+      CAST(COALESCE(SUM(l_quantity), 0) AS DOUBLE) AS sum_coalesced,
+      CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_distinct_empty
+    FROM lineitem WHERE l_orderkey < 0
+    """,
+    "agg", "relational", "edge-case",
+)
+def agg_empty_relation_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI empty-relation aggregate semantics (§2.C edge case): a
+    grand-total aggregate over zero rows yields exactly ONE row with
+    COUNT = 0 and NULL for SUM/MAX — the corner where engines (and
+    hand-rolled pipelines) classically diverge. Pinned against the
+    oracle so the engine's no-GROUP-BY aggregation path can't silently
+    drift to zero-row output or 0-instead-of-NULL sums.
+
+    Scale: the l_orderkey < 0 predicate is pushed to the scan, which
+    prunes every row group by min/max stats — the query reads metadata
+    only, the degenerate-but-important fast path for always-false
+    filters."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 0)
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("l_orderkey").alias("n_vals"),
+        F.sum("l_quantity").cast("double").alias("sum_empty"),
+        F.max("l_returnflag").alias("max_empty"),
+        F.coalesce(F.sum("l_quantity"), F.lit(0)).cast("double").alias("sum_coalesced"),
+        F.count_distinct(F.col("l_suppkey")).alias("n_distinct_empty"),
+    )
