@@ -297,3 +297,52 @@ def scalar_map_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(",", F.map_keys("m")).alias("keys_csv"),
         F.element_at(extra, "__extra__").alias("extra_v"),
     ).orderBy("n_nationkey")
+
+
+@query(
+    "scalar_timezone_battery",
+    """
+    SELECT event_id,
+      strftime(timezone('America/New_York', ts::TIMESTAMPTZ),
+               '%Y-%m-%d %H:%M:%S') AS ny_wall,
+      strftime(timezone('Asia/Kolkata', ts::TIMESTAMPTZ),
+               '%Y-%m-%d %H:%M:%S') AS kolkata_wall,
+      strftime(timezone('Asia/Tokyo', ts::TIMESTAMPTZ),
+               '%Y-%m-%d %H:%M:%S') AS tokyo_wall,
+      CAST(hour(timezone('America/New_York', ts::TIMESTAMPTZ)) AS INTEGER)
+        AS ny_hour
+    FROM events WHERE event_id < 300 ORDER BY event_id
+    """,
+    "scalar", "datetime", "timezone",
+)
+def scalar_timezone_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone conversion battery (§2.D): UTC instants to wall-clock time
+    in a DST zone (America/New_York — crosses the March/November
+    transitions), a half-hour-offset zone (Asia/Kolkata, +05:30), and a
+    fixed-offset zone (Asia/Tokyo). Both engines resolve against the IANA
+    tzdb; results are FORMATTED to strings because the interesting
+    failure modes (DST gap/fold handling, fractional offsets) live in the
+    wall-clock rendering, and timestamp dtypes differ across engines
+    (Spark ntz vs DuckDB tz-aware) while strings cannot.
+
+    Scale: pure per-row codegen projections fused with the scan — tz
+    conversion at 100 TB is free; the expensive mistake is storing wall
+    times instead of instants, which this engine never does (all
+    timestamps are UTC instants; wall time is a presentation projection)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 300)
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return ev.select(
+        "event_id",
+        F.date_format(
+            F.from_utc_timestamp("ts", "America/New_York"), fmt
+        ).alias("ny_wall"),
+        F.date_format(F.from_utc_timestamp("ts", "Asia/Kolkata"), fmt).alias(
+            "kolkata_wall"
+        ),
+        F.date_format(F.from_utc_timestamp("ts", "Asia/Tokyo"), fmt).alias(
+            "tokyo_wall"
+        ),
+        F.hour(F.from_utc_timestamp("ts", "America/New_York"))
+        .cast("int")
+        .alias("ny_hour"),
+    ).orderBy("event_id")
