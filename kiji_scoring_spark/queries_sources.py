@@ -497,3 +497,75 @@ def pyds_synthetic_events_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "stats_mad_robust_outliers",
+    """
+    WITH med AS (
+      SELECT l_returnflag, median(l_extendedprice) AS med_price
+      FROM lineitem GROUP BY l_returnflag
+    ), mad AS (
+      SELECT l.l_returnflag,
+        ANY_VALUE(m.med_price) AS med_price,
+        median(abs(l.l_extendedprice - m.med_price)) AS mad_price
+      FROM lineitem l JOIN med m USING (l_returnflag)
+      GROUP BY l.l_returnflag
+    )
+    SELECT l.l_returnflag,
+      ROUND(ANY_VALUE(d.med_price), 6) AS med_price,
+      ROUND(ANY_VALUE(d.mad_price), 6) AS mad_price,
+      COUNT(*) AS n_rows,
+      CAST(SUM(CASE WHEN abs(l.l_extendedprice - d.med_price)
+                         > 3 * 1.4826 * d.mad_price THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_outliers
+    FROM lineitem l JOIN mad d USING (l_returnflag)
+    GROUP BY l.l_returnflag ORDER BY l.l_returnflag
+    """,
+    "stats", "agg", "pipeline",
+)
+def stats_mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier screen (§2.G quality/stats): the
+    robust complement to the IQR fences — median and MAD are immune to
+    the very outliers being hunted, where mean/stddev fences are dragged
+    toward them. Flags rows beyond 3 scaled MADs (×1.4826 ≈ σ under
+    normality).
+
+    Scale: two grouped exact medians + one counting pass, all on the
+    same group key so every shuffle reuses the (returnflag) hash
+    partitioning; the tiny per-group (median, MAD) table broadcasts back
+    into the scan-side counting join. Exact median buffers per-group
+    values — at uncountable group sizes swap approx_percentile into the
+    same shape."""
+    li = load_table(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.median("l_extendedprice").alias("med_price")
+    )
+    mad = (
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.any_value("med_price").alias("med_price"),
+            F.median(F.abs(F.col("l_extendedprice") - F.col("med_price"))).alias(
+                "mad_price"
+            ),
+        )
+    )
+    out = (
+        li.join(F.broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.any_value("med_price"), 6).alias("med_price"),
+            F.round(F.any_value("mad_price"), 6).alias("mad_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("l_extendedprice") - F.col("med_price"))
+                    > 3 * 1.4826 * F.col("mad_price"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .orderBy("l_returnflag")
+    )
+    return out
