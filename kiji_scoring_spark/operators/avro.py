@@ -114,6 +114,15 @@ def _read_long(buf: bytes, pos: int) -> tuple[int, int]:
     return (u >> 1) ^ -(u & 1), pos
 
 
+def _is_null(v) -> bool:
+    """NULL check that treats float NaN as null: Spark's Arrow->pandas
+    conversion represents NULL nullable numerics as NaN (float64), so an
+    encode path that only checks ``is None`` would either crash on
+    nullable-long NaN or silently write union branch 1 + NaN payload
+    instead of the null branch — wrong Avro bytes vs the JVM path."""
+    return v is None or (isinstance(v, float) and v != v)
+
+
 def encode_record(values: dict, fields: list[tuple[str, object]]) -> bytes:
     """Encode one record's field values in declaration order."""
     out = bytearray()
@@ -121,11 +130,11 @@ def encode_record(values: dict, fields: list[tuple[str, object]]) -> bytes:
         base, nullable = _base_type(t)
         v = values.get(name)
         if nullable:
-            if v is None:
+            if _is_null(v):
                 _write_long(out, 0)  # union branch: null
                 continue
             _write_long(out, 1)  # union branch: value
-        elif v is None:
+        elif _is_null(v):
             raise ValueError(f"field {name!r} is not nullable")
         if base in ("int", "long"):
             _write_long(out, int(v))

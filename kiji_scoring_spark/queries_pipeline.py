@@ -916,11 +916,14 @@ def dedup_incremental_new_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFra
 @query(
     "setsim_join_exact_jaccard",
     """
-    WITH toks AS (
+    WITH toks0 AS (
       SELECT doc_id,
         list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS tk
       FROM documents WHERE doc_id < 150
-    )
+    ),
+    -- len(tk) > 0 mirrors the engine's size(tk) > 0: without it two
+    -- empty-token docs satisfy 8*0 >= 3*0 and emit a bogus n_union=0 pair
+    toks AS (SELECT doc_id, tk FROM toks0 WHERE len(tk) > 0)
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       CAST(len(list_intersect(a.tk, b.tk)) AS BIGINT) AS n_inter,
       CAST(len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk)) AS BIGINT)

@@ -303,13 +303,13 @@ def scalar_map_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_timezone_battery",
     """
     SELECT event_id,
-      strftime(timezone('America/New_York', ts::TIMESTAMPTZ),
+      strftime(timezone('America/New_York', timezone('UTC', ts)),
                '%Y-%m-%d %H:%M:%S') AS ny_wall,
-      strftime(timezone('Asia/Kolkata', ts::TIMESTAMPTZ),
+      strftime(timezone('Asia/Kolkata', timezone('UTC', ts)),
                '%Y-%m-%d %H:%M:%S') AS kolkata_wall,
-      strftime(timezone('Asia/Tokyo', ts::TIMESTAMPTZ),
+      strftime(timezone('Asia/Tokyo', timezone('UTC', ts)),
                '%Y-%m-%d %H:%M:%S') AS tokyo_wall,
-      CAST(hour(timezone('America/New_York', ts::TIMESTAMPTZ)) AS INTEGER)
+      CAST(hour(timezone('America/New_York', timezone('UTC', ts))) AS INTEGER)
         AS ny_hour
     FROM events WHERE event_id < 300 ORDER BY event_id
     """,
@@ -323,7 +323,10 @@ def scalar_timezone_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     tzdb; results are FORMATTED to strings because the interesting
     failure modes (DST gap/fold handling, fractional offsets) live in the
     wall-clock rendering, and timestamp dtypes differ across engines
-    (Spark ntz vs DuckDB tz-aware) while strings cannot.
+    (Spark ntz vs DuckDB tz-aware) while strings cannot. The oracle
+    interprets the naive ts via timezone('UTC', ts) — never a bare
+    ::TIMESTAMPTZ cast, which would resolve in the DuckDB session
+    TimeZone and shift every wall-clock column on non-UTC hosts.
 
     Scale: pure per-row codegen projections fused with the scan — tz
     conversion at 100 TB is free; the expensive mistake is storing wall

@@ -693,7 +693,7 @@ def domain_cap_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents, LATERAL (
         SELECT unnest(range(1, length(text) + 1)) AS i
       )
-      WHERE doc_id < 300
+      WHERE doc_id < 300 AND length(text) > 0
     ),
     freqs AS (
       SELECT doc_id, ch, COUNT(*) AS cnt FROM chars GROUP BY doc_id, ch
@@ -725,7 +725,10 @@ def quality_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     alphabet can't flip a bit."""
     d = (
         load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 300)
+        # length(text) > 0 on BOTH sides: F.sequence(1, 0) yields [1, 0]
+        # (Spark reverses when start > stop) so an empty doc would explode
+        # into two ch='' rows the oracle's range() never generates.
+        .filter((F.col("doc_id") < 300) & (F.length("text") > 0))
         .select("doc_id", "text")
     )
     chars = d.select(

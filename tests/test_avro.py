@@ -56,6 +56,37 @@ def test_roundtrip_identity(rec):
     assert av.decode_record(av.encode_record(rec, FIELDS), FIELDS) == rec
 
 
+def test_nan_encodes_as_null_branch():
+    """Arrow->pandas hands NULL nullable numerics to Python as float NaN;
+    the encoder must write the null union branch (00), not branch 1 with a
+    NaN payload — the exact bytes the JVM to_avro path writes for NULL.
+    Round-trips alone can't catch this (Arrow re-ingest maps NaN back to
+    null), so pin the raw bytes."""
+    nan = float("nan")
+    assert av.encode_record({"v": nan}, [("v", ["null", "double"])]) == b"\x00"
+    assert av.encode_record({"v": nan}, [("v", ["null", "long"])]) == b"\x00"
+    # non-nullable field: NaN is a null, and nulls are an error
+    try:
+        av.encode_record({"v": nan}, [("v", "long")])
+        raise AssertionError("expected ValueError for NaN in non-nullable")
+    except ValueError:
+        pass
+
+
+def test_dataframe_encode_null_long_cell_bytes(spark):
+    """A NULL in a nullable-long column must survive the pandas-fallback
+    encode as the null branch byte — previously raised (cannot convert
+    NaN to int) because the batch path only checked `is None`."""
+    df = spark.createDataFrame(
+        [(1, None), (2, 7)], "id long, cents long"
+    )
+    enc = av.encode_avro_cells(df, [("cents", ["null", "long"])], "cell",
+                               use_jvm=False)
+    cells = {r["id"]: bytes(r["cell"]) for r in enc.collect()}
+    assert cells[1] == b"\x00"
+    assert cells[2] == b"\x02\x0e"
+
+
 def test_multifield_concatenation_order():
     """Fields encode in declaration order with no separators."""
     fields = [("a", "long"), ("b", "string")]

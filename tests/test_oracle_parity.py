@@ -12,6 +12,10 @@ from kiji_scoring_spark.sources import TABLES
 
 def duck_con(sf_dir):
     con = duckdb.connect()
+    # Pin the session TimeZone: Spark runs with spark.sql.session.timeZone=
+    # UTC, and an unpinned DuckDB session resolves TIMESTAMPTZ casts in the
+    # host zone — every wall-clock column would shift on non-UTC machines.
+    con.execute("SET TimeZone='UTC'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
