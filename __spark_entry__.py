@@ -31,22 +31,32 @@ def _correctness_priority() -> list[str]:
     correctness gate maximizes signal each round: previously-FAILED
     queries first (a red row turning green is the strongest signal), then
     queries with no CORRECTNESS_r*.json row yet, then previously-green
-    ones. Within a tier, cheap queries run before expensive ones
-    (streaming/multimodal dominate per-query runtime). Round 1 proved the
-    gate walks dict order and stopped at 50/84; anything past the cap
-    rotates into later rounds automatically."""
+    ones LEAST-RECENTLY-CHECKED first. The staleness sort is what makes
+    the whole registry recycle under the driver's 50-per-round cap:
+    without it the same ~45 greens (lowest registry index) re-verify
+    every round while rows last checked in r01-r02 — under a different
+    session conf — never re-verify. With ~170 greens and a 50 cap, every
+    query now re-checks at least every ~4 rounds. Within a tier, cheap
+    queries run before expensive ones (streaming/multimodal dominate
+    per-query runtime). Round 1 proved the gate walks dict order and
+    stopped at 50/84; anything past the cap rotates automatically."""
     import glob
     import json
+    import re
 
     here = os.path.dirname(os.path.abspath(__file__))
     last_status: dict[str, bool] = {}  # name -> last recorded pass/fail
+    last_round: dict[str, int] = {}  # name -> round of most recent row
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        round_no = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 rows = json.load(f)
         except (OSError, ValueError):
             continue
         for name, r in rows.items():
+            last_round[name] = round_no
             ok = (
                 bool(r.get("rows_match"))
                 and bool(r.get("schema_match"))
@@ -70,7 +80,10 @@ def _correctness_priority() -> list[str]:
         else:
             tier = 1  # never driver-checked
         cost = max((cost_tags.get(t, 0) for t in spec.tags), default=0)
-        return (tier, cost, idx)
+        # green tier: least-recently-checked round first, so stale greens
+        # re-verify before fresh ones; meaningless (0) for tiers 0/1.
+        stale = last_round.get(name, 0) if tier == 2 else 0
+        return (tier, stale, cost, idx)
 
     return [n for _, n in sorted(enumerate(QUERIES), key=key)]
 
