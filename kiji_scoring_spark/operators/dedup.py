@@ -100,6 +100,155 @@ def minhash_band_keys(sig: DataFrame, id_col: str, rows_per_band: int = 4) -> Da
     )
 
 
+#: buckets larger than this leave the single-row pair expansion and take
+#: the block-decomposed path; 256 ids -> at most ~32k pair structs in one
+#: array value, well inside a task's comfort zone.
+MAX_BUCKET = 256
+#: block width for quarantined buckets: each block-pair row expands at
+#: most CHUNK² pairs (16k), regardless of bucket size.
+CHUNK = 128
+
+
+def _in_array_pairs(arr: Column) -> Column:
+    """array<struct<doc_a, doc_b>> of all a<b pairs from a SORTED id array."""
+    return F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + 2, F.size(arr)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+
+
+def _cross_array_pairs(a: Column, b: Column) -> Column:
+    """array<struct<doc_a, doc_b>> — full cross of two id arrays."""
+    return F.flatten(
+        F.transform(
+            a,
+            lambda x: F.transform(
+                b, lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b"))
+            ),
+        )
+    )
+
+
+def bucket_pairs(
+    buckets: DataFrame,
+    ids_col: str = "ids",
+    max_bucket: int = MAX_BUCKET,
+    chunk: int = CHUNK,
+) -> DataFrame:
+    """All unordered in-bucket pairs (doc_a < doc_b; ``ids_col`` must be
+    sorted ascending) with a HOT-BUCKET QUARANTINE.
+
+    Healthy LSH/prefix buckets are small, and the fast path materializes a
+    bucket's k(k-1)/2 pairs as one array value in one task. But
+    boilerplate-heavy web corpora produce hot buckets — thousands of
+    near-identical docs sharing a band key — and a single-row quadratic
+    expansion is then one unsplittable task (AQE splits partitions, not
+    rows) holding an O(k²) array in memory: the one 100-TB scale killer in
+    the dedup family.
+
+    Buckets over ``max_bucket`` are quarantined into a block-decomposed
+    path: the id array is cut into ⌈k/chunk⌉ blocks, one row per block
+    pair (i ≤ j) is exploded, those rows are SHUFFLED across tasks, and
+    each expands at most chunk² pairs. Work and memory per task are
+    bounded by chunk² however large the bucket; the pair set is identical
+    to the fast path's (block diagonal = in-block a<b pairs, off-diagonal
+    = full cross, disjoint ascending ranges keep doc_a < doc_b).
+
+    Output is NOT distinct — callers dedupe across bands as before.
+    """
+    n = F.size(ids_col)
+    small = buckets.filter(n <= max_bucket)
+    big = buckets.filter(n > max_bucket)
+
+    small_pairs = small.select(
+        F.explode(_in_array_pairs(F.col(ids_col))).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+
+    m = F.ceil(n / F.lit(chunk)).cast("int")
+    block_pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), m - 1),
+            lambda ci: F.transform(
+                F.sequence(ci, m - 1),
+                lambda cj: F.struct(ci.alias("ci"), cj.alias("cj")),
+            ),
+        )
+    )
+    blocks = big.select(
+        F.col(ids_col).alias("__ids__"), F.explode(block_pairs).alias("cp")
+    )
+    # the shuffle IS the quarantine: without it every block row of a hot
+    # bucket stays in the task that built the bucket and expands serially
+    blocks = blocks.repartition(F.xxhash64("__ids__"), F.col("cp"))
+    # A/B projected before the pair HOF: interpreted lambdas have no CSE
+    ab = blocks.select(
+        F.slice("__ids__", F.col("cp.ci") * chunk + 1, chunk).alias("A"),
+        F.slice("__ids__", F.col("cp.cj") * chunk + 1, chunk).alias("B"),
+        (F.col("cp.ci") == F.col("cp.cj")).alias("diag"),
+    )
+    big_pairs = ab.select(
+        F.explode(
+            F.when(F.col("diag"), _in_array_pairs(F.col("A"))).otherwise(
+                _cross_array_pairs(F.col("A"), F.col("B"))
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+
+    return small_pairs.unionAll(big_pairs)
+
+
+def cross_bucket_pairs(
+    buckets: DataFrame,
+    a_col: str,
+    b_col: str,
+    max_bucket: int = MAX_BUCKET,
+    chunk: int = CHUNK,
+) -> DataFrame:
+    """All cross pairs A×B from two per-bucket id arrays (e.g. the
+    old-corpus/new-shard split of incremental dedup), with the same
+    hot-bucket quarantine as :func:`bucket_pairs`: buckets where either
+    side exceeds ``max_bucket`` are block-decomposed and shuffled so no
+    task expands more than chunk² pairs. Output is NOT distinct."""
+    hot = (F.size(a_col) > max_bucket) | (F.size(b_col) > max_bucket)
+    small = buckets.filter(~hot)
+    big = buckets.filter(hot)
+
+    small_pairs = small.select(
+        F.explode(_cross_array_pairs(F.col(a_col), F.col(b_col))).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+
+    ma = F.ceil(F.size(a_col) / F.lit(chunk)).cast("int")
+    mb = F.ceil(F.size(b_col) / F.lit(chunk)).cast("int")
+    block_pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), ma - 1),
+            lambda ci: F.transform(
+                F.sequence(F.lit(0), mb - 1),
+                lambda cj: F.struct(ci.alias("ci"), cj.alias("cj")),
+            ),
+        )
+    )
+    blocks = big.select(
+        F.col(a_col).alias("__a__"),
+        F.col(b_col).alias("__b__"),
+        F.explode(block_pairs).alias("cp"),
+    ).repartition(F.xxhash64("__a__"), F.xxhash64("__b__"), F.col("cp"))
+    ab = blocks.select(
+        F.slice("__a__", F.col("cp.ci") * chunk + 1, chunk).alias("A"),
+        F.slice("__b__", F.col("cp.cj") * chunk + 1, chunk).alias("B"),
+    )
+    big_pairs = ab.select(
+        F.explode(_cross_array_pairs(F.col("A"), F.col("B"))).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+
+    return small_pairs.unionAll(big_pairs)
+
+
 def band_pairs(bands: DataFrame, id_col: str) -> DataFrame:
     """Candidate pairs from band keys WITHOUT a self-join: group each
     (band_idx, band_key) bucket, then explode in-bucket pairs.
@@ -107,30 +256,16 @@ def band_pairs(bands: DataFrame, id_col: str) -> DataFrame:
     A self-join of the derived band table re-executes the whole
     shingle→hash→groupBy pipeline for both sides (Catalyst does not reuse
     the exchange across join sides here); this formulation computes the
-    signature once and needs a single shuffle. Bucket pair fan-out is
-    O(bucket²) in either formulation — LSH band width keeps buckets small,
-    and pathological all-identical corpora are quadratic in ANY candidate
-    generator. Output columns: doc_a < doc_b, distinct across bands.
+    signature once and needs a single shuffle. Hot buckets (boilerplate-
+    heavy corpora) are quarantined into :func:`bucket_pairs`' bounded
+    block path. Output columns: doc_a < doc_b, distinct across bands.
     """
     buckets = (
         bands.groupBy("band_idx", "band_key")
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    pairs = F.flatten(
-        F.transform(
-            "ids",
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size("ids")),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
-    return (
-        buckets.select(F.explode(pairs).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
-    )
+    return bucket_pairs(buckets).distinct()
 
 
 def connected_components(

@@ -897,17 +897,10 @@ def dedup_incremental_new_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFra
         F.filter("ids", lambda x: x < F.lit(_INCR_SPLIT)).alias("olds"),
         F.filter("ids", lambda x: x >= F.lit(_INCR_SPLIT)).alias("news"),
     ).filter((F.size("olds") > 0) & (F.size("news") > 0))
-    pairs = F.flatten(
-        F.transform(
-            "olds",
-            lambda a: F.transform(
-                "news", lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b"))
-            ),
-        )
-    )
+    # hot buckets (either side > MAX_BUCKET) take the block-decomposed
+    # quarantine path — bounded per-task pair expansion at any bucket size
     return (
-        split_buckets.select(F.explode(pairs).alias("p"))
-        .select("p.doc_a", "p.doc_b")
+        dd.cross_bucket_pairs(split_buckets, "olds", "news")
         .distinct()
         .orderBy("doc_a", "doc_b")
     )
@@ -985,20 +978,9 @@ def setsim_join_exact_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    pairs = F.flatten(
-        F.transform(
-            "ids",
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size("ids")),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
-    cands = (
-        buckets.select(F.explode(pairs).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
-    )
+    # hot prefix buckets (a boilerplate token shared by thousands of docs)
+    # quarantine into the bounded block-pair path
+    cands = dd.bucket_pairs(buckets).distinct()
     a = toks.select(F.col("doc_id").alias("doc_a"), F.col("tk").alias("tka"))
     b = toks.select(F.col("doc_id").alias("doc_b"), F.col("tk").alias("tkb"))
     inter = F.size(F.array_intersect("tka", "tkb"))

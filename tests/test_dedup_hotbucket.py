@@ -1,0 +1,75 @@
+"""Hot-bucket quarantine for in-bucket pair generation (round-5).
+
+The one 100-TB scale risk flagged in round 4: boilerplate-heavy corpora
+produce LSH/prefix buckets with thousands of near-identical docs, and the
+fast path's single-row k(k-1)/2 expansion becomes one unsplittable
+quadratic task. Buckets over MAX_BUCKET now take a block-decomposed,
+shuffled path with per-task work bounded by CHUNK². These tests pin
+(a) bit-identical pair sets between the two paths, and (b) that a
+5k-identical-doc corpus — every doc in the same bucket of every band —
+completes and yields exactly C(5000, 2) candidate pairs.
+"""
+
+import random
+
+from pyspark.sql import functions as F
+
+from kiji_scoring_spark.operators import dedup as dd
+
+
+def _pairs(df):
+    return sorted((r["doc_a"], r["doc_b"]) for r in df.collect())
+
+
+def test_bucket_pairs_capped_equals_uncapped(spark):
+    rng = random.Random(42)
+    rows = []
+    for b in range(30):
+        k = rng.randint(2, 40)
+        rows.append((b, sorted(rng.sample(range(100_000), k))))
+    # sizes straddling the cap exactly: max_bucket, max_bucket+1, one block
+    rows.append((90, list(range(6))))
+    rows.append((91, list(range(7))))
+    rows.append((92, list(range(200, 205))))
+    df = spark.createDataFrame(rows, "bucket int, ids array<bigint>")
+    uncapped = _pairs(dd.bucket_pairs(df, max_bucket=10_000))
+    capped = _pairs(dd.bucket_pairs(df, max_bucket=6, chunk=4))
+    assert capped == uncapped  # multiset equality: same pairs, same counts
+    # sanity: the diagonal-block a<b invariant holds
+    assert all(a < b for a, b in capped)
+
+
+def test_cross_bucket_pairs_capped_equals_uncapped(spark):
+    rng = random.Random(7)
+    rows = []
+    for b in range(25):
+        ka, kb = rng.randint(1, 30), rng.randint(1, 30)
+        olds = sorted(rng.sample(range(0, 50_000), ka))
+        news = sorted(rng.sample(range(50_000, 100_000), kb))
+        rows.append((b, olds, news))
+    df = spark.createDataFrame(
+        rows, "bucket int, olds array<bigint>, news array<bigint>"
+    )
+    uncapped = _pairs(dd.cross_bucket_pairs(df, "olds", "news", max_bucket=10_000))
+    capped = _pairs(dd.cross_bucket_pairs(df, "olds", "news", max_bucket=5, chunk=3))
+    assert capped == uncapped
+    n_expected = sum(len(r[1]) * len(r[2]) for r in rows)
+    assert len(capped) == n_expected
+
+
+def test_five_thousand_identical_docs_complete(spark):
+    """The adversarial corpus: 5000 byte-identical docs — every doc lands
+    in the SAME bucket of every band. Pre-quarantine this was one task
+    materializing a 12.5M-struct array per band; now it's ~1600 bounded
+    block rows spread across the cluster. Expect exactly C(5000,2)
+    distinct candidate pairs."""
+    docs = spark.range(5000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate footer text appears on every page").alias(
+            "text"
+        ),
+    )
+    sig = dd.minhash_signature_df(docs, "doc_id", "text")
+    bands = dd.minhash_band_keys(sig, "doc_id")
+    n = dd.band_pairs(bands, "doc_id").count()
+    assert n == 5000 * 4999 // 2
