@@ -11,6 +11,7 @@ import operator
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .operators import audit
 from .operators import dedup as dd
 from .operators import multimodal as mm
 from .queries import query
@@ -906,6 +907,72 @@ def dedup_incremental_new_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def _setsim_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct token sets of the setsim probe slice (shared by candidate
+    generation and the verify join)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return d.select(
+        "doc_id",
+        F.array_distinct(
+            F.filter(F.split("text", " "), lambda x: x != "")
+        ).alias("tk"),
+    ).filter(F.size("tk") > 0)
+
+
+def _setsim_candidates(
+    spark: SparkSession, sf_dir: str, length_filter: bool = True
+):
+    """PPJoin candidate pairs: rare-first prefix buckets -> quarantined
+    in-bucket pairs -> (optional) length filter. Returns (candidates,
+    Observation) — the Observation reports the post-prune candidate count
+    after any action, riding the plan at zero extra cost.
+
+    The length filter is PPJoin's |shorter| >= t·|longer| necessity in
+    exact integers (5·min >= 3·max for t = 3/5): J <= |shorter|/|longer|,
+    so size-mismatched pairs cannot reach 0.6 and are pruned BEFORE the
+    verify join rather than during it. Lossless by construction."""
+    toks = _setsim_tokens(spark, sf_dir)
+    # global rare-first order: (corpus frequency, token)
+    exploded = toks.select("doc_id", F.explode("tk").alias("tok"))
+    freq = exploded.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    # per-doc tokens sorted rare-first; prefix keeps n - ceil(0.6n) + 1
+    ordered = (
+        exploded.join(F.broadcast(freq), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("cnt", "tok"))),
+                lambda s: s["tok"],
+            ).alias("sorted_tk")
+        )
+    )
+    n = F.size("sorted_tk")
+    prefix_len = n - F.floor((3 * n + 4) / 5).cast("int") + 1
+    # n rides along into the buckets so the length filter needs no join:
+    # bucket elements are (doc_id, n) structs — doc_id leads, so struct
+    # ordering (and the a<b pair invariant) still follows doc_id
+    prefix = ordered.select(
+        "doc_id",
+        n.alias("n"),
+        F.explode(F.slice("sorted_tk", 1, prefix_len)).alias("tok"),
+    )
+    buckets = (
+        prefix.groupBy("tok")
+        .agg(F.sort_array(F.collect_set(F.struct("doc_id", "n"))).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    # hot prefix buckets (a boilerplate token shared by thousands of docs)
+    # quarantine into the bounded block-pair path
+    raw = dd.bucket_pairs(buckets)
+    if length_filter:
+        na, nb = F.col("doc_a.n"), F.col("doc_b.n")
+        raw = raw.filter(5 * F.least(na, nb) >= 3 * F.greatest(na, nb))
+    cands = raw.select(
+        F.col("doc_a.doc_id").alias("doc_a"), F.col("doc_b.doc_id").alias("doc_b")
+    ).distinct()
+    return audit.audit_counts(cands, "setsim_candidates")
+
+
 @query(
     "setsim_join_exact_jaccard",
     """
@@ -944,43 +1011,14 @@ def setsim_join_exact_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the quadratic path must return identical rows.
 
     Scale: prefix explode is ~(1-t)·|tokens| rows; buckets are rare-token
-    buckets; the verify join re-derives token arrays from the scan (a
-    narrow map fused with it) keyed by doc — never a cross product."""
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
-    toks = d.select(
-        "doc_id",
-        F.array_distinct(
-            F.filter(F.split("text", " "), lambda x: x != "")
-        ).alias("tk"),
-    ).filter(F.size("tk") > 0)
-
-    # global rare-first order: (corpus frequency, token)
-    exploded = toks.select("doc_id", F.explode("tk").alias("tok"))
-    freq = exploded.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
-    # per-doc tokens sorted rare-first; prefix keeps n - ceil(0.6n) + 1
-    ordered = (
-        exploded.join(F.broadcast(freq), "tok")
-        .groupBy("doc_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("cnt", "tok"))),
-                lambda s: s["tok"],
-            ).alias("sorted_tk")
-        )
-    )
-    n = F.size("sorted_tk")
-    prefix_len = n - F.floor((3 * n + 4) / 5).cast("int") + 1
-    prefix = ordered.select(
-        "doc_id", F.explode(F.slice("sorted_tk", 1, prefix_len)).alias("tok")
-    )
-    buckets = (
-        prefix.groupBy("tok")
-        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    # hot prefix buckets (a boilerplate token shared by thousands of docs)
-    # quarantine into the bounded block-pair path
-    cands = dd.bucket_pairs(buckets).distinct()
+    buckets; PPJoin's LENGTH filter (5·|shorter| >= 3·|longer|, a J >= 0.6
+    necessity since J <= |shorter|/|longer|) prunes size-mismatched
+    candidates before they reach the verify join; the verify join
+    re-derives token arrays from the scan (a narrow map fused with it)
+    keyed by doc — never a cross product. The candidate count after
+    pruning rides the plan as an Observation (zero extra scans)."""
+    cands, _obs = _setsim_candidates(spark, sf_dir)
+    toks = _setsim_tokens(spark, sf_dir)
     a = toks.select(F.col("doc_id").alias("doc_a"), F.col("tk").alias("tka"))
     b = toks.select(F.col("doc_id").alias("doc_b"), F.col("tk").alias("tkb"))
     inter = F.size(F.array_intersect("tka", "tkb"))

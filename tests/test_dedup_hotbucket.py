@@ -57,6 +57,22 @@ def test_cross_bucket_pairs_capped_equals_uncapped(spark):
     assert len(capped) == n_expected
 
 
+def test_ppjoin_length_filter_prunes_candidates(spark, sf_dir):
+    """PPJoin's length filter (5·|shorter| >= 3·|longer|) must strictly
+    shrink the candidate set on real data while the final verified result
+    is unchanged (it is a J >= 0.6 necessity — parity with the brute-force
+    oracle pins losslessness separately). The counts come from the
+    Observation riding each plan, not a second scan."""
+    from kiji_scoring_spark.queries_pipeline import _setsim_candidates
+
+    with_filter, obs_on = _setsim_candidates(spark, sf_dir, length_filter=True)
+    without, obs_off = _setsim_candidates(spark, sf_dir, length_filter=False)
+    n_on, n_off = with_filter.count(), without.count()
+    assert n_on < n_off
+    assert obs_on.get["n_rows"] == n_on
+    assert obs_off.get["n_rows"] == n_off
+
+
 def test_five_thousand_identical_docs_complete(spark):
     """The adversarial corpus: 5000 byte-identical docs — every doc lands
     in the SAME bucket of every band. Pre-quarantine this was one task
