@@ -26,6 +26,8 @@ Scale design notes:
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -62,6 +64,14 @@ def asof_join(
         # into one window partition) and keeps the window key narrow — one
         # long column instead of every left column, which matters for wide
         # schemas.
+        warnings.warn(
+            "asof_join without left_id falls back to "
+            "monotonically_increasing_id, which is nondeterministic across "
+            "stage retries (duplicate left rows can drop or double a match) "
+            "and blocks predicate pushdown; pass left_id=<unique key column>",
+            UserWarning,
+            stacklevel=2,
+        )
         lalias = left.withColumn("__lid__", F.monotonically_increasing_id()).alias("__l__")
     ralias = right.alias("__r__")
     keys = [F.col(f"__l__.{k}") == F.col(f"__r__.{k}") for k in on]

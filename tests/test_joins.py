@@ -49,6 +49,24 @@ def test_asof_equal_ts_right_row_included(spark):
     assert rows[0].val == "eq"
 
 
+def test_asof_without_left_id_warns(spark):
+    """Omitting left_id silently inherits retry-nondeterminism from
+    monotonically_increasing_id — a library user must be told."""
+    import warnings
+
+    left = spark.createDataFrame([("u1", 100)], ["uid", "ts"])
+    right = spark.createDataFrame([("u1", 90, "a")], ["uid", "ts", "val"])
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        joins.asof_join(left, right, ["uid"], "ts", "ts")
+        assert any("left_id" in str(w.message) for w in caught)
+    # and passing left_id stays silent
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        joins.asof_join(left, right, ["uid"], "ts", "ts", left_id="uid")
+        assert not any("left_id" in str(w.message) for w in caught)
+
+
 def test_range_join_bucketed_matches_plain(spark, sf_dir):
     """The interval-bucketing rewrite returns exactly the rows of the
     plain theta range join (and the join on bucket is an equi hash join,
