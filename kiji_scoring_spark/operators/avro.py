@@ -21,28 +21,38 @@ types are strings/longs/ints, but any Avro record is possible). SURVEY
 connector is usable and fall back otherwise, so the same query runs
 unchanged on a real cluster and here.
 
-Supported field types: ``boolean int long float double string bytes``
-and their ``["null", T]`` nullable unions.
+Supported types (mirroring what ``from_avro`` handles — the reference
+stores ARBITRARY Avro records, ``KijiFreshnessPolicy.avdl:29-41``, not
+just flat primitives): ``boolean int long float double string bytes``,
+``["null", T]`` nullable unions, nested ``record``s, ``array``s,
+``map``s (string keys, per the Avro spec), and the ``decimal`` (over
+bytes) and ``timestamp-millis`` (over long) logical types.
 """
 
 from __future__ import annotations
 
+import datetime as _dt
+import decimal as _decimal
 import json
 import struct
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     BooleanType,
     DataType,
+    DecimalType,
     DoubleType,
     FloatType,
     IntegerType,
     LongType,
+    MapType,
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 _SPARK_TYPES: dict[str, DataType] = {
@@ -55,14 +65,45 @@ _SPARK_TYPES: dict[str, DataType] = {
     "bytes": BinaryType(),
 }
 
+_EPOCH = _dt.datetime(1970, 1, 1)
 
-def _base_type(avro_type) -> tuple[str, bool]:
-    """('long', nullable?) from 'long' or ['null', 'long']."""
-    if isinstance(avro_type, list):
-        if len(avro_type) != 2 or avro_type[0] != "null":
-            raise ValueError(f"only ['null', T] unions supported, got {avro_type}")
-        return avro_type[1], True
-    return avro_type, False
+
+def _norm(t) -> tuple[str, object]:
+    """Normalize an Avro schema node to (kind, payload).
+
+    kinds: a primitive name, 'null_union' (payload = inner schema),
+    'record' (payload = [(name, schema), ...]), 'array' (items schema),
+    'map' (values schema), 'decimal' (payload = (precision, scale)),
+    'timestamp-millis'."""
+    if isinstance(t, list):
+        if len(t) != 2 or t[0] != "null":
+            raise ValueError(f"only ['null', T] unions supported, got {t}")
+        return "null_union", t[1]
+    if isinstance(t, dict):
+        lt = t.get("logicalType")
+        base = t.get("type")
+        if lt == "decimal":
+            if base != "bytes":
+                raise ValueError("decimal supported over bytes only")
+            return "decimal", (int(t["precision"]), int(t.get("scale", 0)))
+        if lt == "timestamp-millis":
+            if base != "long":
+                raise ValueError("timestamp-millis must annotate long")
+            return "timestamp-millis", None
+        if lt is not None:
+            raise ValueError(f"unsupported logicalType {lt!r}")
+        if base == "record":
+            return "record", [(f["name"], f["type"]) for f in t["fields"]]
+        if base == "array":
+            return "array", t["items"]
+        if base == "map":
+            return "map", t["values"]
+        if base in _SPARK_TYPES:
+            return base, None  # {"type": "long"} wrapped primitive
+        raise ValueError(f"unsupported avro type {t!r}")
+    if t in _SPARK_TYPES:
+        return t, None
+    raise ValueError(f"unsupported avro type {t!r}")
 
 
 def record_schema_json(name: str, fields: list[tuple[str, object]]) -> str:
@@ -76,11 +117,37 @@ def record_schema_json(name: str, fields: list[tuple[str, object]]) -> str:
     )
 
 
+def _spark_type(t) -> tuple[DataType, bool]:
+    """(Spark DataType, nullable) for an Avro schema node — the same
+    mapping spark-avro's ``from_avro`` applies."""
+    kind, payload = _norm(t)
+    if kind == "null_union":
+        dt, _ = _spark_type(payload)
+        return dt, True
+    if kind == "record":
+        fields = []
+        for n, ft in payload:
+            dt, nullable = _spark_type(ft)
+            fields.append(StructField(n, dt, nullable))
+        return StructType(fields), False
+    if kind == "array":
+        dt, nullable = _spark_type(payload)
+        return ArrayType(dt, containsNull=nullable), False
+    if kind == "map":
+        dt, nullable = _spark_type(payload)
+        return MapType(StringType(), dt, valueContainsNull=nullable), False
+    if kind == "decimal":
+        return DecimalType(*payload), False
+    if kind == "timestamp-millis":
+        return TimestampType(), False
+    return _SPARK_TYPES[kind], False
+
+
 def spark_struct_type(fields: list[tuple[str, object]]) -> StructType:
     out = []
     for n, t in fields:
-        base, nullable = _base_type(t)
-        out.append(StructField(n, _SPARK_TYPES[base], nullable))
+        dt, nullable = _spark_type(t)
+        out.append(StructField(n, dt, nullable))
     return StructType(out)
 
 
@@ -115,44 +182,185 @@ def _read_long(buf: bytes, pos: int) -> tuple[int, int]:
 
 
 def _is_null(v) -> bool:
-    """NULL check that treats float NaN as null: Spark's Arrow->pandas
-    conversion represents NULL nullable numerics as NaN (float64), so an
-    encode path that only checks ``is None`` would either crash on
-    nullable-long NaN or silently write union branch 1 + NaN payload
-    instead of the null branch — wrong Avro bytes vs the JVM path."""
-    return v is None or (isinstance(v, float) and v != v)
+    """NULL check that treats float NaN (and pandas NaT) as null: Spark's
+    Arrow->pandas conversion represents NULL nullable numerics as NaN
+    (float64), so an encode path that only checks ``is None`` would
+    either crash on nullable-long NaN or silently write union branch 1 +
+    NaN payload instead of the null branch — wrong Avro bytes vs the JVM
+    path. Container values (arrays/maps/records) are never NaN."""
+    if v is None:
+        return True
+    if isinstance(v, (bool, int, str, bytes, bytearray, dict, list, tuple)):
+        return False
+    if isinstance(v, float):
+        return v != v
+    try:
+        return bool(v != v)  # pandas NaT and friends self-compare unequal
+    except (TypeError, ValueError):
+        return False  # e.g. numpy arrays: elementwise compare -> not null
+
+
+def _to_millis(v) -> int:
+    """Epoch millis from a pandas Timestamp / datetime / raw integer.
+    Naive datetimes are UTC instants (the engine pins session tz UTC)."""
+    if hasattr(v, "value") and hasattr(v, "to_pydatetime"):
+        return int(v.value) // 1_000_000  # pandas Timestamp: ns since epoch
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            return int(v.timestamp() * 1000)
+        return int((v - _EPOCH).total_seconds() * 1000)
+    return int(v)
+
+
+def _unscaled_bytes(v, scale: int) -> bytes:
+    """Avro decimal payload: minimal big-endian two's-complement of the
+    unscaled integer (matches what the JVM Avro Conversions.DecimalConversion
+    writes, so cross-path bytes agree)."""
+    d = v if isinstance(v, _decimal.Decimal) else _decimal.Decimal(str(v))
+    unscaled = int(
+        d.scaleb(scale).to_integral_value(rounding=_decimal.ROUND_HALF_EVEN)
+    )
+    raw = unscaled.to_bytes((unscaled.bit_length() // 8) + 1, "big", signed=True)
+    while len(raw) > 1 and (
+        (raw[0] == 0x00 and raw[1] < 0x80) or (raw[0] == 0xFF and raw[1] >= 0x80)
+    ):
+        raw = raw[1:]
+    return raw
+
+
+def _encode_value(out: bytearray, v, t) -> None:
+    kind, payload = _norm(t)
+    if kind == "null_union":
+        if _is_null(v):
+            _write_long(out, 0)  # union branch: null
+            return
+        _write_long(out, 1)  # union branch: value
+        _encode_value(out, v, payload)
+        return
+    if _is_null(v):
+        raise ValueError(f"null value in non-nullable {kind} position")
+    if kind in ("int", "long"):
+        _write_long(out, int(v))
+    elif kind == "boolean":
+        out.append(1 if v else 0)
+    elif kind == "double":
+        out += struct.pack("<d", float(v))
+    elif kind == "float":
+        out += struct.pack("<f", float(v))
+    elif kind == "string":
+        raw = str(v).encode("utf-8")
+        _write_long(out, len(raw))
+        out += raw
+    elif kind == "bytes":
+        b = bytes(v)
+        _write_long(out, len(b))
+        out += b
+    elif kind == "record":
+        vals = v if isinstance(v, dict) else v.asDict() if hasattr(v, "asDict") else dict(v)
+        for name, ft in payload:
+            try:
+                _encode_value(out, vals.get(name), ft)
+            except ValueError as e:
+                raise ValueError(f"field {name!r}: {e}") from None
+    elif kind == "array":
+        items = list(v)
+        if items:  # spec: blocks of (count, items...), 0-count terminator
+            _write_long(out, len(items))
+            for it in items:
+                _encode_value(out, it, payload)
+        _write_long(out, 0)
+    elif kind == "map":
+        # Arrow hands Spark MapType to pandas as a list of (k, v) tuples;
+        # plain dicts come from Python callers — accept both
+        entries = list(v.items()) if isinstance(v, dict) else [tuple(e) for e in v]
+        if entries:
+            _write_long(out, len(entries))
+            for k, mv in entries:
+                raw = str(k).encode("utf-8")
+                _write_long(out, len(raw))
+                out += raw
+                _encode_value(out, mv, payload)
+        _write_long(out, 0)
+    elif kind == "decimal":
+        raw = _unscaled_bytes(v, payload[1])
+        _write_long(out, len(raw))
+        out += raw
+    elif kind == "timestamp-millis":
+        _write_long(out, _to_millis(v))
+    else:  # pragma: no cover — _norm rejects unknown kinds first
+        raise ValueError(f"unsupported avro type {kind!r}")
+
+
+def _decode_value(buf: bytes, pos: int, t) -> tuple[object, int]:
+    kind, payload = _norm(t)
+    if kind == "null_union":
+        branch, pos = _read_long(buf, pos)
+        if branch == 0:
+            return None, pos
+        return _decode_value(buf, pos, payload)
+    if kind in ("int", "long"):
+        return _read_long(buf, pos)
+    if kind == "boolean":
+        return buf[pos] != 0, pos + 1
+    if kind == "double":
+        return struct.unpack_from("<d", buf, pos)[0], pos + 8
+    if kind == "float":
+        return struct.unpack_from("<f", buf, pos)[0], pos + 4
+    if kind == "string":
+        n, pos = _read_long(buf, pos)
+        return buf[pos : pos + n].decode("utf-8"), pos + n
+    if kind == "bytes":
+        n, pos = _read_long(buf, pos)
+        return bytes(buf[pos : pos + n]), pos + n
+    if kind == "record":
+        rec: dict = {}
+        for name, ft in payload:
+            rec[name], pos = _decode_value(buf, pos, ft)
+        return rec, pos
+    if kind == "array":
+        items: list = []
+        while True:
+            n, pos = _read_long(buf, pos)
+            if n == 0:
+                return items, pos
+            if n < 0:  # spec: negative count prefixes a block byte-size
+                _, pos = _read_long(buf, pos)
+                n = -n
+            for _i in range(n):
+                item, pos = _decode_value(buf, pos, payload)
+                items.append(item)
+    if kind == "map":
+        entries: dict = {}
+        while True:
+            n, pos = _read_long(buf, pos)
+            if n == 0:
+                return entries, pos
+            if n < 0:
+                _, pos = _read_long(buf, pos)
+                n = -n
+            for _i in range(n):
+                kl, pos = _read_long(buf, pos)
+                key = buf[pos : pos + kl].decode("utf-8")
+                pos += kl
+                entries[key], pos = _decode_value(buf, pos, payload)
+    if kind == "decimal":
+        n, pos = _read_long(buf, pos)
+        unscaled = int.from_bytes(buf[pos : pos + n], "big", signed=True)
+        return _decimal.Decimal(unscaled).scaleb(-payload[1]), pos + n
+    if kind == "timestamp-millis":
+        ms, pos = _read_long(buf, pos)
+        return _EPOCH + _dt.timedelta(milliseconds=ms), pos
+    raise ValueError(f"unsupported avro type {kind!r}")  # pragma: no cover
 
 
 def encode_record(values: dict, fields: list[tuple[str, object]]) -> bytes:
     """Encode one record's field values in declaration order."""
     out = bytearray()
     for name, t in fields:
-        base, nullable = _base_type(t)
-        v = values.get(name)
-        if nullable:
-            if _is_null(v):
-                _write_long(out, 0)  # union branch: null
-                continue
-            _write_long(out, 1)  # union branch: value
-        elif _is_null(v):
-            raise ValueError(f"field {name!r} is not nullable")
-        if base in ("int", "long"):
-            _write_long(out, int(v))
-        elif base == "boolean":
-            out.append(1 if v else 0)
-        elif base == "double":
-            out += struct.pack("<d", float(v))
-        elif base == "float":
-            out += struct.pack("<f", float(v))
-        elif base == "string":
-            raw = str(v).encode("utf-8")
-            _write_long(out, len(raw))
-            out += raw
-        elif base == "bytes":
-            _write_long(out, len(v))
-            out += bytes(v)
-        else:
-            raise ValueError(f"unsupported avro type {base!r}")
+        try:
+            _encode_value(out, values.get(name), t)
+        except ValueError as e:
+            raise ValueError(f"field {name!r}: {e}") from None
     return bytes(out)
 
 
@@ -161,33 +369,7 @@ def decode_record(buf: bytes, fields: list[tuple[str, object]]) -> dict:
     pos = 0
     out: dict = {}
     for name, t in fields:
-        base, nullable = _base_type(t)
-        if nullable:
-            branch, pos = _read_long(buf, pos)
-            if branch == 0:
-                out[name] = None
-                continue
-        if base in ("int", "long"):
-            out[name], pos = _read_long(buf, pos)
-        elif base == "boolean":
-            out[name] = buf[pos] != 0
-            pos += 1
-        elif base == "double":
-            (out[name],) = struct.unpack_from("<d", buf, pos)
-            pos += 8
-        elif base == "float":
-            (out[name],) = struct.unpack_from("<f", buf, pos)
-            pos += 4
-        elif base == "string":
-            n, pos = _read_long(buf, pos)
-            out[name] = buf[pos : pos + n].decode("utf-8")
-            pos += n
-        elif base == "bytes":
-            n, pos = _read_long(buf, pos)
-            out[name] = bytes(buf[pos : pos + n])
-            pos += n
-        else:
-            raise ValueError(f"unsupported avro type {base!r}")
+        out[name], pos = _decode_value(buf, pos, t)
     return out
 
 

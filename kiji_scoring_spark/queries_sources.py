@@ -445,6 +445,116 @@ def avro_cell_roundtrip_nation_stats(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @query(
+    "avro_nested_cell_roundtrip_orders",
+    """
+    SELECT o_orderpriority AS priority,
+      COUNT(*) AS n_orders,
+      CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+      CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_open,
+      strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S') AS max_placed,
+      CAST(SUM(length(o_orderpriority) + o_custkey) AS BIGINT) AS sum_props
+    FROM orders
+    GROUP BY priority
+    ORDER BY priority
+    """,
+    "sources", "avro", "nested",
+)
+def avro_nested_cell_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NESTED Avro-record cell round-trip (round-5): the reference stores
+    arbitrary Avro records per cell (``KijiFreshnessPolicy.avdl:29-41`` —
+    nested records, collections, logical types), not just flat
+    primitives. Pack each order into a cell with a nested record (decimal
+    total + boolean + nullable-string note), a string array, a
+    string->long map, and a timestamp-millis — encode, decode, and
+    aggregate the DECODED values per priority. The oracle computes the
+    same stats straight from the parquet columns, so any loss anywhere in
+    the nested codec (union branch, block framing, unscaled-decimal
+    bytes, epoch-millis conversion) fails the hash match. Spec compliance
+    is pinned byte-for-byte in tests/test_avro.py.
+
+    Scale: identical to the flat-cell query — Arrow-batched mapInPandas
+    both ways, fused with the scan, one final shuffle for the 5-group
+    aggregate; the JVM from_avro/to_avro path takes over when the
+    spark-avro connector is loaded."""
+    from .operators.avro import decode_avro_cells, encode_avro_cells
+
+    fields = [
+        ("okey", "long"),
+        (
+            "stats",
+            {
+                "type": "record",
+                "name": "stats",
+                "fields": [
+                    {
+                        "name": "total",
+                        "type": {
+                            "type": "bytes",
+                            "logicalType": "decimal",
+                            "precision": 18,
+                            "scale": 2,
+                        },
+                    },
+                    {"name": "flag", "type": "boolean"},
+                    {"name": "note", "type": ["null", "string"]},
+                ],
+            },
+        ),
+        ("tags", {"type": "array", "items": "string"}),
+        ("props", {"type": "map", "values": "long"}),
+        ("placed_at", {"type": "long", "logicalType": "timestamp-millis"}),
+    ]
+    o = load_table(spark, sf_dir, "orders")
+    cells_in = o.select(
+        F.col("o_orderkey").alias("okey"),
+        F.struct(
+            (F.round(F.col("o_totalprice") * 100).cast("decimal(20,0)") / 100)
+            .cast("decimal(18,2)")
+            .alias("total"),
+            (F.col("o_orderpriority") == "1-URGENT").alias("flag"),
+            # NULL note for open orders exercises the union null branch
+            F.when(F.col("o_orderstatus") != "O", F.col("o_orderstatus")).alias(
+                "note"
+            ),
+        ).alias("stats"),
+        F.array("o_orderstatus", "o_orderpriority").alias("tags"),
+        F.create_map(
+            F.lit("pri"),
+            F.length("o_orderpriority").cast("long"),
+            F.lit("cust"),
+            F.col("o_custkey"),
+        ).alias("props"),
+        F.col("o_orderdate").alias("placed_at"),
+    )
+    enc = encode_avro_cells(cells_in, fields, "cell")
+    dec = decode_avro_cells(enc, "cell", fields)
+    return (
+        dec.select(
+            F.try_element_at("tags", F.lit(2)).alias("priority"),
+            (F.col("stats.total") * 100).cast("long").alias("cents"),
+            F.col("stats.note").isNull().cast("long").alias("is_open"),
+            "placed_at",
+            (
+                F.try_element_at("props", F.lit("pri"))
+                + F.try_element_at("props", F.lit("cust"))
+            ).alias("propsum"),
+        )
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("sum_cents"),
+            F.sum("is_open").alias("n_open"),
+            F.date_format(F.max("placed_at"), "yyyy-MM-dd HH:mm:ss").alias(
+                "max_placed"
+            ),
+            F.sum("propsum").alias("sum_props"),
+        )
+        .orderBy("priority")
+    )
+
+
+@query(
     "pyds_synthetic_events_stats",
     """
     WITH e AS (

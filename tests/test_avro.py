@@ -56,6 +56,145 @@ def test_roundtrip_identity(rec):
     assert av.decode_record(av.encode_record(rec, FIELDS), FIELDS) == rec
 
 
+def test_golden_bytes_nested_and_logical_types():
+    """Golden bytes for the round-5 codec extension, derived from the
+    Avro 1.12 spec: arrays/maps are blocks (count, items..., 0-terminator
+    — the spec's own [3, 27] -> 04 06 36 00 example), nested records
+    concatenate with no framing, decimal is a length-prefixed minimal
+    big-endian two's-complement unscaled int, timestamp-millis is a
+    zigzag-varint epoch-millis long."""
+    import datetime
+    from decimal import Decimal
+
+    # spec's array example: [3, 27] as array<long> -> 04 06 36 00
+    arr = {"type": "array", "items": "long"}
+    assert av.encode_record({"v": [3, 27]}, [("v", arr)]) == b"\x04\x06\x36\x00"
+    assert av.decode_record(b"\x04\x06\x36\x00", [("v", arr)]) == {"v": [3, 27]}
+    # empty array is just the terminator
+    assert av.encode_record({"v": []}, [("v", arr)]) == b"\x00"
+    # map {"a": 1} as map<long>: count=1 (02), key "a" (02 61), value 02, end 00
+    mp = {"type": "map", "values": "long"}
+    assert av.encode_record({"v": {"a": 1}}, [("v", mp)]) == b"\x02\x02a\x02\x00"
+    assert av.decode_record(b"\x02\x02a\x02\x00", [("v", mp)]) == {"v": {"a": 1}}
+    # nested record {a: 27, b: {c: "x"}} -> 36 | 02 78 (no framing)
+    rec = {
+        "type": "record",
+        "name": "inner",
+        "fields": [{"name": "c", "type": "string"}],
+    }
+    fields = [("a", "long"), ("b", rec)]
+    assert av.encode_record({"a": 27, "b": {"c": "x"}}, fields) == b"\x36\x02x"
+    # decimal(12,2) 123.45 -> unscaled 12345 -> 0x3039, length-prefixed 04
+    dec = {"type": "bytes", "logicalType": "decimal", "precision": 12, "scale": 2}
+    assert av.encode_record({"v": Decimal("123.45")}, [("v", dec)]) == b"\x04\x30\x39"
+    assert av.decode_record(b"\x04\x30\x39", [("v", dec)]) == {"v": Decimal("123.45")}
+    # negative decimal: -1.00 scale 2 -> unscaled -100 -> minimal 0x9c
+    assert av.encode_record({"v": Decimal("-1.00")}, [("v", dec)]) == b"\x02\x9c"
+    # minimal two's complement at the sign boundary: -128 is ONE byte 0x80
+    dec0 = {"type": "bytes", "logicalType": "decimal", "precision": 5, "scale": 0}
+    assert av.encode_record({"v": Decimal(-128)}, [("v", dec0)]) == b"\x02\x80"
+    assert av.encode_record({"v": Decimal(128)}, [("v", dec0)]) == b"\x04\x00\x80"
+    # timestamp-millis: 1970-01-01T00:00:01Z = 1000 ms -> zigzag 2000 -> d0 0f
+    ts = {"type": "long", "logicalType": "timestamp-millis"}
+    one_sec = datetime.datetime(1970, 1, 1, 0, 0, 1)
+    assert av.encode_record({"v": one_sec}, [("v", ts)]) == b"\xd0\x0f"
+    assert av.decode_record(b"\xd0\x0f", [("v", ts)]) == {"v": one_sec}
+
+
+NESTED_FIELDS = [
+    ("okey", "long"),
+    (
+        "stats",
+        {
+            "type": "record",
+            "name": "stats",
+            "fields": [
+                {
+                    "name": "total",
+                    "type": {
+                        "type": "bytes",
+                        "logicalType": "decimal",
+                        "precision": 18,
+                        "scale": 2,
+                    },
+                },
+                {"name": "flag", "type": "boolean"},
+                {"name": "note", "type": ["null", "string"]},
+            ],
+        },
+    ),
+    ("tags", {"type": "array", "items": "string"}),
+    ("props", {"type": "map", "values": "long"}),
+    (
+        "placed_at",
+        {"type": "long", "logicalType": "timestamp-millis"},
+    ),
+]
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    rec=st.fixed_dictionaries(
+        {
+            "okey": st.integers(-(2**62), 2**62),
+            "stats": st.fixed_dictionaries(
+                {
+                    "total": st.decimals(
+                        min_value=-(10**15), max_value=10**15, places=2
+                    ),
+                    "flag": st.booleans(),
+                    "note": st.none() | st.text(max_size=8),
+                }
+            ),
+            "tags": st.lists(st.text(max_size=6), max_size=5),
+            "props": st.dictionaries(st.text(max_size=4), st.integers(-100, 100), max_size=4),
+            "placed_at": st.datetimes(
+                min_value=__import__("datetime").datetime(1900, 1, 1),
+                max_value=__import__("datetime").datetime(2200, 1, 1),
+            ).map(lambda d: d.replace(microsecond=(d.microsecond // 1000) * 1000)),
+        }
+    )
+)
+def test_nested_roundtrip_identity(rec):
+    assert av.decode_record(av.encode_record(rec, NESTED_FIELDS), NESTED_FIELDS) == rec
+
+
+def test_nested_dataframe_roundtrip(spark):
+    """End-to-end over Arrow batches with nested record, array, map,
+    decimal, and timestamp columns — the shapes real Kiji cells carry."""
+    import datetime
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (
+                1,
+                (Decimal("10.50"), True, "hi"),
+                ["a", "b"],
+                {"k1": 1, "k2": 2},
+                datetime.datetime(2024, 3, 10, 6, 30),
+            ),
+            (2, (Decimal("-0.25"), False, None), [], {}, datetime.datetime(1999, 12, 31, 23, 59, 59)),
+        ],
+        "okey long, stats struct<total: decimal(18,2), flag: boolean, note: string>, "
+        "tags array<string>, props map<string, bigint>, placed_at timestamp",
+    )
+    enc = av.encode_avro_cells(df, NESTED_FIELDS, "cell", use_jvm=False)
+    assert set(enc.columns) == {"cell"}
+    dec = av.decode_avro_cells(enc, "cell", NESTED_FIELDS, use_jvm=False)
+    rows = {r["okey"]: r for r in dec.collect()}
+    assert rows[1]["stats"]["total"] == Decimal("10.50")
+    assert rows[1]["stats"]["note"] == "hi"
+    assert sorted(rows[1]["props"].items()) == [("k1", 1), ("k2", 2)]
+    assert rows[1]["tags"] == ["a", "b"]
+    assert rows[1]["placed_at"] == datetime.datetime(2024, 3, 10, 6, 30)
+    assert rows[2]["stats"]["note"] is None
+    assert rows[2]["tags"] == []
+    assert rows[2]["props"] == {}
+
+
 def test_nan_encodes_as_null_branch():
     """Arrow->pandas hands NULL nullable numerics to Python as float NaN;
     the encoder must write the null union branch (00), not branch 1 with a

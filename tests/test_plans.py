@@ -60,6 +60,7 @@ ARROW_QUERIES = {
     # Avro cell codec: pure-Python fallback path is two mapInPandas
     # stages; JVM-side (from_avro) where the connector jar exists
     "avro_cell_roundtrip_nation_stats",
+    "avro_nested_cell_roundtrip_orders",
 }
 
 
