@@ -84,6 +84,17 @@ HEADLINE = [
     "dedup_incremental_new_vs_corpus",
     "mixture_rebalance_sources",
     "quality_unigram_logprob",
+    # round 5: every expensive round-4 plan shape joins the headline so
+    # regressions can't hide — PPJoin prefix+length filtering, watermark
+    # left-outer stream-stream join, exp-decay feature windows, pairwise
+    # as-of probes, recursive-CTE month spine; plus the round-5 nested
+    # Avro cell codec
+    "setsim_join_exact_jaccard",
+    "streaming_stream_stream_left_outer",
+    "feature_decayed_engagement",
+    "asof_join_pairwise_event_probes",
+    "recursive_cte_month_spine_orders",
+    "avro_nested_cell_roundtrip_orders",
 ]
 
 #: round-over-round regression reference (sum over that round's HEADLINE):

@@ -8,6 +8,12 @@ os.environ.setdefault("SPARK_GRAFT_SHUFFLE", "4")
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running scale-robustness checks"
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     from kiji_scoring_spark.session import get_spark
