@@ -95,6 +95,10 @@ HEADLINE = [
     "asof_join_pairwise_event_probes",
     "recursive_cte_month_spine_orders",
     "avro_nested_cell_roundtrip_orders",
+    # round 5 driver-checked promotions: bucketed write+co-located join,
+    # three-batch watermark late-drop replay
+    "bucketed_join_colocated_revenue",
+    "streaming_watermark_late_drop",
 ]
 
 #: round-over-round regression reference (sum over that round's HEADLINE):

@@ -202,13 +202,15 @@ def _is_null(v) -> bool:
 
 def _to_millis(v) -> int:
     """Epoch millis from a pandas Timestamp / datetime / raw integer.
-    Naive datetimes are UTC instants (the engine pins session tz UTC)."""
+    Naive datetimes are UTC instants (the engine pins session tz UTC).
+    Integer timedelta arithmetic only — float total_seconds() truncates
+    toward zero, which is off-by-one for pre-epoch instants."""
     if hasattr(v, "value") and hasattr(v, "to_pydatetime"):
         return int(v.value) // 1_000_000  # pandas Timestamp: ns since epoch
     if isinstance(v, _dt.datetime):
         if v.tzinfo is not None:
-            return int(v.timestamp() * 1000)
-        return int((v - _EPOCH).total_seconds() * 1000)
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return (v - _EPOCH) // _dt.timedelta(milliseconds=1)
     return int(v)
 
 

@@ -582,6 +582,113 @@ def streaming_dedup_event_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_watermark_late_drop",
+    """
+    WITH e AS (
+      SELECT ts FROM events WHERE user_id < 30
+    ), mx AS (
+      SELECT max(ts) AS m FROM e
+    ), counted AS (
+      SELECT ts FROM e, mx WHERE ts >= m - INTERVAL 4 DAY
+    )
+    SELECT date_trunc('hour', ts) AS window_start,
+      COUNT(*) AS n_events
+    FROM counted, mx
+    GROUP BY window_start, m
+    HAVING window_start + INTERVAL 1 HOUR <= m - INTERVAL 10 MINUTE
+    ORDER BY window_start
+    """,
+    "streaming", "watermark", "late-drop",
+)
+def streaming_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DROP as a driver-checked query (§2.F row 1 — was
+    local-test-only): the events slice is replayed as THREE mtime-ordered
+    micro-batches via maxFilesPerTrigger=1 — newest two days first, then
+    days 2-4, then everything older as the straggler file.
+
+    Spark 4 runs TWO watermarks per batch (SPARK-24588 semantics): late
+    records are FILTERED with the watermark that was operative during the
+    previous batch, while state EVICTION uses the freshly advanced one.
+    So batch 1's tranche (2-4 days old) is admitted-then-evicted — it
+    still counts — and only batch 2's stragglers meet an already-advanced
+    filter watermark (max(ts) − 10 min, set after batch 0) and are
+    DROPPED before touching state. The oracle states exactly that
+    contract: counts come from the two newest tranches only (ts >=
+    max − 4 days), the straggler file contributes nothing, and append
+    mode emits precisely the windows whose end the watermark passed
+    (HAVING window_end <= max(ts) − 10 min — the final hour stays open).
+
+    Scale: this is the bounded-state guarantee that lets a 100 TB/day
+    stream run in fixed memory — state holds only open windows; late
+    data costs a filter, not a recompute. File order is pinned by mtime
+    (the file source sorts by (modTime, path)), making the watermark
+    sequence — and therefore the result — deterministic."""
+    import shutil
+    import tempfile
+
+    ev_schema = load_table(spark, sf_dir, "events").schema
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 30)
+        .select(F.col("ts").cast("timestamp").alias("ts"))
+    )
+    # tranche bounds derived IN-PLAN (no driver-side collect)
+    mx = ev.agg(F.max("ts").alias("m"))
+    evm = ev.crossJoin(mx)
+    cut2 = F.col("m") - F.expr("INTERVAL 2 DAYS")
+    cut4 = F.col("m") - F.expr("INTERVAL 4 DAYS")
+    b0 = evm.filter(F.col("ts") >= cut2).select("ts")
+    b1 = evm.filter((F.col("ts") >= cut4) & (F.col("ts") < cut2)).select("ts")
+    b2 = evm.filter(F.col("ts") < cut4).select("ts")
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join(tempfile.gettempdir(), f"kss_latedrop_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    stream_dir = os.path.join(base, "stream")
+    os.makedirs(stream_dir)
+    now = 1_600_000_000  # any fixed base; only the ORDER of mtimes matters
+    for i, part in enumerate((b0, b1, b2)):
+        staging = os.path.join(base, f"staging{i}")
+        part.coalesce(1).write.parquet(staging)
+        src = next(
+            f for f in os.listdir(staging)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        dst = os.path.join(stream_dir, f"batch{i}.parquet")
+        shutil.copyfile(os.path.join(staging, src), dst)
+        os.utime(dst, (now + i * 100, now + i * 100))
+
+    stream = (
+        spark.readStream.schema("ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    sink = "streaming_watermark_late_drop_sink"
+    with _state_partitions(spark, 8):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.table(sink)
+        .select(
+            F.col("w.start").cast(ev_schema["ts"].dataType).alias("window_start"),
+            "n_events",
+        )
+        .orderBy("window_start")
+    )
+
+
+@query(
     "streaming_stream_stream_join",
     """
     SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,

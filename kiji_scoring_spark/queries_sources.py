@@ -448,6 +448,66 @@ def avro_cell_roundtrip_nation_stats(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @query(
+    "bucketed_join_colocated_revenue",
+    """
+    SELECT o_orderstatus,
+      CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+      CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        AS revenue_cents
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    "sources", "bucketing", "join",
+)
+def bucketed_join_colocated_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed saveAsTable round-trip + co-located join (§2.B): write
+    BOTH join sides bucketed by the join key (same bucket count), read
+    them back through the catalog, and join — the layout that makes
+    repeated fact-to-fact joins shuffle-free at warehouse scale (neither
+    side exchanges; the sort-merge join consumes bucket-local sorted
+    runs directly). The zero-Exchange property itself is pinned by
+    ``tests/test_plans.py::test_bucketed_join_is_colocated_no_shuffle``;
+    this query drives the full write→catalog→read→join path against the
+    oracle so metadata or bucket-pruning corruption fails the hash.
+
+    Scale: the bucketed write is the one-time shuffle you pay to never
+    shuffle this join again — the classic amortization for a fact table
+    joined every night. Bucket count 8 here; at 100 TB size buckets to
+    ~1 GB of post-compression data each."""
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), f"kss_bucketed_{tag}")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    specs = [("orders", o, "o_orderkey"), ("lineitem", li, "l_orderkey")]
+    for name, df, key in specs:
+        tbl = f"bkt_{name}_{tag}"
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        (
+            df.write.bucketBy(8, key)
+            .sortBy(key)
+            .option("path", os.path.join(base, tbl))
+            .mode("overwrite")
+            .saveAsTable(tbl)
+        )
+    j = spark.table(f"bkt_orders_{tag}").join(
+        spark.table(f"bkt_lineitem_{tag}"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    )
+    return (
+        j.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
     "avro_nested_cell_roundtrip_orders",
     """
     SELECT o_orderpriority AS priority,
