@@ -104,6 +104,15 @@ HEADLINE = [
 #: round-over-round regression reference (sum over that round's HEADLINE):
 #: r1 = 33.27 s / 24 queries at sf0.1 (BENCH_r01.json). Compare per-query,
 #: not totals, when the set grows.
+#:
+#: CROSS-ROUND CAVEAT (measured, round 5): the container's ambient speed
+#: drifts between rounds. Re-running the UNCHANGED round-4 code in the
+#: round-5 session gave multimodal_image_features 1.37 s (recorded 0.74 s
+#: in BENCH_r04) and dedup_embedding_cosine_pairs 2.42 s (recorded
+#: 1.69 s) — a ~1.4× environment factor with zero code change. Judge
+#: like-for-like deltas against a same-session rerun of the previous
+#: round's commit (git worktree add <dir> <r4-sha>), not against the
+#: recorded BENCH_r{N-1} numbers alone.
 
 
 def main() -> None:
