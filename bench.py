@@ -96,9 +96,10 @@ HEADLINE = [
     "recursive_cte_month_spine_orders",
     "avro_nested_cell_roundtrip_orders",
     # round 5 driver-checked promotions: bucketed write+co-located join,
-    # three-batch watermark late-drop replay
+    # three-batch watermark late-drop replay, stateful running totals
     "bucketed_join_colocated_revenue",
     "streaming_watermark_late_drop",
+    "streaming_stateful_running_user_totals",
 ]
 
 #: round-over-round regression reference (sum over that round's HEADLINE):

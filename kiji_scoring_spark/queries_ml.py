@@ -689,6 +689,122 @@ def streaming_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "streaming_stateful_running_user_totals",
+    """
+    WITH e AS (
+      SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS cents, ts
+      FROM events WHERE user_id < 50
+    ), mx AS (
+      SELECT max(ts) AS m FROM e
+    ), tagged AS (
+      SELECT user_id, cents,
+        CASE WHEN ts < m - INTERVAL 15 DAY THEN 0 ELSE 1 END AS b
+      FROM e, mx
+    ), per AS (
+      SELECT user_id, b, COUNT(*) AS n, SUM(cents) AS c
+      FROM tagged GROUP BY user_id, b
+    )
+    SELECT user_id,
+      CAST(SUM(n) OVER w AS BIGINT) AS n_events_so_far,
+      CAST(SUM(c) OVER w AS BIGINT) AS cents_so_far
+    FROM per
+    WINDOW w AS (PARTITION BY user_id ORDER BY b)
+    ORDER BY user_id, n_events_so_far
+    """,
+    "streaming", "stateful",
+)
+def streaming_stateful_running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM STATEFUL OPERATOR as a driver-checked query (§2.F stateful
+    row — was local-test-only): per-user running totals maintained in
+    ``applyInPandasWithState`` across a deterministic two-batch replay
+    (chronological halves split at max(ts) − 15 days, file order pinned
+    by mtime). Each micro-batch invokes the state function once per user
+    WITH data in that batch, which emits the post-update running
+    (count, cents) — so the output is one cumulative row per (user,
+    batch-with-data), and the oracle reproduces it exactly with a
+    per-batch aggregate + a running-sum window over the batch index.
+    This is the freshness-capsule state shape (reference's per-entity
+    scoring state) under the exact-value gate instead of a local golden.
+
+    Scale: state is two longs per user, partitioned by the grouping key
+    across state stores; Arrow batches stream per group — no
+    driver-side anything. Cents are computed JVM-side before the pandas
+    stage so the Python function only sums exact integers (no float
+    rounding divergence between engines)."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 50)
+        .select(
+            "user_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            F.col("ts").cast("timestamp").alias("ts"),
+        )
+    )
+    mx = ev.agg(F.max("ts").alias("m"))
+    evm = ev.crossJoin(mx)
+    cut = F.col("m") - F.expr("INTERVAL 15 DAYS")
+    b0 = evm.filter(F.col("ts") < cut).select("user_id", "cents")
+    b1 = evm.filter(F.col("ts") >= cut).select("user_id", "cents")
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join(tempfile.gettempdir(), f"kss_stateful_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    stream_dir = os.path.join(base, "stream")
+    os.makedirs(stream_dir)
+    now = 1_600_000_000
+    for i, part in enumerate((b0, b1)):
+        staging = os.path.join(base, f"staging{i}")
+        part.coalesce(1).write.parquet(staging)
+        src = next(
+            f for f in os.listdir(staging)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        dst = os.path.join(stream_dir, f"batch{i}.parquet")
+        shutil.copyfile(os.path.join(staging, src), dst)
+        os.utime(dst, (now + i * 100, now + i * 100))
+
+    def running_totals(key, pdfs, state: GroupState):
+        n, c = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            c += int(pdf["cents"].sum())
+        state.update((n, c))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events_so_far": [n], "cents_so_far": [c]}
+        )
+
+    stream = (
+        spark.readStream.schema("user_id long, cents long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    updates = stream.groupBy("user_id").applyInPandasWithState(
+        running_totals,
+        outputStructType="user_id long, n_events_so_far long, cents_so_far long",
+        stateStructType="n long, c long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = "streaming_stateful_running_user_totals_sink"
+    with _state_partitions(spark, 8):
+        q = (
+            updates.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(sink).orderBy("user_id", "n_events_so_far")
+
+
+@query(
     "streaming_stream_stream_join",
     """
     SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
