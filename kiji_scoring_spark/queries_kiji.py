@@ -253,6 +253,86 @@ def fresh_a6_policy_own_request(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fresh_a9_kv_masked_scoring",
+    f"""
+    SELECT user_id, score FROM (
+      SELECT user_id,
+        CASE WHEN {AS_OF_MS} - max({_EPOCH_MS}) <= {5 * DAY_MS}
+             THEN max_by(value, CAST(epoch_ms(ts) AS BIGINT) * 1000000 + event_id)
+             ELSE max_by(value, CAST(epoch_ms(ts) AS BIGINT) * 1000000 + event_id)
+                  * (2 + user_id % 5) END AS score
+      FROM events GROUP BY user_id
+    ) t ORDER BY user_id
+    """,
+    "kiji", "freshness", "scoring", "kv",
+)
+def fresh_a9_kv_masked_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 — KV side-inputs with POLICY-MASKS-PRODUCER semantics, under
+    the oracle gate (was local-test-only): the producer declares a
+    required store ``mult`` (a constant 100.0 — a poison value), the
+    policy declares a store with the SAME name mapping segment →
+    2 + seg, and the reference contract says the policy's store wins
+    (``impl/InternalFreshKijiTableReader.java:374-379``, exercised by
+    ``TestKVStores.java:126-131``). Stale users are rescored to
+    newest_value × mult from the store that SURVIVED masking, so if
+    masking ever regressed the scores would be 100× and the hash check
+    fails — masking is verified by VALUES, not by inspection.
+
+    Scale: stores attach as broadcast left joins before the freshness
+    predicate (every producer branch sees them); the store is 5 rows —
+    the classic dimension-broadcast shape. The freshen pass itself adds
+    no shuffle beyond the versioned compaction."""
+    from .fresh import Freshener
+    from .producers import ExpressionProducer
+
+    class ShelfLifeWithStore(ShelfLife):
+        """ShelfLife overriding the required_stores extension point
+        (``KijiFreshnessPolicy.java:86-88`` getRequiredStores)."""
+
+        def __init__(self, shelf_life_ms: int, stores: dict):
+            super().__init__(shelf_life_ms)
+            self._stores = stores
+
+        @property
+        def required_stores(self) -> dict:
+            return self._stores
+
+    vt = versioned_events(spark, sf_dir).withColumn(
+        "seg", (F.col("user_id") % 5).cast("long")
+    )
+    seg = spark.range(5).select(F.col("id").alias("seg"))
+    policy_store = {
+        "df": seg.withColumn("m", (F.col("seg") + 2).cast("double")),
+        "on": "seg",
+        "select": {"mult": "m"},
+    }
+    producer_store = {
+        "df": seg.withColumn("m", F.lit(100.0)),
+        "on": "seg",
+        "select": {"mult": "m"},
+    }
+    producer = ExpressionProducer(
+        lambda df: model.most_recent_value("value_versions") * F.col("mult"),
+        data_request=["value:versions"],
+        required_stores={"mult": producer_store},
+    )
+    policy = ShelfLifeWithStore(5 * DAY_MS, {"mult": policy_store})
+    reader = FreshTableReader(
+        spark, "events_versioned", vt, FreshenerRegistry(), key_col="user_id"
+    )
+    # bind the capsule directly (the reference's makeCapsule product,
+    # InternalFreshKijiTableReader.java:356-386) — instance producers with
+    # DataFrame-backed stores have no class-path registry form
+    reader._capsules = {
+        "value:versions": Freshener("value:versions", policy, producer)
+    }
+    fresh_df = reader.scan(AS_OF_MS)
+    return fresh_df.select(
+        "user_id", model.most_recent_value("value_versions").alias("score")
+    ).orderBy("user_id")
+
+
+@query(
     "fresh_bulk_get_scored",
     f"""
     SELECT user_id, score FROM (
