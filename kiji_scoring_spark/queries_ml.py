@@ -805,6 +805,139 @@ def streaming_stateful_running_user_totals(spark: SparkSession, sf_dir: str) -> 
 
 
 @query(
+    "streaming_foreachbatch_merge_upsert",
+    """
+    WITH e AS (
+      SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS cents, ts
+      FROM events WHERE user_id < 50
+    ), mx AS (
+      SELECT max(ts) AS m FROM e
+    ), tagged AS (
+      SELECT user_id, cents,
+        CASE WHEN ts < m - INTERVAL 15 DAY THEN 0 ELSE 1 END AS b
+      FROM e, mx
+    )
+    SELECT user_id,
+      COUNT(*) AS n_events,
+      CAST(SUM(cents) AS BIGINT) AS cents_total,
+      CAST(COUNT(DISTINCT b) AS BIGINT) AS batches_seen
+    FROM tagged
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    "streaming", "sink", "merge",
+)
+def streaming_foreachbatch_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch MERGE-upsert materialization (§2.F sink row — was
+    local-test-only): each micro-batch of the deterministic two-file
+    replay is aggregated per user and MERGED (full-outer, sum/accumulate,
+    batches_seen increment) into a versioned parquet state table — the
+    incremental-dimension-maintenance pattern a warehouse runs with
+    foreachBatch + MERGE when the sink has no native upsert. The final
+    state version is the result; the oracle recomputes per-user totals
+    and the number of DISTINCT batches each user appeared in, so a
+    skipped batch, a double-applied batch, or a broken merge join all
+    shift values and fail the hash.
+
+    Scale: per-batch work is one partial-aggregated shuffle of the batch
+    plus a key-partitioned merge join against current state; versioned
+    directories give atomic swap (readers never see a half-written
+    state) — the same manifest discipline as the file sink. State size
+    is one row per entity, independent of stream length."""
+    import shutil
+    import tempfile
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 50)
+        .select(
+            "user_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            F.col("ts").cast("timestamp").alias("ts"),
+        )
+    )
+    mx = ev.agg(F.max("ts").alias("m"))
+    evm = ev.crossJoin(mx)
+    cut = F.col("m") - F.expr("INTERVAL 15 DAYS")
+    b0 = evm.filter(F.col("ts") < cut).select("user_id", "cents")
+    b1 = evm.filter(F.col("ts") >= cut).select("user_id", "cents")
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join(tempfile.gettempdir(), f"kss_febmerge_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    stream_dir = os.path.join(base, "stream")
+    os.makedirs(stream_dir)
+    now = 1_600_000_000
+    for i, part in enumerate((b0, b1)):
+        staging = os.path.join(base, f"staging{i}")
+        part.coalesce(1).write.parquet(staging)
+        src = next(
+            f for f in os.listdir(staging)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        dst = os.path.join(stream_dir, f"batch{i}.parquet")
+        shutil.copyfile(os.path.join(staging, src), dst)
+        os.utime(dst, (now + i * 100, now + i * 100))
+
+    state_base = os.path.join(base, "state")
+    last_version = {"v": -1}
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        agg = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("cents_total"),
+            F.lit(1).cast("long").alias("batches_seen"),
+        )
+        if last_version["v"] >= 0:
+            prev = batch_df.sparkSession.read.parquet(
+                os.path.join(state_base, f"v{last_version['v']}")
+            )
+            merged = (
+                prev.alias("p")
+                .join(agg.alias("n"), "user_id", "full_outer")
+                .select(
+                    "user_id",
+                    (
+                        F.coalesce(F.col("p.n_events"), F.lit(0))
+                        + F.coalesce(F.col("n.n_events"), F.lit(0))
+                    ).alias("n_events"),
+                    (
+                        F.coalesce(F.col("p.cents_total"), F.lit(0))
+                        + F.coalesce(F.col("n.cents_total"), F.lit(0))
+                    ).alias("cents_total"),
+                    (
+                        F.coalesce(F.col("p.batches_seen"), F.lit(0))
+                        + F.coalesce(F.col("n.batches_seen"), F.lit(0))
+                    ).alias("batches_seen"),
+                )
+            )
+        else:
+            merged = agg
+        # versioned dir = atomic swap: the new state materializes fully
+        # before last_version advances; a failed batch leaves state intact
+        merged.write.parquet(os.path.join(state_base, f"v{batch_id}"))
+        last_version["v"] = batch_id
+
+    stream = (
+        spark.readStream.schema("user_id long, cents long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    with _state_partitions(spark, 8):
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", os.path.join(base, "cp"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.read.parquet(os.path.join(state_base, f"v{last_version['v']}"))
+        .orderBy("user_id")
+    )
+
+
+@query(
     "streaming_stream_stream_join",
     """
     SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
