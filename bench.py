@@ -100,6 +100,8 @@ HEADLINE = [
     "bucketed_join_colocated_revenue",
     "streaming_watermark_late_drop",
     "streaming_stateful_running_user_totals",
+    "streaming_foreachbatch_merge_upsert",
+    "fresh_a9_kv_masked_scoring",
 ]
 
 #: round-over-round regression reference (sum over that round's HEADLINE):
