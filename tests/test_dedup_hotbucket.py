@@ -14,6 +14,9 @@ import random
 
 from pyspark.sql import functions as F
 
+# the registry must load before any queries_* module is imported directly
+# (queries_train pulls helpers from queries_pipeline mid-registration)
+from kiji_scoring_spark import queries as _registry  # noqa: F401
 from kiji_scoring_spark.operators import dedup as dd
 
 
@@ -55,6 +58,20 @@ def test_cross_bucket_pairs_capped_equals_uncapped(spark):
     assert capped == uncapped
     n_expected = sum(len(r[1]) * len(r[2]) for r in rows)
     assert len(capped) == n_expected
+
+
+def test_hot_bucket_path_is_shuffled(spark):
+    """The quarantine's whole point is the SHUFFLE that spreads a hot
+    bucket's block rows across tasks — pin it in the executed plan so a
+    refactor can't quietly turn the block path back into a single-task
+    expansion."""
+    big = spark.createDataFrame(
+        [(0, list(range(1000)))], "bucket int, ids array<bigint>"
+    )
+    df = dd.bucket_pairs(big, max_bucket=256, chunk=128)
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" in plan or "ShuffleExchange" in plan
 
 
 def test_ppjoin_length_filter_prunes_candidates(spark, sf_dir):
