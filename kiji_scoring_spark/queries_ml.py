@@ -581,6 +581,36 @@ def streaming_dedup_event_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _replay_files(prefix: str, sf_dir: str, parts) -> str:
+    """Materialize DataFrames as a deterministic micro-batch replay dir:
+    one parquet file per part, mtimes strictly increasing in list order.
+    The file stream source sorts by (modification time, path), so with
+    ``maxFilesPerTrigger=1`` the parts become batches 0..n-1 exactly —
+    the watermark sequence and state-function invocation order are fully
+    deterministic, which is what lets real StreamingQueries sit under
+    the exact-value oracle gate."""
+    import shutil
+    import tempfile
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join(tempfile.gettempdir(), f"{prefix}_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    stream_dir = os.path.join(base, "stream")
+    os.makedirs(stream_dir)
+    now = 1_600_000_000  # any fixed base; only the ORDER of mtimes matters
+    for i, part in enumerate(parts):
+        staging = os.path.join(base, f"staging{i}")
+        part.coalesce(1).write.parquet(staging)
+        src = next(
+            f for f in os.listdir(staging)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        dst = os.path.join(stream_dir, f"batch{i}.parquet")
+        shutil.copyfile(os.path.join(staging, src), dst)
+        os.utime(dst, (now + i * 100, now + i * 100))
+    return base
+
+
 @query(
     "streaming_watermark_late_drop",
     """
@@ -623,9 +653,6 @@ def streaming_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame
     data costs a filter, not a recompute. File order is pinned by mtime
     (the file source sorts by (modTime, path)), making the watermark
     sequence — and therefore the result — deterministic."""
-    import shutil
-    import tempfile
-
     ev_schema = load_table(spark, sf_dir, "events").schema
     ev = (
         load_table(spark, sf_dir, "events")
@@ -641,27 +668,11 @@ def streaming_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame
     b1 = evm.filter((F.col("ts") >= cut4) & (F.col("ts") < cut2)).select("ts")
     b2 = evm.filter(F.col("ts") < cut4).select("ts")
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    base = os.path.join(tempfile.gettempdir(), f"kss_latedrop_{tag}")
-    shutil.rmtree(base, ignore_errors=True)
-    stream_dir = os.path.join(base, "stream")
-    os.makedirs(stream_dir)
-    now = 1_600_000_000  # any fixed base; only the ORDER of mtimes matters
-    for i, part in enumerate((b0, b1, b2)):
-        staging = os.path.join(base, f"staging{i}")
-        part.coalesce(1).write.parquet(staging)
-        src = next(
-            f for f in os.listdir(staging)
-            if f.startswith("part-") and f.endswith(".parquet")
-        )
-        dst = os.path.join(stream_dir, f"batch{i}.parquet")
-        shutil.copyfile(os.path.join(staging, src), dst)
-        os.utime(dst, (now + i * 100, now + i * 100))
-
+    base = _replay_files("kss_latedrop", sf_dir, (b0, b1, b2))
     stream = (
         spark.readStream.schema("ts timestamp")
         .option("maxFilesPerTrigger", 1)
-        .parquet(stream_dir)
+        .parquet(os.path.join(base, "stream"))
     )
     agg = (
         stream.withWatermark("ts", "10 minutes")
@@ -731,9 +742,6 @@ def streaming_stateful_running_user_totals(spark: SparkSession, sf_dir: str) -> 
     driver-side anything. Cents are computed JVM-side before the pandas
     stage so the Python function only sums exact integers (no float
     rounding divergence between engines)."""
-    import shutil
-    import tempfile
-
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -752,22 +760,7 @@ def streaming_stateful_running_user_totals(spark: SparkSession, sf_dir: str) -> 
     b0 = evm.filter(F.col("ts") < cut).select("user_id", "cents")
     b1 = evm.filter(F.col("ts") >= cut).select("user_id", "cents")
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    base = os.path.join(tempfile.gettempdir(), f"kss_stateful_{tag}")
-    shutil.rmtree(base, ignore_errors=True)
-    stream_dir = os.path.join(base, "stream")
-    os.makedirs(stream_dir)
-    now = 1_600_000_000
-    for i, part in enumerate((b0, b1)):
-        staging = os.path.join(base, f"staging{i}")
-        part.coalesce(1).write.parquet(staging)
-        src = next(
-            f for f in os.listdir(staging)
-            if f.startswith("part-") and f.endswith(".parquet")
-        )
-        dst = os.path.join(stream_dir, f"batch{i}.parquet")
-        shutil.copyfile(os.path.join(staging, src), dst)
-        os.utime(dst, (now + i * 100, now + i * 100))
+    base = _replay_files("kss_stateful", sf_dir, (b0, b1))
 
     def running_totals(key, pdfs, state: GroupState):
         n, c = state.get if state.exists else (0, 0)
@@ -782,7 +775,7 @@ def streaming_stateful_running_user_totals(spark: SparkSession, sf_dir: str) -> 
     stream = (
         spark.readStream.schema("user_id long, cents long")
         .option("maxFilesPerTrigger", 1)
-        .parquet(stream_dir)
+        .parquet(os.path.join(base, "stream"))
     )
     updates = stream.groupBy("user_id").applyInPandasWithState(
         running_totals,
@@ -844,9 +837,6 @@ def streaming_foreachbatch_merge_upsert(spark: SparkSession, sf_dir: str) -> Dat
     directories give atomic swap (readers never see a half-written
     state) — the same manifest discipline as the file sink. State size
     is one row per entity, independent of stream length."""
-    import shutil
-    import tempfile
-
     ev = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("user_id") < 50)
@@ -862,23 +852,7 @@ def streaming_foreachbatch_merge_upsert(spark: SparkSession, sf_dir: str) -> Dat
     b0 = evm.filter(F.col("ts") < cut).select("user_id", "cents")
     b1 = evm.filter(F.col("ts") >= cut).select("user_id", "cents")
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    base = os.path.join(tempfile.gettempdir(), f"kss_febmerge_{tag}")
-    shutil.rmtree(base, ignore_errors=True)
-    stream_dir = os.path.join(base, "stream")
-    os.makedirs(stream_dir)
-    now = 1_600_000_000
-    for i, part in enumerate((b0, b1)):
-        staging = os.path.join(base, f"staging{i}")
-        part.coalesce(1).write.parquet(staging)
-        src = next(
-            f for f in os.listdir(staging)
-            if f.startswith("part-") and f.endswith(".parquet")
-        )
-        dst = os.path.join(stream_dir, f"batch{i}.parquet")
-        shutil.copyfile(os.path.join(staging, src), dst)
-        os.utime(dst, (now + i * 100, now + i * 100))
-
+    base = _replay_files("kss_febmerge", sf_dir, (b0, b1))
     state_base = os.path.join(base, "state")
     last_version = {"v": -1}
 
@@ -921,7 +895,7 @@ def streaming_foreachbatch_merge_upsert(spark: SparkSession, sf_dir: str) -> Dat
     stream = (
         spark.readStream.schema("user_id long, cents long")
         .option("maxFilesPerTrigger", 1)
-        .parquet(stream_dir)
+        .parquet(os.path.join(base, "stream"))
     )
     with _state_partitions(spark, 8):
         q = (
