@@ -102,6 +102,13 @@ HEADLINE = [
     "streaming_stateful_running_user_totals",
     "streaming_foreachbatch_merge_upsert",
     "fresh_a9_kv_masked_scoring",
+    # round 5 graph / incremental-state ops: frontier BFS (iterative,
+    # 3 localCheckpoint levels), partial-agg state merge, CDC window
+    # collapse, HLL shard build+union — all new plan shapes
+    "graph_bfs_copurchase_hops",
+    "incremental_agg_partial_merge",
+    "cdc_apply_changes_ordered",
+    "sketch_hll_shard_union",
 ]
 
 #: round-over-round regression reference (sum over that round's HEADLINE):

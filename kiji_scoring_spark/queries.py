@@ -325,3 +325,4 @@ from . import queries_train  # noqa: E402,F401
 from . import queries_warehouse  # noqa: E402,F401
 from . import queries_behavior  # noqa: E402,F401
 from . import queries_subquery  # noqa: E402,F401
+from . import queries_graph  # noqa: E402,F401

@@ -1,0 +1,321 @@
+"""Graph traversal and incremental-state operators (SURVEY §2.C/§2.G
+deepening, round 5): the four shapes a 100 TB pipeline leans on once the
+relational surface is in place —
+
+- bounded multi-hop BFS over a derived co-occurrence graph (entity
+  resolution / related-items expansion),
+- incremental aggregate maintenance by merging persisted partial-agg
+  state with a delta (never rescanning the base corpus),
+- CDC apply-changes with out-of-order sequence numbers and delete
+  tombstones (the ingest half of a continuously-scored table,
+  generalizing the reference's producer write-back at explicit
+  timestamps, impl/KijiFreshProducerContext.java:90-131),
+- mergeable HLL sketch shards persisted as binary and unioned later
+  (distinct-counting whose state, like the partial aggs, survives
+  across ingest batches).
+
+Parity conventions follow the registry rules (queries.py header): exact
+DECIMAL sums cast to DOUBLE at the end, identical aliases both sides,
+deterministic ORDER BY.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .queries import query
+from .sources import load_table
+
+#: persisted-state scratch root, one subdir per sf_dir so sf0.001 pytest
+#: runs and the sf0.01 driver never share state files.
+_STATE_CACHE = os.path.join(tempfile.gettempdir(), "kiji_scoring_spark_state")
+
+
+def _state_path(sf_dir: str, name: str) -> str:
+    tag = sf_dir.strip("/").replace("/", "_")
+    return os.path.join(_STATE_CACHE, tag, name)
+
+
+@query(
+    "graph_bfs_copurchase_hops",
+    """
+    WITH qual AS (
+      SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 40
+    ),
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM qual a JOIN qual b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    seeds AS (
+      SELECT p_partkey AS pk FROM part WHERE p_partkey % 500 = 0
+    ),
+    reach AS (
+      WITH RECURSIVE walk(pk, hop) AS (
+        SELECT pk, 0 FROM seeds
+        UNION ALL
+        SELECT e.dst, walk.hop + 1
+        FROM walk JOIN edges e ON e.src = walk.pk
+        WHERE walk.hop < 3
+      )
+      SELECT pk, MIN(hop) AS hops FROM walk GROUP BY pk
+    )
+    SELECT pk AS partkey, CAST(hops AS INTEGER) AS hops
+    FROM reach ORDER BY partkey
+    """,
+    "graph", "iterative",
+)
+def graph_bfs_copurchase_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded multi-hop BFS: which parts are reachable within 3 hops of
+    the seed parts over the high-quantity co-purchase graph (two parts
+    are adjacent iff some order contains both with l_quantity >= 40)?
+
+    Spark shape — frontier-iterative BFS, the scale-safe translation of
+    the oracle's recursive CTE:
+
+    - Edges are built per-order from `collect_set` + a double explode.
+      Orders have a bounded line count (<= 7 in TPC-H), so the in-bucket
+      expansion is O(49) worst-case per order — no hot-bucket risk, and
+      no O(|lineitem|^2) self-join.
+    - The edge list is hash-partitioned on `src` once and persisted; all
+      three BFS levels probe the SAME partitioning, so each level is one
+      broadcast-join + distinct, never a re-shuffle of the edges.
+    - The frontier is broadcast (it is at most the vertex set of one
+      level, orders of magnitude smaller than the edges). At 100 TB the
+      hint stays valid while the frontier fits the broadcast threshold;
+      for a frontier that outgrows it, drop the hint and the same code
+      degrades to a co-partitioned shuffle join on `src`.
+    - Each level is `localCheckpoint`-ed: the lineage is cut so level k+1
+      plans against materialized level-k output instead of replaying the
+      whole prefix (same pattern as the connected-components loop in
+      operators/dedup.py).
+
+    Exact-by-construction: hop counts are integers and MIN(hop) is
+    order-independent, so the frontier BFS (which visits each vertex at
+    its minimal hop exactly once, by anti-joining the visited set) and
+    the oracle's enumerate-all-paths-then-MIN agree bit-for-bit.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    qual = li.filter(F.col("l_quantity") >= 40).select("l_orderkey", "l_partkey")
+    baskets = qual.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("pks"))
+    edges = (
+        baskets.select(F.explode("pks").alias("src"), "pks")
+        .select("src", F.explode("pks").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .repartition("src")
+        .persist()
+    )
+
+    seeds = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 500 == 0)
+        .select(F.col("p_partkey").alias("pk"))
+    )
+    reached = seeds.withColumn("hops", F.lit(0))
+    frontier = seeds
+    for hop in (1, 2, 3):
+        nxt = (
+            edges.join(F.broadcast(frontier), on=edges.src == frontier.pk)
+            .select(F.col("dst").alias("pk"))
+            .distinct()
+            .join(reached.select("pk"), on="pk", how="left_anti")
+            .localCheckpoint()
+        )
+        reached = reached.unionByName(nxt.withColumn("hops", F.lit(hop)))
+        frontier = nxt
+    edges.unpersist()
+    return reached.select(
+        F.col("pk").alias("partkey"), F.col("hops").cast("int").alias("hops")
+    ).orderBy("partkey")
+
+
+@query(
+    "incremental_agg_partial_merge",
+    """
+    SELECT o_orderpriority AS pri,
+      CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS mth,
+      COUNT(*) AS cnt,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        AS avg_price
+    FROM orders
+    GROUP BY pri, mth
+    ORDER BY pri, mth
+    """,
+    "agg", "incremental", "sink",
+)
+def incremental_agg_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: the per-(priority, month) order
+    stats are kept as persisted PARTIAL aggregates (count + exact DECIMAL
+    sum); when a delta batch arrives, only the delta is scanned and its
+    partials are merged with the stored state — the base corpus is never
+    re-read. The oracle recomputes from scratch over everything; matching
+    hashes prove partial-merge == full recompute.
+
+    This is the algebraic-aggregate contract (count/sum/min/max are
+    mergeable; avg is derived at read time from sum/count, never stored)
+    that makes 100 TB rollups affordable: per-batch cost is O(delta), and
+    the merge is a groupBy over |groups| rows, not |rows|. Exactness:
+    sums are DECIMAL(18,2) so merge order cannot change the value; the
+    DOUBLE cast and the avg division happen once, after the final merge,
+    on both engines' identical IEEE path.
+
+    Base/delta split is deterministic (o_orderkey % 10): 80% of orders
+    form the "already ingested" state, 20% the delta.
+    """
+    o = load_table(spark, sf_dir, "orders")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.col("o_orderpriority").alias("pri"),
+            F.month("o_orderdate").alias("mth"),
+        ).agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_dec"),
+        )
+
+    path = _state_path(sf_dir, "orders_agg_state.parquet")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        partials(o.filter(F.col("o_orderkey") % 10 < 8)).write.mode(
+            "overwrite"
+        ).parquet(path)
+    state = spark.read.parquet(path)
+    delta = partials(o.filter(F.col("o_orderkey") % 10 >= 8))
+
+    merged = (
+        state.unionByName(delta)
+        .groupBy("pri", "mth")
+        .agg(F.sum("cnt").alias("cnt"), F.sum("total_dec").alias("total_dec"))
+    )
+    return merged.select(
+        "pri",
+        "mth",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("total_dec").cast("double").alias("total"),
+        (F.col("total_dec").cast("double") / F.col("cnt")).alias("avg_price"),
+    ).orderBy("pri", "mth")
+
+
+@query(
+    "cdc_apply_changes_ordered",
+    """
+    WITH ch AS (
+      SELECT user_id, event_id AS seq,
+        CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        value
+      FROM events
+    ),
+    ranked AS (
+      SELECT *,
+        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn,
+        COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+      FROM ch
+    )
+    SELECT user_id, value AS last_value, seq AS last_seq, n_changes
+    FROM ranked WHERE rn = 1 AND op = 'U'
+    ORDER BY user_id
+    """,
+    "cdc", "window",
+)
+def cdc_apply_changes_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply-changes: collapse a changelog (key, monotone sequence
+    number, upsert/delete op, payload) into the current table state —
+    the ingest half of a continuously-scored table, and the batch
+    generalization of the reference's write-at-timestamp producer
+    contract (impl/KijiFreshProducerContext.java:90-131: newest write
+    wins per cell). Events stand in as the changelog: user_id is the
+    key, event_id the sequence, event_type='error' a delete tombstone.
+
+    Out-of-order safety: the input has NO useful physical order (and at
+    100 TB a changelog never does); correctness comes only from the
+    per-key ROW_NUMBER over seq DESC. Keys whose LATEST change is a
+    tombstone vanish from the output — filtering op='U' strictly after
+    rank-1 selection is what makes a delete followed by nothing final;
+    filtering before ranking would wrongly resurrect the previous
+    upsert.
+
+    Scale: one shuffle on user_id serves both window functions (rank and
+    per-key change count share the partition spec); high-cardinality key
+    → no skew; AQE splits any hot key.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ch = ev.select(
+        "user_id",
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        "value",
+    )
+    by_key = Window.partitionBy("user_id")
+    return (
+        ch.withColumn("rn", F.row_number().over(by_key.orderBy(F.desc("seq"))))
+        .withColumn("n_changes", F.count(F.lit(1)).over(by_key))
+        .filter((F.col("rn") == 1) & (F.col("op") == "U"))
+        .select(
+            "user_id",
+            F.col("value").alias("last_value"),
+            F.col("seq").alias("last_seq"),
+            "n_changes",
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "sketch_hll_shard_union",
+    """
+    SELECT COUNT(DISTINCT event_type) AS n_shards,
+      COUNT(DISTINCT user_id) AS exact_users,
+      TRUE AS estimate_ok
+    FROM events
+    """,
+    "sketch", "incremental", "agg",
+)
+def sketch_hll_shard_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches: build one HLL sketch of
+    user_id PER SHARD (event_type), persist the sketches as binary
+    parquet, then answer the global question by unioning the stored
+    sketches — the corpus itself is scanned once ever, and each future
+    batch only adds its own sketch to the store.
+
+    This is the 100 TB distinct-counting shape: HLL registers merge by
+    max, so the union is associative, commutative, and idempotent —
+    partition order, shard order, and re-merges cannot change the
+    estimate, which is why the estimate is DETERMINISTIC and safe to
+    gate. A fixed-size sketch (lgConfigK=12 default, ~2.5 KB) per shard
+    replaces a 100 TB-wide exact distinct.
+
+    Oracle contract: DuckDB cannot reproduce Spark's sketch bytes, so
+    the query emits the exact distinct count (computed both sides) plus
+    `estimate_ok` — |estimate - exact| <= 5% of exact, far looser than
+    the sketch's ~1.6% rsd at lgConfigK=12 — which the oracle states as
+    a constant TRUE. The estimate's exact value and its determinism are
+    pinned by tests/test_graph.py.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    path = _state_path(sf_dir, "hll_user_shards.parquet")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        ev.groupBy("event_type").agg(
+            F.hll_sketch_agg("user_id").alias("sk")
+        ).write.mode("overwrite").parquet(path)
+    shards = spark.read.parquet(path)
+
+    est = shards.agg(
+        F.count(F.lit(1)).alias("n_shards"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+    )
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_users"))
+    return est.crossJoin(exact).select(
+        "n_shards",
+        "exact_users",
+        (
+            F.abs(F.col("est") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("estimate_ok"),
+    )
