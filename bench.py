@@ -109,6 +109,9 @@ HEADLINE = [
     "incremental_agg_partial_merge",
     "cdc_apply_changes_ordered",
     "sketch_hll_shard_union",
+    "graph_triangle_count_copurchase",
+    "bitmap_exact_distinct_shards",
+    "table_diff_checksum_buckets",
 ]
 
 #: round-over-round regression reference (sum over that round's HEADLINE):

@@ -319,3 +319,243 @@ def sketch_hll_shard_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("exact_users")
         ).alias("estimate_ok"),
     )
+
+
+@query(
+    "graph_triangle_count_copurchase",
+    """
+    WITH qual AS (
+      SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 40
+    ),
+    ce AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM qual a JOIN qual b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT
+      (SELECT COUNT(*) FROM ce) AS n_edges,
+      (SELECT COUNT(*) FROM ce e1
+         JOIN ce e2 ON e2.src = e1.dst
+         JOIN ce e3 ON e3.src = e1.src AND e3.dst = e2.dst) AS n_triangles
+    """,
+    "graph",
+)
+def graph_triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle counting over the high-quantity co-purchase
+    graph, via DEGREE-ORDERED ORIENTATION — the trick that makes the
+    join tractable on power-law graphs: orient every edge from the
+    lower-(degree, id) endpoint to the higher one, enumerate wedges only
+    from each vertex's OUT-neighbors, and close them against the
+    canonical edge set. Every triangle then has exactly one pivot (its
+    minimum-rank vertex) and is counted exactly once.
+
+    Why this survives 100 TB where the oracle's naive 3-way self-join
+    does not: a degree-d hub contributes O(d^2) wedges naively, but
+    after orientation every vertex's out-degree is bounded by O(sqrt(m))
+    on any graph (a vertex with out-degree k has k neighbors of degree
+    >= its own, so k^2 <= 2m) — the wedge relation is O(m^1.5) worst
+    case instead of sum-of-d^2, and no single hub key explodes one
+    shuffle partition. The count is an exact integer, so both plans
+    agree bit-for-bit.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    qual = li.filter(F.col("l_quantity") >= 40).select("l_orderkey", "l_partkey")
+    baskets = qual.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("pks"))
+    ce = (
+        baskets.select(F.explode("pks").alias("src"), "pks")
+        .select("src", F.explode("pks").alias("dst"))
+        .filter(F.col("src") < F.col("dst"))
+        .distinct()
+        .persist()
+    )
+
+    deg = (
+        ce.select(F.explode(F.array("src", "dst")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ranked = (
+        ce.join(deg.withColumnRenamed("node", "src").withColumnRenamed("d", "ds"), "src")
+        .join(deg.withColumnRenamed("node", "dst").withColumnRenamed("d", "dd"), "dst")
+    )
+    # orient low-(degree, id) -> high-(degree, id); ties broken by id so
+    # the orientation is total and deterministic
+    oriented = ranked.select(
+        F.when(
+            (F.col("ds") < F.col("dd"))
+            | ((F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst"))),
+            F.struct(F.col("src").alias("u"), F.col("dst").alias("v")),
+        )
+        .otherwise(F.struct(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .alias("e")
+    ).select("e.u", "e.v")
+
+    o1 = oriented.alias("o1")
+    o2 = oriented.alias("o2")
+    wedges = (
+        o1.join(o2, on="u")
+        .filter(F.col("o1.v") < F.col("o2.v"))
+        .select(F.col("o1.v").alias("src"), F.col("o2.v").alias("dst"))
+    )
+    tri = wedges.join(ce, on=["src", "dst"], how="inner").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    n_edges = ce.agg(F.count(F.lit(1)).alias("n_edges"))
+    out = n_edges.crossJoin(tri)
+    ce.unpersist()
+    return out
+
+
+@query(
+    "bitmap_exact_distinct_shards",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'ALL' AS event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    ORDER BY event_type
+    """,
+    "sketch", "incremental", "agg",
+)
+def bitmap_exact_distinct_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct counting via bitmap shards — the
+    companion to the HLL query when the answer must be exact: user ids
+    are mapped to (bucket, bit-position) with Spark's bitmap functions,
+    one RoaringBitmap-style bitmap per (event_type, bucket) is built
+    map-side and persisted as binary parquet, and every later question
+    is answered from the stored bitmaps — per-type counts by summing
+    per-bucket `bitmap_count`s (buckets partition the id space, so they
+    are disjoint), the global count by `bitmap_or_agg` across types
+    first. OR is associative/commutative/idempotent, so shard merge
+    order and re-merges cannot change the result, and re-ingesting a
+    batch is harmless — the dedup-free exactly-once property exact
+    streaming counters need.
+
+    Scale: state is O(distinct/8) bytes spread over (type, bucket) keys
+    — for 10^10 users ~1.25 GB total, sharded; no shuffle ever touches
+    the raw events again after the one build pass.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    path = _state_path(sf_dir, "bitmap_user_shards.parquet")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        ev.select(
+            "event_type",
+            F.bitmap_bucket_number("user_id").alias("bkt"),
+            F.bitmap_bit_position("user_id").alias("pos"),
+        ).groupBy("event_type", "bkt").agg(
+            F.bitmap_construct_agg("pos").alias("bm")
+        ).write.mode("overwrite").parquet(path)
+    shards = spark.read.parquet(path)
+
+    per_type = shards.groupBy("event_type").agg(
+        F.sum(F.bitmap_count("bm")).alias("n_users")
+    )
+    global_row = (
+        shards.groupBy("bkt")
+        .agg(F.bitmap_or_agg("bm").alias("bm"))
+        .agg(F.sum(F.bitmap_count("bm")).alias("n_users"))
+        .select(F.lit("ALL").alias("event_type"), "n_users")
+    )
+    return per_type.unionByName(global_row).orderBy("event_type")
+
+
+@query(
+    "table_diff_checksum_buckets",
+    """
+    WITH base AS (
+      SELECT o_orderkey,
+        CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_c
+      FROM orders
+    ),
+    newt AS (
+      SELECT o_orderkey,
+        total_c + CASE WHEN o_orderkey % 97 = 0 THEN 100 ELSE 0 END AS total_c
+      FROM base WHERE o_orderkey % 89 <> 0
+    )
+    SELECT b.o_orderkey,
+      CASE WHEN n.o_orderkey IS NULL THEN 'D' ELSE 'U' END AS change,
+      b.total_c AS old_cents,
+      n.total_c AS new_cents
+    FROM base b LEFT JOIN newt n ON b.o_orderkey = n.o_orderkey
+    WHERE n.o_orderkey IS NULL OR n.total_c <> b.total_c
+    ORDER BY b.o_orderkey
+    """,
+    "warehouse", "diff",
+)
+def table_diff_checksum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy table diff: reconcile two versions of a table
+    WITHOUT a full row-level comparison. Protocol (the replicated-table
+    repair shape): (1) each side computes one (count, 48-bit-md5-sum)
+    checksum per key bucket — map-side, order-independent, one tiny
+    shuffle on 256 bucket ids; (2) buckets whose checksums agree are
+    PROVEN identical and never row-compared; (3) only the disagreeing
+    buckets are row-diffed, via a broadcast semi-join on the (<=256-row)
+    changed-bucket set — so the expensive full-outer key join touches
+    |changed buckets| of data, not the table. At 100 TB with localized
+    drift this is the difference between rescanning everything and
+    reading a few partitions.
+
+    The "new" version is derived deterministically (keys % 89 deleted,
+    keys % 97 price-bumped one dollar); the oracle diffs the two
+    versions directly with a plain join — matching hashes prove the
+    checksum shortcut loses nothing. Money is compared in integer cents
+    (the checksum canon serializes cents too, same portability rule as
+    table_checksum_by_nation).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("total_c"),
+    )
+    newt = base.filter(F.col("o_orderkey") % 89 != 0).select(
+        "o_orderkey",
+        (
+            F.col("total_c")
+            + F.when(F.col("o_orderkey") % 97 == 0, F.lit(100)).otherwise(F.lit(0))
+        ).alias("total_c"),
+    )
+
+    def bucket_checksums(df: DataFrame) -> DataFrame:
+        canon = F.concat_ws(
+            "|", F.col("o_orderkey").cast("string"), F.col("total_c").cast("string")
+        )
+        rh = F.conv(F.substring(F.md5(canon), 1, 12), 16, 10).cast("bigint")
+        return (
+            df.withColumn("bkt", F.col("o_orderkey") % 256)
+            .groupBy("bkt")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum(rh).alias("ck"))
+        )
+
+    cb = bucket_checksums(base).withColumnsRenamed({"n": "n_b", "ck": "ck_b"})
+    cn = bucket_checksums(newt).withColumnsRenamed({"n": "n_n", "ck": "ck_n"})
+    changed = (
+        cb.join(cn, on="bkt", how="full_outer")
+        .filter(
+            ~F.col("n_b").eqNullSafe(F.col("n_n"))
+            | ~F.col("ck_b").eqNullSafe(F.col("ck_n"))
+        )
+        .select("bkt")
+    )
+
+    def in_changed(df: DataFrame) -> DataFrame:
+        return df.withColumn("bkt", F.col("o_orderkey") % 256).join(
+            F.broadcast(changed), on="bkt", how="semi"
+        )
+
+    b = in_changed(base).withColumnRenamed("total_c", "old_cents")
+    n = in_changed(newt).withColumnRenamed("total_c", "new_cents")
+    return (
+        b.join(n, on="o_orderkey", how="full_outer")
+        .filter(~F.col("old_cents").eqNullSafe(F.col("new_cents")))
+        .select(
+            "o_orderkey",
+            F.when(F.col("new_cents").isNull(), F.lit("D"))
+            .when(F.col("old_cents").isNull(), F.lit("I"))
+            .otherwise(F.lit("U"))
+            .alias("change"),
+            "old_cents",
+            "new_cents",
+        )
+        .orderBy("o_orderkey")
+    )

@@ -145,12 +145,100 @@ def test_hll_union_estimate_deterministic_and_tight(spark, sf_dir):
     assert abs(ests[0] - exact) <= 0.02 * max(exact, 1)
 
 
+def test_triangle_count_matches_naive_enumeration(spark, sf_dir):
+    """The degree-oriented count must equal the naive a<b<c three-way
+    self-join, computed independently here in Spark."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 40)
+    qual = li.select("l_orderkey", "l_partkey").collect()
+    by_order = {}
+    for r in qual:
+        by_order.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    edges = set()
+    for pks in by_order.values():
+        s = sorted(pks)
+        for i, a in enumerate(s):
+            for b in s[i + 1 :]:
+                edges.add((a, b))
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    naive = sum(
+        1
+        for (a, b) in edges
+        for c in adj.get(b, ())
+        if c in adj.get(a, ())
+    )
+    row = QUERIES["graph_triangle_count_copurchase"].fn(spark, sf_dir).first()
+    assert row.n_edges == len(edges)
+    assert row.n_triangles == naive
+
+
+def test_bitmap_shards_exact_and_idempotent_remerge(spark, sf_dir):
+    """Bitmap counts equal exact COUNT(DISTINCT); OR-ing the stored
+    shards in twice (simulating a replayed ingest batch) changes
+    nothing — the exactly-once-without-dedup property."""
+    import shutil as _sh
+
+    _sh.rmtree(_state_path(sf_dir, "bitmap_user_shards.parquet"), ignore_errors=True)
+    out = {
+        r.event_type: r.n_users
+        for r in QUERIES["bitmap_exact_distinct_shards"].fn(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    exact["ALL"] = ev.agg(F.countDistinct("user_id")).first()[0]
+    assert out == exact
+
+    shards = spark.read.parquet(_state_path(sf_dir, "bitmap_user_shards.parquet"))
+    doubled = (
+        shards.unionByName(shards)
+        .groupBy("bkt")
+        .agg(F.bitmap_or_agg("bm").alias("bm"))
+        .agg(F.sum(F.bitmap_count("bm")).alias("n"))
+        .first()
+        .n
+    )
+    assert doubled == exact["ALL"]
+
+
+def test_table_diff_classifies_every_change_and_prunes_buckets(spark, sf_dir):
+    """Every %89 key is a D, every %97-not-%89 key a U with exactly
+    +100 cents, nothing else appears; and the checksum stage must prune
+    — fewer changed buckets than populated buckets."""
+    out = QUERIES["table_diff_checksum_buckets"].fn(spark, sf_dir).collect()
+    o = load_table(spark, sf_dir, "orders")
+    keys = [r.o_orderkey for r in o.select("o_orderkey").collect()]
+    expect_d = {k for k in keys if k % 89 == 0}
+    expect_u = {k for k in keys if k % 97 == 0 and k % 89 != 0}
+    got_d = {r.o_orderkey for r in out if r.change == "D"}
+    got_u = {r.o_orderkey for r in out if r.change == "U"}
+    assert got_d == expect_d
+    assert got_u == expect_u
+    assert len(out) == len(expect_d) + len(expect_u)
+    for r in out:
+        if r.change == "U":
+            assert r.new_cents == r.old_cents + 100
+        else:
+            assert r.new_cents is None
+
+    changed_buckets = {k % 256 for k in expect_d | expect_u}
+    populated = {k % 256 for k in keys}
+    assert len(changed_buckets) < len(populated), (
+        "diff should row-compare only a strict subset of buckets"
+    )
+
+
 @pytest.mark.parametrize(
     "name",
     [
         "graph_bfs_copurchase_hops",
         "incremental_agg_partial_merge",
         "cdc_apply_changes_ordered",
+        "graph_triangle_count_copurchase",
+        "table_diff_checksum_buckets",
     ],
 )
 def test_no_cartesian_in_graph_queries(spark, sf_dir, name):
