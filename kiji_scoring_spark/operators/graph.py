@@ -1,0 +1,110 @@
+"""Distributed graph primitives (SURVEY §2.C round-5 deepening):
+frontier-iterative BFS and degree-oriented triangle counting, the two
+traversal shapes a 100 TB entity-resolution / related-items pipeline
+needs. Both are exact (integer hop counts / counts), so they sit under
+the DuckDB hash gate via queries_graph.py and under hypothesis
+property tests against pure-Python references.
+
+Reference grounding: the reference has no graph surface; these extend
+the capability set the way §2.G does, reusing its scale idioms
+(localCheckpoint iteration from operators/dedup.py's connected
+components, bounded in-bucket expansion)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    vertex: str = "pk",
+) -> DataFrame:
+    """Minimum-hop BFS from `seeds` over a DIRECTED edge list (pass both
+    directions for an undirected graph). Returns one row per reachable
+    vertex: (vertex, hops), seeds at hop 0, each vertex at its minimal
+    hop exactly once.
+
+    Scale shape: the edge list is hash-partitioned on `src` once and
+    persisted so every level probes the same partitioning; the frontier
+    (one level's vertex set, orders of magnitude smaller than the
+    edges) is broadcast; each level is `localCheckpoint`-ed so level
+    k+1 plans against materialized output instead of replaying the
+    prefix. For a frontier that outgrows the broadcast threshold, drop
+    the hint — the identical code degrades to a co-partitioned shuffle
+    join on `src`.
+    """
+    edges = edges.select(
+        F.col(src).alias("__src"), F.col(dst).alias("__dst")
+    ).repartition("__src").persist()
+    seeds = seeds.select(F.col(vertex).alias(vertex)).distinct()
+    reached = seeds.withColumn("hops", F.lit(0))
+    frontier = seeds
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            edges.join(F.broadcast(frontier), on=F.col("__src") == F.col(vertex))
+            .select(F.col("__dst").alias(vertex))
+            .distinct()
+            .join(reached.select(vertex), on=vertex, how="left_anti")
+            .localCheckpoint()
+        )
+        reached = reached.unionByName(nxt.withColumn("hops", F.lit(hop)))
+        frontier = nxt
+    edges.unpersist()
+    return reached
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Exact triangle count over a CANONICAL undirected edge list
+    (src < dst, distinct). Returns a single-row DataFrame
+    (n_triangles BIGINT).
+
+    Degree-ordered orientation: every edge is directed from its
+    lower-(degree, id) endpoint to the higher one, wedges are
+    enumerated only among each vertex's out-neighbors, and closed
+    against the canonical edge set. Every triangle has exactly one
+    pivot (its minimum-rank vertex) so it is counted exactly once, and
+    after orientation every out-degree is O(sqrt(m)) on ANY graph — a
+    degree-d hub contributes O(m) wedge work instead of O(d^2), so no
+    single join key explodes a shuffle partition at 100 TB.
+    """
+    ce = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
+    deg = (
+        ce.select(F.explode(F.array("src", "dst")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ranked = ce.join(
+        deg.withColumnRenamed("node", "src").withColumnRenamed("d", "ds"), "src"
+    ).join(deg.withColumnRenamed("node", "dst").withColumnRenamed("d", "dd"), "dst")
+    oriented = ranked.select(
+        F.when(
+            (F.col("ds") < F.col("dd"))
+            | ((F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst"))),
+            F.struct(F.col("src").alias("u"), F.col("dst").alias("v")),
+        )
+        .otherwise(F.struct(F.col("dst").alias("u"), F.col("src").alias("v")))
+        .alias("e")
+    ).select("e.u", "e.v")
+
+    o1 = oriented.alias("o1")
+    o2 = oriented.alias("o2")
+    wedges = (
+        o1.join(o2, on="u")
+        .filter(F.col("o1.v") < F.col("o2.v"))
+        .select(F.col("o1.v").alias("src"), F.col("o2.v").alias("dst"))
+    )
+    out = wedges.join(ce, on=["src", "dst"], how="inner").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    # force materialization before unpersist would drop the cached edges:
+    # the returned plan still references ce, so keep the unpersist lazy
+    # (blocking=False default) — executed plans re-scan cheaply if evicted.
+    ce.unpersist()
+    return out

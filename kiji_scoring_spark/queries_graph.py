@@ -24,9 +24,11 @@ from __future__ import annotations
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .operators.graph import bfs_hops, triangle_count
+from .operators.maintenance import apply_changes, checksum_diff
 from .queries import query
 from .sources import load_table
 
@@ -107,28 +109,13 @@ def graph_bfs_copurchase_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", F.explode("pks").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .repartition("src")
-        .persist()
     )
-
     seeds = (
         load_table(spark, sf_dir, "part")
         .filter(F.col("p_partkey") % 500 == 0)
         .select(F.col("p_partkey").alias("pk"))
     )
-    reached = seeds.withColumn("hops", F.lit(0))
-    frontier = seeds
-    for hop in (1, 2, 3):
-        nxt = (
-            edges.join(F.broadcast(frontier), on=edges.src == frontier.pk)
-            .select(F.col("dst").alias("pk"))
-            .distinct()
-            .join(reached.select("pk"), on="pk", how="left_anti")
-            .localCheckpoint()
-        )
-        reached = reached.unionByName(nxt.withColumn("hops", F.lit(hop)))
-        frontier = nxt
-    edges.unpersist()
+    reached = bfs_hops(edges, seeds, max_hops=3)
     return reached.select(
         F.col("pk").alias("partkey"), F.col("hops").cast("int").alias("hops")
     ).orderBy("partkey")
@@ -245,26 +232,21 @@ def cdc_apply_changes_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     ch = ev.select(
+        "user_id", F.col("event_id").alias("seq"), "event_type", "value"
+    )
+    applied = apply_changes(
+        ch,
+        keys=["user_id"],
+        seq="seq",
+        is_delete=F.col("event_type") == "error",
+        payload=["value"],
+    )
+    return applied.select(
         "user_id",
-        F.col("event_id").alias("seq"),
-        F.when(F.col("event_type") == "error", F.lit("D"))
-        .otherwise(F.lit("U"))
-        .alias("op"),
-        "value",
-    )
-    by_key = Window.partitionBy("user_id")
-    return (
-        ch.withColumn("rn", F.row_number().over(by_key.orderBy(F.desc("seq"))))
-        .withColumn("n_changes", F.count(F.lit(1)).over(by_key))
-        .filter((F.col("rn") == 1) & (F.col("op") == "U"))
-        .select(
-            "user_id",
-            F.col("value").alias("last_value"),
-            F.col("seq").alias("last_seq"),
-            "n_changes",
-        )
-        .orderBy("user_id")
-    )
+        F.col("value").alias("last_value"),
+        "last_seq",
+        "n_changes",
+    ).orderBy("user_id")
 
 
 @query(
@@ -366,44 +348,9 @@ def graph_triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFra
         .select("src", F.explode("pks").alias("dst"))
         .filter(F.col("src") < F.col("dst"))
         .distinct()
-        .persist()
-    )
-
-    deg = (
-        ce.select(F.explode(F.array("src", "dst")).alias("node"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    ranked = (
-        ce.join(deg.withColumnRenamed("node", "src").withColumnRenamed("d", "ds"), "src")
-        .join(deg.withColumnRenamed("node", "dst").withColumnRenamed("d", "dd"), "dst")
-    )
-    # orient low-(degree, id) -> high-(degree, id); ties broken by id so
-    # the orientation is total and deterministic
-    oriented = ranked.select(
-        F.when(
-            (F.col("ds") < F.col("dd"))
-            | ((F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst"))),
-            F.struct(F.col("src").alias("u"), F.col("dst").alias("v")),
-        )
-        .otherwise(F.struct(F.col("dst").alias("u"), F.col("src").alias("v")))
-        .alias("e")
-    ).select("e.u", "e.v")
-
-    o1 = oriented.alias("o1")
-    o2 = oriented.alias("o2")
-    wedges = (
-        o1.join(o2, on="u")
-        .filter(F.col("o1.v") < F.col("o2.v"))
-        .select(F.col("o1.v").alias("src"), F.col("o2.v").alias("dst"))
-    )
-    tri = wedges.join(ce, on=["src", "dst"], how="inner").agg(
-        F.count(F.lit(1)).alias("n_triangles")
     )
     n_edges = ce.agg(F.count(F.lit(1)).alias("n_edges"))
-    out = n_edges.crossJoin(tri)
-    ce.unpersist()
-    return out
+    return n_edges.crossJoin(triangle_count(ce))
 
 
 @query(
@@ -516,46 +463,10 @@ def table_diff_checksum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("total_c"),
     )
 
-    def bucket_checksums(df: DataFrame) -> DataFrame:
-        canon = F.concat_ws(
-            "|", F.col("o_orderkey").cast("string"), F.col("total_c").cast("string")
-        )
-        rh = F.conv(F.substring(F.md5(canon), 1, 12), 16, 10).cast("bigint")
-        return (
-            df.withColumn("bkt", F.col("o_orderkey") % 256)
-            .groupBy("bkt")
-            .agg(F.count(F.lit(1)).alias("n"), F.sum(rh).alias("ck"))
-        )
-
-    cb = bucket_checksums(base).withColumnsRenamed({"n": "n_b", "ck": "ck_b"})
-    cn = bucket_checksums(newt).withColumnsRenamed({"n": "n_n", "ck": "ck_n"})
-    changed = (
-        cb.join(cn, on="bkt", how="full_outer")
-        .filter(
-            ~F.col("n_b").eqNullSafe(F.col("n_n"))
-            | ~F.col("ck_b").eqNullSafe(F.col("ck_n"))
-        )
-        .select("bkt")
-    )
-
-    def in_changed(df: DataFrame) -> DataFrame:
-        return df.withColumn("bkt", F.col("o_orderkey") % 256).join(
-            F.broadcast(changed), on="bkt", how="semi"
-        )
-
-    b = in_changed(base).withColumnRenamed("total_c", "old_cents")
-    n = in_changed(newt).withColumnRenamed("total_c", "new_cents")
-    return (
-        b.join(n, on="o_orderkey", how="full_outer")
-        .filter(~F.col("old_cents").eqNullSafe(F.col("new_cents")))
-        .select(
-            "o_orderkey",
-            F.when(F.col("new_cents").isNull(), F.lit("D"))
-            .when(F.col("old_cents").isNull(), F.lit("I"))
-            .otherwise(F.lit("U"))
-            .alias("change"),
-            "old_cents",
-            "new_cents",
-        )
-        .orderBy("o_orderkey")
-    )
+    d = checksum_diff(base, newt, key="o_orderkey", canon_cols=["total_c"])
+    return d.select(
+        "o_orderkey",
+        "change",
+        F.col("old_total_c").alias("old_cents"),
+        F.col("new_total_c").alias("new_cents"),
+    ).orderBy("o_orderkey")
