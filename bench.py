@@ -112,6 +112,8 @@ HEADLINE = [
     "graph_triangle_count_copurchase",
     "bitmap_exact_distinct_shards",
     "table_diff_checksum_buckets",
+    "snapshot_time_travel_orders",
+    "snapshot_compaction_roundtrip",
 ]
 
 #: round-over-round regression reference (sum over that round's HEADLINE):

@@ -1,0 +1,147 @@
+"""Minimal versioned-table format: manifest-based snapshots with
+time travel and compaction (SURVEY §2.B round-5 deepening).
+
+The table-level analog of the reference's versioned cells (§1.1:
+every (row, family, qualifier) keeps timestamped versions; reads pick
+a version by time range) — here every COMMIT keeps the table state,
+and reads pick a version by number. This is the core mechanic of a
+lakehouse table format (Delta/Iceberg), reduced to what plain parquet
+plus an atomic manifest rename can provide:
+
+- each commit writes its own immutable data directory
+  `<table>/data/v<N>/` (parquet, written by Spark, any parallelism);
+- a manifest `<table>/_manifests/v<N>.json` lists the data dirs that
+  COMPOSE that version (append = parent's dirs + the new dir;
+  overwrite/compact = just the new dir) plus parent/op metadata;
+- the manifest is published with os.rename, which is atomic on POSIX
+  — a reader never observes a half-written version. (On an object
+  store this rename is exactly the commit problem Delta's log and
+  Iceberg's catalog solve; single-writer is assumed here and
+  documented rather than hidden.)
+
+Readers never list data directories — they read the closed file-set
+named by the manifest, so a crashed half-written commit dir is
+invisible until its manifest lands. Compaction rewrites the CURRENT
+file-set into fewer, larger files as a new version: old versions stay
+readable (time travel), and the small-file problem — the operational
+tax of every streaming/incremental 100 TB pipeline — is paid down
+without blocking readers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _manifest_dir(path: str) -> str:
+    return os.path.join(path, "_manifests")
+
+
+def _read_manifest(path: str, version: int) -> dict:
+    with open(os.path.join(_manifest_dir(path), f"v{version}.json")) as f:
+        return json.load(f)
+
+
+def latest_version(path: str) -> int | None:
+    mdir = _manifest_dir(path)
+    if not os.path.isdir(mdir):
+        return None
+    versions = [
+        int(n[1:-5])
+        for n in os.listdir(mdir)
+        if n.startswith("v") and n.endswith(".json")
+    ]
+    return max(versions) if versions else None
+
+
+def _publish(path: str, manifest: dict) -> None:
+    """Atomic manifest publish: write to a temp name, fsync, rename."""
+    mdir = _manifest_dir(path)
+    os.makedirs(mdir, exist_ok=True)
+    final = os.path.join(mdir, f"v{manifest['version']}.json")
+    tmp = final + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, final)
+
+
+def commit_snapshot(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    target_files: int | None = None,
+) -> int:
+    """Commit `df` as the next version of the table at `path`.
+
+    mode='overwrite' starts the file-set fresh; mode='append' adds the
+    new data dir to the parent version's file-set. `target_files`
+    optionally coalesces the write (used by compaction). Returns the
+    committed version number."""
+    assert mode in ("append", "overwrite")
+    parent = latest_version(path)
+    version = 1 if parent is None else parent + 1
+    rel = os.path.join("data", f"v{version}")
+    if target_files:
+        df = df.coalesce(target_files)
+    df.write.mode("overwrite").parquet(os.path.join(path, rel))
+    dirs = [rel]
+    if mode == "append" and parent is not None:
+        dirs = _read_manifest(path, parent)["dirs"] + dirs
+    _publish(
+        path,
+        {"version": version, "parent": parent, "op": mode, "dirs": dirs},
+    )
+    return version
+
+
+def read_snapshot(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read the table as of `version` (default: latest). Time travel is
+    free: any still-published manifest names a complete file-set."""
+    if version is None:
+        version = latest_version(path)
+        if version is None:
+            raise FileNotFoundError(f"no snapshot versions at {path}")
+    m = _read_manifest(path, version)
+    return spark.read.parquet(*[os.path.join(path, d) for d in m["dirs"]])
+
+
+def compact_snapshot(spark: SparkSession, path: str, target_files: int) -> int:
+    """Rewrite the CURRENT version's file-set into `target_files` files
+    as a new version. Readers of old versions are unaffected; the new
+    version's scan does the same work over far fewer file-open/footer
+    costs — the maintenance pass that keeps an incrementally-written
+    100 TB table scannable."""
+    parent = latest_version(path)
+    if parent is None:
+        raise FileNotFoundError(f"no snapshot versions at {path}")
+    current = read_snapshot(spark, path, parent)
+    version = parent + 1
+    rel = os.path.join("data", f"v{version}")
+    current.coalesce(target_files).write.mode("overwrite").parquet(
+        os.path.join(path, rel)
+    )
+    _publish(
+        path,
+        {"version": version, "parent": parent, "op": "compact", "dirs": [rel]},
+    )
+    return version
+
+
+def data_file_count(path: str, version: int) -> int:
+    """Number of parquet data files composing `version` (metadata-only)."""
+    m = _read_manifest(path, version)
+    n = 0
+    for d in m["dirs"]:
+        n += sum(
+            1
+            for name in os.listdir(os.path.join(path, d))
+            if name.endswith(".parquet")
+        )
+    return n

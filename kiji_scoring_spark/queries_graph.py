@@ -470,3 +470,107 @@ def table_diff_checksum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("old_total_c").alias("old_cents"),
         F.col("new_total_c").alias("new_cents"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "snapshot_time_travel_orders",
+    """
+    SELECT 1 AS version, COUNT(*) AS n_rows,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders WHERE o_orderkey % 10 < 8
+    UNION ALL
+    SELECT 2 AS version, COUNT(*) AS n_rows,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    ORDER BY version
+    """,
+    "sink", "snapshot", "incremental",
+)
+def snapshot_time_travel_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned-table time travel: 80% of orders are committed as
+    snapshot v1, the remaining 20% APPENDED as v2, and the query reads
+    BOTH versions — v1 through the older manifest, proving an append
+    never disturbs published history (the table-level analog of the
+    reference's versioned cells: a new cell write at a newer timestamp
+    leaves time-range reads of older versions intact, §1.1).
+
+    Mechanics under test (operators/snapshots.py): append composes the
+    parent's immutable file-set with one new data dir — no rewrite of
+    existing data; the manifest rename publishes atomically; readers
+    scan the closed file-set named by the manifest, never a directory
+    listing, so concurrent half-written commits are invisible. The
+    oracle recomputes both versions from the raw table via the same
+    deterministic 80/20 key split.
+    """
+    from .operators.snapshots import commit_snapshot, latest_version, read_snapshot
+
+    o = load_table(spark, sf_dir, "orders")
+    path = _state_path(sf_dir, "orders_snapshots")
+    if latest_version(path) is None:
+        commit_snapshot(o.filter(F.col("o_orderkey") % 10 < 8), path, mode="overwrite")
+        commit_snapshot(o.filter(F.col("o_orderkey") % 10 >= 8), path, mode="append")
+
+    def stats(version: int) -> DataFrame:
+        return read_snapshot(spark, path, version).agg(
+            F.lit(version).alias("version"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+
+    return stats(1).unionByName(stats(2)).orderBy("version")
+
+
+@query(
+    "snapshot_compaction_roundtrip",
+    """
+    SELECT l_returnflag, COUNT(*) AS n_rows,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    "sink", "snapshot",
+)
+def snapshot_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction as a snapshot commit: a lineitem slice is
+    committed as v1 deliberately fragmented (16 files — the shape every
+    incremental/streaming writer produces over time), then compacted
+    into 2 files as v2 WITHOUT blocking readers of v1; the query reads
+    the compacted latest version and must aggregate to exactly what the
+    oracle computes from the raw table — compaction is a physical-layout
+    change with zero logical effect. File counts and v1 immutability
+    are pinned by tests/test_snapshots.py; at 100 TB this maintenance
+    pass is what keeps scan-side file-open/footer costs bounded."""
+    from .operators.snapshots import (
+        commit_snapshot,
+        compact_snapshot,
+        latest_version,
+        read_snapshot,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    path = _state_path(sf_dir, "lineitem_snapshots")
+    if latest_version(path) is None:
+        commit_snapshot(
+            li.select("l_returnflag", "l_extendedprice").repartition(16),
+            path,
+            mode="overwrite",
+        )
+        compact_snapshot(spark, path, target_files=2)
+
+    back = read_snapshot(spark, path)  # latest = compacted v2
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        .orderBy("l_returnflag")
+    )

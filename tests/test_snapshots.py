@@ -1,0 +1,100 @@
+"""Gates for the manifest-based snapshot format (operators/snapshots.py):
+version isolation, atomic publish, compaction invariance, time travel."""
+
+import json
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from kiji_scoring_spark.operators import snapshots as sn
+
+
+@pytest.fixture()
+def table_path():
+    d = os.path.join(tempfile.mkdtemp(prefix="kss_snap_"), "t")
+    yield d
+    shutil.rmtree(os.path.dirname(d), ignore_errors=True)
+
+
+def rows(df):
+    return sorted((r.k, r.v) for r in df.collect())
+
+
+def test_append_preserves_old_versions(spark, table_path):
+    d1 = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    d2 = spark.createDataFrame([(3, "c")], ["k", "v"])
+    assert sn.commit_snapshot(d1, table_path, mode="overwrite") == 1
+    assert sn.commit_snapshot(d2, table_path, mode="append") == 2
+    assert rows(sn.read_snapshot(spark, table_path, 1)) == [(1, "a"), (2, "b")]
+    assert rows(sn.read_snapshot(spark, table_path, 2)) == [
+        (1, "a"),
+        (2, "b"),
+        (3, "c"),
+    ]
+    assert sn.latest_version(table_path) == 2
+
+
+def test_overwrite_starts_fresh_but_history_remains(spark, table_path):
+    d1 = spark.createDataFrame([(1, "a")], ["k", "v"])
+    d2 = spark.createDataFrame([(9, "z")], ["k", "v"])
+    sn.commit_snapshot(d1, table_path, mode="overwrite")
+    sn.commit_snapshot(d2, table_path, mode="overwrite")
+    assert rows(sn.read_snapshot(spark, table_path, 2)) == [(9, "z")]
+    assert rows(sn.read_snapshot(spark, table_path, 1)) == [(1, "a")]
+
+
+def test_torn_manifest_is_invisible(spark, table_path):
+    d1 = spark.createDataFrame([(1, "a")], ["k", "v"])
+    sn.commit_snapshot(d1, table_path, mode="overwrite")
+    # simulate a crashed publisher: data dir exists, manifest only .tmp
+    os.makedirs(os.path.join(table_path, "data", "v2"), exist_ok=True)
+    with open(
+        os.path.join(table_path, "_manifests", "v2.json.tmp"), "w"
+    ) as f:
+        f.write('{"version": 2, "par')  # torn write
+    assert sn.latest_version(table_path) == 1
+    assert rows(sn.read_snapshot(spark, table_path)) == [(1, "a")]
+
+
+def test_compaction_preserves_content_and_shrinks_files(spark, table_path):
+    d = spark.createDataFrame([(i, str(i)) for i in range(100)], ["k", "v"])
+    sn.commit_snapshot(d.repartition(12), table_path, mode="overwrite")
+    before = sn.data_file_count(table_path, 1)
+    v2 = sn.compact_snapshot(spark, table_path, target_files=2)
+    after = sn.data_file_count(table_path, v2)
+    assert after < before
+    assert after <= 2
+    assert rows(sn.read_snapshot(spark, table_path, 1)) == rows(
+        sn.read_snapshot(spark, table_path, v2)
+    )
+    # manifest records lineage
+    with open(os.path.join(table_path, "_manifests", f"v{v2}.json")) as f:
+        m = json.load(f)
+    assert m["op"] == "compact" and m["parent"] == 1
+
+
+def test_compaction_after_appends_collapses_dirs(spark, table_path):
+    for i in range(4):
+        sn.commit_snapshot(
+            spark.createDataFrame([(i, str(i))], ["k", "v"]),
+            table_path,
+            mode="append" if i else "overwrite",
+        )
+    with open(os.path.join(table_path, "_manifests", "v4.json")) as f:
+        assert len(json.load(f)["dirs"]) == 4
+    v5 = sn.compact_snapshot(spark, table_path, target_files=1)
+    with open(os.path.join(table_path, "_manifests", f"v{v5}.json")) as f:
+        assert len(json.load(f)["dirs"]) == 1
+    assert rows(sn.read_snapshot(spark, table_path, v5)) == [
+        (0, "0"),
+        (1, "1"),
+        (2, "2"),
+        (3, "3"),
+    ]
+
+
+def test_read_missing_table_raises(spark, table_path):
+    with pytest.raises(FileNotFoundError):
+        sn.read_snapshot(spark, table_path)
