@@ -114,6 +114,7 @@ HEADLINE = [
     "table_diff_checksum_buckets",
     "snapshot_time_travel_orders",
     "snapshot_compaction_roundtrip",
+    "snapshot_cdc_upsert_history",
 ]
 
 #: round-over-round regression reference (sum over that round's HEADLINE):

@@ -18,29 +18,50 @@ def apply_changes(
     seq: str,
     is_delete: Column,
     payload: list[str],
+    keep_tombstones: bool = False,
 ) -> DataFrame:
     """Collapse a changelog into current table state: per key, the
     highest-`seq` change wins; keys whose winning change satisfies
-    `is_delete` vanish. Returns keys + payload + last_seq + n_changes.
+    `is_delete` vanish. Returns keys + payload + last_seq + n_changes
+    (+ is_deleted when keep_tombstones).
 
     Out-of-order safe — correctness comes only from the per-key rank
     over seq DESC, never from input order. The tombstone filter runs
     strictly AFTER rank-1 selection: a delete that outranks an earlier
     upsert must erase the key, not resurrect the upsert. One exchange
     on the key serves both window functions (rank + change count share
-    the partition spec)."""
+    the partition spec).
+
+    keep_tombstones=True retains the winning delete rows (flagged
+    `is_deleted`) instead of dropping them. A PERSISTED state that will
+    absorb future deltas MUST keep tombstones: if the state forgets
+    that key k's latest change at seq=100 was a delete, a late-arriving
+    upsert for k at seq=90 in the next batch would wrongly resurrect
+    the row. With tombstones, folding batches one at a time is exactly
+    equivalent to applying the full changelog at once (winner-of-
+    winners under a total seq order) — the property
+    tests/test_properties_graph.py checks on random changelogs. Filter
+    `is_deleted` only when serving the current view."""
     by_key = Window.partitionBy(*keys)
-    return (
+    ranked = (
         changelog.withColumn("__del", is_delete)
         .withColumn("rn", F.row_number().over(by_key.orderBy(F.desc(seq))))
         .withColumn("n_changes", F.count(F.lit(1)).over(by_key))
-        .filter((F.col("rn") == 1) & ~F.col("__del"))
-        .select(
+        .filter(F.col("rn") == 1)
+    )
+    if keep_tombstones:
+        return ranked.select(
             *keys,
             *payload,
             F.col(seq).alias("last_seq"),
             "n_changes",
+            F.col("__del").alias("is_deleted"),
         )
+    return ranked.filter(~F.col("__del")).select(
+        *keys,
+        *payload,
+        F.col(seq).alias("last_seq"),
+        "n_changes",
     )
 
 

@@ -574,3 +574,117 @@ def snapshot_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "snapshot_cdc_upsert_history",
+    """
+    WITH ch AS (
+      SELECT user_id, event_id AS seq,
+        event_type = 'error' AS is_del, value
+      FROM events
+    ),
+    v1 AS (
+      SELECT user_id, value, seq AS last_seq FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn
+        FROM ch WHERE seq % 3 <> 0
+      ) t WHERE rn = 1 AND NOT is_del
+    ),
+    v2 AS (
+      SELECT user_id, value, seq AS last_seq FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY seq DESC) AS rn
+        FROM ch
+      ) t WHERE rn = 1 AND NOT is_del
+    )
+    SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+      CASE WHEN b.user_id IS NULL THEN 'D'
+           WHEN a.user_id IS NULL THEN 'I'
+           ELSE 'U' END AS change,
+      a.value AS old_value, b.value AS new_value,
+      a.last_seq AS old_seq, b.last_seq AS new_seq
+    FROM v1 a FULL JOIN v2 b ON a.user_id = b.user_id
+    WHERE a.user_id IS NULL OR b.user_id IS NULL
+       OR a.value <> b.value OR a.last_seq <> b.last_seq
+    ORDER BY user_id
+    """,
+    "cdc", "snapshot", "diff", "incremental",
+)
+def snapshot_cdc_upsert_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-5 state machinery composed end-to-end, the way a
+    continuously-scored 100 TB table actually runs: (1) changelog batch
+    1 (event ids with seq % 3 != 0) is collapsed into state v1 WITH
+    TOMBSTONES KEPT and committed as snapshot version 1; (2) batch 2 is
+    folded INCREMENTALLY into v1's persisted state — the raw batch-1
+    changelog is never re-read — and committed as version 2; (3) the
+    two published versions are compared with the checksum-bucketed diff
+    to report exactly what batch 2 changed (inserts, updates, deletes
+    all occur).
+
+    Tombstones are the correctness crux of step 2: a persisted state
+    that dropped batch-1 deletes would let a LOWER-seq batch-2 upsert
+    resurrect a deleted key. With them, fold(fold(b1), b2) ==
+    fold(b1 ∪ b2) (winner-of-winners under the total seq order), which
+    is why the oracle can state v2 as one-shot window SQL over the full
+    changelog while the engine computes it incrementally.
+
+    Diff semantics: the CURRENT VIEWS (tombstones filtered) are
+    compared on (value, last_seq), so a same-value re-upsert at a newer
+    seq still reports as 'U' — lineage-faithful, matching the oracle's
+    predicate exactly.
+    """
+    from .operators.snapshots import commit_snapshot, latest_version, read_snapshot
+
+    ev = load_table(spark, sf_dir, "events")
+    ch = ev.select(
+        "user_id",
+        F.col("event_id").alias("seq"),
+        (F.col("event_type") == "error").alias("is_del"),
+        "value",
+    )
+    path = _state_path(sf_dir, "cdc_state_snapshots")
+    if latest_version(path) is None:
+        v1_state = apply_changes(
+            ch.filter(F.col("seq") % 3 != 0),
+            keys=["user_id"],
+            seq="seq",
+            is_delete=F.col("is_del"),
+            payload=["value"],
+            keep_tombstones=True,
+        ).select("user_id", F.col("last_seq").alias("seq"), "is_deleted", "value")
+        commit_snapshot(v1_state, path, mode="overwrite")
+        # incremental fold: persisted v1 state re-enters as a changelog
+        # alongside batch 2 — batch 1's raw changelog is never re-read
+        prior = read_snapshot(spark, path, 1).select(
+            "user_id",
+            "seq",
+            F.col("is_deleted").alias("is_del"),
+            "value",
+        )
+        v2_state = apply_changes(
+            prior.unionByName(ch.filter(F.col("seq") % 3 == 0)),
+            keys=["user_id"],
+            seq="seq",
+            is_delete=F.col("is_del"),
+            payload=["value"],
+            keep_tombstones=True,
+        ).select("user_id", F.col("last_seq").alias("seq"), "is_deleted", "value")
+        commit_snapshot(v2_state, path, mode="overwrite")
+
+    def view(version: int) -> DataFrame:
+        return (
+            read_snapshot(spark, path, version)
+            .filter(~F.col("is_deleted"))
+            .select("user_id", "value", F.col("seq").alias("last_seq"))
+        )
+
+    d = checksum_diff(
+        view(1), view(2), key="user_id", canon_cols=["value", "last_seq"]
+    )
+    return d.select(
+        "user_id",
+        "change",
+        "old_value",
+        "new_value",
+        F.col("old_last_seq").alias("old_seq"),
+        F.col("new_last_seq").alias("new_seq"),
+    ).orderBy("user_id")

@@ -117,6 +117,37 @@ def test_apply_changes_matches_dict_replay(spark, rows):
     assert out == want
 
 
+@settings(max_examples=8, deadline=None)
+@given(rows=changelogs, split=st.integers(2, 4))
+def test_apply_changes_incremental_fold_equals_one_shot(spark, rows, split):
+    """fold(fold(batch1), batch2) == fold(batch1 ∪ batch2), PROVIDED the
+    intermediate state keeps tombstones — the reason keep_tombstones
+    exists. A lower-seq upsert in batch 2 must not resurrect a key whose
+    batch-1 winner was a delete."""
+    b1 = [r for r in rows if r[1] % split != 0]
+    b2 = [r for r in rows if r[1] % split == 0]
+    if not b1 or not b2:
+        return
+    kw = dict(keys=["k"], seq="seq", is_delete=F.col("is_del"), payload=["val"])
+
+    one_shot = apply_changes(spark.createDataFrame(rows, CHANGE_SCHEMA), **kw)
+    state1 = apply_changes(
+        spark.createDataFrame(b1, CHANGE_SCHEMA), keep_tombstones=True, **kw
+    ).select(
+        "k",
+        F.col("last_seq").alias("seq"),
+        F.col("is_deleted").alias("is_del"),
+        "val",
+    )
+    folded = apply_changes(
+        state1.unionByName(spark.createDataFrame(b2, CHANGE_SCHEMA).select(state1.columns)),
+        **kw,
+    )
+    got = {(r.k, r.val, r.last_seq) for r in folded.collect()}
+    want = {(r.k, r.val, r.last_seq) for r in one_shot.collect()}
+    assert got == want
+
+
 TABLE_SCHEMA = StructType(
     [StructField("k", LongType()), StructField("v", LongType())]
 )
