@@ -247,6 +247,99 @@ def gapfill_forward_daily_user_values(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @query(
+    "gapfill_linear_interpolation",
+    """
+    WITH days AS (
+      SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                    TIMESTAMP '2024-01-30 00:00:00',
+                                    INTERVAL 1 DAY)) AS day
+    ), users AS (
+      SELECT DISTINCT user_id FROM events
+    ), daily AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+      FROM events GROUP BY user_id, date_trunc('day', ts)
+    ), anchored AS (
+      SELECT g.user_id, g.day, d.day_value,
+        LAST_VALUE(d.day_value IGNORE NULLS) OVER (
+          PARTITION BY g.user_id ORDER BY g.day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_val,
+        LAST_VALUE(CASE WHEN d.day_value IS NOT NULL THEN g.day END IGNORE NULLS)
+          OVER (PARTITION BY g.user_id ORDER BY g.day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_day,
+        FIRST_VALUE(d.day_value IGNORE NULLS) OVER (
+          PARTITION BY g.user_id ORDER BY g.day
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_val,
+        FIRST_VALUE(CASE WHEN d.day_value IS NOT NULL THEN g.day END IGNORE NULLS)
+          OVER (PARTITION BY g.user_id ORDER BY g.day
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_day
+      FROM (SELECT user_id, day FROM users CROSS JOIN days) g
+      LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day
+    )
+    SELECT user_id, day,
+      CASE
+        WHEN p_day IS NULL OR n_day IS NULL THEN NULL
+        WHEN p_day = n_day THEN p_val
+        ELSE p_val + (n_val - p_val)
+          * (CAST(date_diff('day', p_day::DATE, day::DATE) AS DOUBLE)
+             / CAST(date_diff('day', p_day::DATE, n_day::DATE) AS DOUBLE))
+      END AS lin_value
+    FROM anchored
+    ORDER BY user_id, day
+    """,
+    "window", "pipeline", "timeseries",
+)
+def gapfill_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification + LINEAR interpolation (the pandas
+    resample('D').interpolate() idiom, distributed): gaps between two
+    observed days are filled along the line joining them; edges (before
+    the first / after the last observation) stay NULL — interpolation,
+    never extrapolation. Observed days reproduce their own value exactly
+    (p_day == n_day branch, no 0/0).
+
+    Scale: same shape as the forward-fill — tiny broadcast calendar,
+    one shuffle on user_id serving the left join and ALL FOUR window
+    functions (two frames, one partition spec, exchange reused). The
+    arithmetic is scalar double ops on each row — identical IEEE
+    sequence in both engines, so the hash gate holds bit-for-bit.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    users = ev.select("user_id").distinct()
+    days = spark.sql(
+        "SELECT explode(sequence(timestamp_ntz'2024-01-01 00:00:00', "
+        "timestamp_ntz'2024-01-30 00:00:00', interval 1 day)) AS day"
+    )
+    daily = ev.groupBy("user_id", F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("day_value")
+    )
+    grid = users.crossJoin(F.broadcast(days))
+    base = Window.partitionBy("user_id").orderBy("day")
+    prev_w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    next_w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    obs_day = F.when(F.col("day_value").isNotNull(), F.col("day"))
+    anchored = (
+        grid.join(daily, ["user_id", "day"], "left")
+        .withColumn("p_val", F.last("day_value", ignorenulls=True).over(prev_w))
+        .withColumn("p_day", F.last(obs_day, ignorenulls=True).over(prev_w))
+        .withColumn("n_val", F.first("day_value", ignorenulls=True).over(next_w))
+        .withColumn("n_day", F.first(obs_day, ignorenulls=True).over(next_w))
+    )
+    frac = F.datediff(F.col("day"), F.col("p_day")).cast("double") / F.datediff(
+        F.col("n_day"), F.col("p_day")
+    ).cast("double")
+    return anchored.select(
+        "user_id",
+        "day",
+        F.when(F.col("p_day").isNull() | F.col("n_day").isNull(), F.lit(None))
+        .when(F.col("p_day") == F.col("n_day"), F.col("p_val"))
+        .otherwise(F.col("p_val") + (F.col("n_val") - F.col("p_val")) * frac)
+        .alias("lin_value"),
+    ).orderBy("user_id", "day")
+
+
+@query(
     "stats_iqr_outlier_values",
     """
     WITH q AS (
