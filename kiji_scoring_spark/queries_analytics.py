@@ -340,6 +340,62 @@ def gapfill_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_moving_median_order_value",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice,
+      MEDIAN(o_totalprice) OVER (
+        PARTITION BY o_custkey
+        ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med7
+    FROM orders
+    WHERE o_custkey < 200
+    ORDER BY o_custkey, o_orderkey
+    """,
+    "window", "stats", "timeseries",
+)
+def window_moving_median_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving EXACT median (robust rolling baseline — the outlier-proof
+    cousin of a moving average) of each customer's order values over a
+    7-order sliding frame. The frame is made deterministic by the
+    (o_orderdate, o_orderkey) tiebreak — without the key, equal-date
+    orders could enter frames in either order and flip the median.
+
+    Scale: one exchange on o_custkey; the frame is ROWS-bounded (7), so
+    per-row work is O(frame log frame) regardless of a customer's order
+    count — no unbounded state. Spark's `median` aggregate rejects
+    window frames (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC), so the
+    frame's values are gathered with collect_list over the same window
+    — bounded at 7 elements, still whole-stage-codegen array math — and
+    the median taken from the sorted array. Exactness: the median of an
+    odd frame is an element; of an even frame the midpoint average of
+    two doubles — the same IEEE op both engines, so the hash gate
+    holds."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    arr = F.sort_array(F.collect_list("o_totalprice").over(w))
+    n = F.size(arr)
+    half = ((n + 1) / F.lit(2)).cast("int")  # ceil(n/2): exact when n odd
+    lo = (n / F.lit(2)).cast("int")  # n/2: exact when n even
+    odd = F.try_element_at(arr, half)
+    even = (F.try_element_at(arr, lo) + F.try_element_at(arr, lo + 1)) / F.lit(2.0)
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.when(n % 2 == 1, odd).otherwise(even).alias("med7"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@query(
     "stats_iqr_outlier_values",
     """
     WITH q AS (
