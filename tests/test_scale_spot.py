@@ -51,6 +51,16 @@ SPOT_QUERIES = [
     "setsim_join_exact_jaccard",
     "stats_mad_robust_outliers",
     "stats_quantiles_price",
+    # round-5 state/window additions: id remaps reshape every key-mod
+    # split, and 10x orders per customer floods the median frames and
+    # diff buckets with ties — the exact boundary structure sf0.01
+    # cannot produce
+    "cdc_apply_changes_ordered",
+    "gapfill_linear_interpolation",
+    "incremental_agg_partial_merge",
+    "snapshot_cdc_upsert_history",
+    "table_diff_checksum_buckets",
+    "window_moving_median_order_value",
 ]
 
 
