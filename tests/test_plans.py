@@ -319,3 +319,47 @@ def test_bloom_runtime_filter_prunes_probe_side(spark, sf_dir):
             "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
             old_creation,
         )
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The session's AQE config must actually split a hot join key at
+    runtime — the safety net under every un-salted join in the registry
+    (salting covers the ones we KNOW are skewed; AQE covers the ones we
+    don't). A synthetic 80%-one-key join, shuffled (broadcast off) with
+    thresholds scaled to test-sized data, must execute with
+    SortMergeJoin(skew=true) in the final adaptive plan. If a Spark
+    upgrade or conf drift disabled skew handling, this catches it."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        left = spark.range(0, 300000).select(
+            F.when(F.col("id") % 5 != 0, F.lit(0))
+            .otherwise(F.col("id") % 100)
+            .alias("k"),
+            F.col("id").alias("payload"),
+        )
+        right = spark.range(0, 100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k").groupBy().agg(F.sum("payload").alias("s"))
+        j.collect()  # AQE decides at runtime; plan must be executed
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, "AQE did not split the skewed partition"
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
