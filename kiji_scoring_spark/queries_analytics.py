@@ -396,6 +396,78 @@ def window_moving_median_order_value(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @query(
+    "sessionize_dynamic_gap",
+    """
+    WITH e AS (
+      SELECT user_id, ts, event_id, value,
+        ts + CASE event_type WHEN 'view' THEN 30
+                             WHEN 'click' THEN 20
+                             ELSE 45 END * INTERVAL 1 MINUTE AS endts
+      FROM events WHERE user_id < 50
+    ), o AS (
+      SELECT *, MAX(endts) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM e
+    ), m AS (
+      SELECT *, CASE WHEN prev_end IS NULL OR ts > prev_end
+                     THEN 1 ELSE 0 END AS brk
+      FROM o
+    ), s AS (
+      SELECT *, SUM(brk) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id) AS sess
+      FROM m
+    )
+    SELECT user_id, MIN(ts) AS session_start, MAX(endts) AS session_end,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM s GROUP BY user_id, sess
+    ORDER BY user_id, session_start
+    """,
+    "window", "timeseries", "session",
+)
+def sessionize_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a PER-EVENT gap: a view keeps its session
+    alive 30 minutes, a click 20, everything else 45 — the
+    engagement-weighted timeout real clickstream analytics uses, which a
+    fixed-gap sessionizer can't express. Spark side: the built-in
+    `session_window` with a gap-duration COLUMN, evaluated entirely in
+    the native session-merge exec (one shuffle on user_id, no UDF).
+
+    The oracle rebuilds the same semantics from first principles —
+    gaps-and-islands with a RUNNING MAX of per-event window ends
+    (plain MAX-over-preceding; a session's reach is the furthest end
+    seen so far, not the previous row's) — so the hash gate cross-checks
+    Spark's native implementation against an independent derivation.
+    Boundary pinned by probe: an event exactly AT the previous reach
+    merges (break only when strictly later), hence `ts > prev_end`.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    gap = (
+        F.when(F.col("event_type") == "view", F.lit("30 minutes"))
+        .when(F.col("event_type") == "click", F.lit("20 minutes"))
+        .otherwise(F.lit("45 minutes"))
+    )
+    return (
+        ev.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@query(
     "stats_iqr_outlier_values",
     """
     WITH q AS (
