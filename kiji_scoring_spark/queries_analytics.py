@@ -774,3 +774,82 @@ def feature_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n.select(
         "user_id", "event_id", F.round(decayed, 6).alias("decayed_sum")
     ).orderBy("user_id", "event_id")
+
+
+@query(
+    "stats_ab_welch_ttest",
+    """
+    WITH s AS (
+      SELECT
+        COUNT(*) FILTER (WHERE user_id % 2 = 1 AND value IS NOT NULL) AS n_t,
+        COUNT(*) FILTER (WHERE user_id % 2 = 0 AND value IS NOT NULL) AS n_c,
+        CAST(SUM(CAST(value AS DECIMAL(18,2)))
+             FILTER (WHERE user_id % 2 = 1) AS DOUBLE) AS sum_t,
+        CAST(SUM(CAST(value AS DECIMAL(18,2)))
+             FILTER (WHERE user_id % 2 = 0) AS DOUBLE) AS sum_c,
+        CAST(SUM(CAST(value * value AS DECIMAL(28,4)))
+             FILTER (WHERE user_id % 2 = 1) AS DOUBLE) AS ss_t,
+        CAST(SUM(CAST(value * value AS DECIMAL(28,4)))
+             FILTER (WHERE user_id % 2 = 0) AS DOUBLE) AS ss_c
+      FROM events
+    )
+    SELECT n_t AS n_treat, n_c AS n_control,
+      sum_t / n_t AS mean_treat,
+      sum_c / n_c AS mean_control,
+      ((sum_t / n_t) - (sum_c / n_c))
+        / sqrt(((ss_t - sum_t * sum_t / n_t) / (n_t - 1)) / n_t
+             + ((ss_c - sum_c * sum_c / n_c) / (n_c - 1)) / n_c) AS t_stat
+    FROM s
+    """,
+    "stats", "agg",
+)
+def stats_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t-test over an A/B split (odd user_id =
+    treatment) — the experiment-analysis primitive computed the only
+    way that is deterministic on a cluster: every statistic derives
+    from EXACT mergeable sums (count, DECIMAL sum, DECIMAL sum of
+    squares — the 2-dp values square to exact 4-dp), and the means /
+    variances / t-statistic are evaluated in ONE final double
+    projection with the identical expression tree the oracle states.
+    Partial-aggregation order can touch none of it, so the hash gate
+    holds to the last bit.
+
+    Scale: one conditional aggregation pass, map-side partials, a
+    single-row shuffle. The same exact-sums trick extends to any
+    moment-based statistic (CUPED adjustment, variance reduction) —
+    accumulate exact low-order moments, derive at the end."""
+    ev = load_table(spark, sf_dir, "events")
+    treat = F.col("user_id") % 2 == 1
+
+    def fsum(col: F.Column, cond) -> F.Column:
+        return F.sum(F.when(cond, col))
+
+    s = ev.agg(
+        F.count(F.when(treat & F.col("value").isNotNull(), 1)).alias("n_t"),
+        F.count(F.when(~treat & F.col("value").isNotNull(), 1)).alias("n_c"),
+        fsum(F.col("value").cast("decimal(18,2)"), treat).cast("double").alias("sum_t"),
+        fsum(F.col("value").cast("decimal(18,2)"), ~treat).cast("double").alias("sum_c"),
+        fsum((F.col("value") * F.col("value")).cast("decimal(28,4)"), treat)
+        .cast("double")
+        .alias("ss_t"),
+        fsum((F.col("value") * F.col("value")).cast("decimal(28,4)"), ~treat)
+        .cast("double")
+        .alias("ss_c"),
+    )
+    mean_t = F.col("sum_t") / F.col("n_t")
+    mean_c = F.col("sum_c") / F.col("n_c")
+    var_t = (F.col("ss_t") - F.col("sum_t") * F.col("sum_t") / F.col("n_t")) / (
+        F.col("n_t") - 1
+    )
+    var_c = (F.col("ss_c") - F.col("sum_c") * F.col("sum_c") / F.col("n_c")) / (
+        F.col("n_c") - 1
+    )
+    return s.select(
+        F.col("n_t").alias("n_treat"),
+        F.col("n_c").alias("n_control"),
+        mean_t.alias("mean_treat"),
+        mean_c.alias("mean_control"),
+        ((mean_t - mean_c) / F.sqrt(var_t / F.col("n_t") + var_c / F.col("n_c"))).alias(
+            "t_stat"
+        ),
+    )

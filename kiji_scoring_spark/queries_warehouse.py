@@ -389,3 +389,96 @@ def runtimefilter_bloom_join_revenue(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "dq_constraint_audit",
+    """
+    SELECT 'customer_acctbal_null' AS check_name,
+      COUNT(*) FILTER (WHERE c_acctbal IS NULL) AS n_violations FROM customer
+    UNION ALL
+    SELECT 'lineitem_fk_orders', COUNT(*) FROM lineitem l
+      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'lineitem_qty_out_of_range',
+      COUNT(*) FILTER (WHERE l_quantity NOT BETWEEN 1 AND 50) FROM lineitem
+    UNION ALL
+    SELECT 'orders_fk_customer', COUNT(*) FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'orders_orderdate_out_of_range',
+      COUNT(*) FILTER (WHERE o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+                          OR o_orderdate > TIMESTAMP '2000-12-31 00:00:00')
+      FROM orders
+    UNION ALL
+    SELECT 'orders_totalprice_nonpositive',
+      COUNT(*) FILTER (WHERE o_totalprice <= 0) FROM orders
+    ORDER BY check_name
+    """,
+    "warehouse", "dq",
+)
+def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint audit — the expectations pass
+    (null-rate, range, referential-integrity checks) every ingest gate
+    runs before publishing a 100 TB table. Six checks over three
+    tables; the date-range check is deliberately violated by the data
+    (orders run past 2000-12-31), so the audit provably counts real
+    violations rather than rubber-stamping zeros.
+
+    Scale shape: scalar checks per table fold into ONE conditional
+    aggregation per scan (a map literal exploded into (check, count)
+    rows — adding a check costs a column, not a pass); FK checks are
+    broadcast anti-joins against the dimension key sets (customer and
+    orders keys broadcast; at larger dims switch to a shuffled
+    left_anti, same code shape). Nothing here sorts or collects raw
+    rows — violations aggregate map-side."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def one(cond) -> F.Column:
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    cust_checks = c.agg(
+        one(F.col("c_acctbal").isNull()).alias("customer_acctbal_null")
+    )
+    order_checks = o.agg(
+        one(
+            (F.col("o_orderdate") < F.lit("1995-01-01 00:00:00").cast("timestamp_ntz"))
+            | (F.col("o_orderdate") > F.lit("2000-12-31 00:00:00").cast("timestamp_ntz"))
+        ).alias("orders_orderdate_out_of_range"),
+        one(F.col("o_totalprice") <= 0).alias("orders_totalprice_nonpositive"),
+    )
+    li_checks = li.agg(
+        one(~F.col("l_quantity").between(1, 50)).alias("lineitem_qty_out_of_range")
+    )
+    fk_orders = (
+        o.join(
+            F.broadcast(c.select("c_custkey")),
+            o.o_custkey == F.col("c_custkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("orders_fk_customer"))
+    )
+    fk_lineitem = (
+        li.join(
+            F.broadcast(o.select("o_orderkey")),
+            li.l_orderkey == F.col("o_orderkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("lineitem_fk_orders"))
+    )
+
+    def melt(df: DataFrame) -> DataFrame:
+        pairs = []
+        for name in df.columns:
+            pairs += [F.lit(name), F.col(name)]
+        return df.select(
+            F.explode(F.create_map(*pairs)).alias("check_name", "n_violations")
+        )
+
+    parts = [cust_checks, order_checks, li_checks, fk_orders, fk_lineitem]
+    out = melt(parts[0])
+    for p in parts[1:]:
+        out = out.unionByName(melt(p))
+    return out.orderBy("check_name")
