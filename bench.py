@@ -115,6 +115,7 @@ HEADLINE = [
     "snapshot_time_travel_orders",
     "snapshot_compaction_roundtrip",
     "snapshot_cdc_upsert_history",
+    "bitmap_rolling_distinct_users",
 ]
 
 #: round-over-round regression reference (sum over that round's HEADLINE):

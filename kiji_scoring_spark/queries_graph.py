@@ -688,3 +688,70 @@ def snapshot_cdc_upsert_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("old_last_seq").alias("old_seq"),
         F.col("new_last_seq").alias("new_seq"),
     ).orderBy("user_id")
+
+
+@query(
+    "bitmap_rolling_distinct_users",
+    """
+    WITH days AS (
+      SELECT DISTINCT date_trunc('day', ts) AS day FROM events
+    )
+    SELECT d.day, COUNT(DISTINCT e.user_id) AS n_users_7d
+    FROM days d JOIN events e
+      ON date_trunc('day', e.ts)
+         BETWEEN d.day - INTERVAL 6 DAY AND d.day
+    GROUP BY d.day
+    ORDER BY d.day
+    """,
+    "sketch", "window", "timeseries",
+)
+def bitmap_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day — the DAU/WAU
+    metric that is genuinely hard at scale because per-day distinct
+    counts DO NOT merge (users overlap across days). The mergeable-
+    bitmap solution: one exact bitmap per (day, id-bucket) built
+    map-side, then a RANGE-framed `bitmap_or_agg` window ORs each
+    bucket's trailing 7 calendar days (RANGE over a day number, so
+    gaps in a bucket's days are handled by the frame, not by row
+    position), `bitmap_count` the union, and sum the disjoint buckets
+    per day.
+
+    Work is O(days x buckets) bitmap ORs on fixed-size state — never a
+    re-scan of raw events per window — where the oracle's formulation
+    (and any exact non-sketch plan) re-joins each day against a 7-day
+    window of RAW events: at 100 TB that is 7x read amplification vs
+    one pass here. The per-bucket day spine is densified against the
+    global observed-day spine first, so a bucket quiet TODAY still
+    contributes its users from the trailing window (the subtle
+    undercount a naive ROWS frame over present-days-only would hit).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.bitmap_bucket_number("user_id").alias("bkt"),
+            F.bitmap_bit_position("user_id").alias("pos"),
+        )
+        .groupBy("day", "bkt")
+        .agg(F.bitmap_construct_agg("pos").alias("bm"))
+    )
+    spine = ev.select(F.date_trunc("day", F.col("ts")).alias("day")).distinct()
+    buckets = daily.select("bkt").distinct()
+    grid = spine.crossJoin(F.broadcast(buckets))
+    dense = grid.join(daily, ["day", "bkt"], "left").withColumn(
+        "day_num", F.datediff(F.col("day"), F.lit("2020-01-01").cast("date"))
+    )
+
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("bkt")
+        .orderBy("day_num")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    rolled = dense.withColumn("bm7", F.bitmap_or_agg("bm").over(w))
+    return (
+        rolled.groupBy("day")
+        .agg(F.sum(F.bitmap_count("bm7")).alias("n_users_7d"))
+        .orderBy("day")
+    )
