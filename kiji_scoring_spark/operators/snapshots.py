@@ -103,13 +103,23 @@ def read_snapshot(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:
     """Read the table as of `version` (default: latest). Time travel is
-    free: any still-published manifest names a complete file-set."""
+    free: any still-published manifest names a complete file-set.
+
+    mergeSchema=True because a version's file-set may span commits with
+    EVOLVED schemas (columns added over time): the merged schema is the
+    union, and files written before a column existed surface NULL for
+    it — additive evolution with no rewrite of history, the same
+    contract Delta/Iceberg give. (Column renames/drops are not modeled;
+    additive-only is the safe subset plain parquet can honor.)"""
     if version is None:
         version = latest_version(path)
         if version is None:
             raise FileNotFoundError(f"no snapshot versions at {path}")
     m = _read_manifest(path, version)
-    return spark.read.parquet(*[os.path.join(path, d) for d in m["dirs"]])
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*[os.path.join(path, d) for d in m["dirs"]])
+    )
 
 
 def compact_snapshot(spark: SparkSession, path: str, target_files: int) -> int:

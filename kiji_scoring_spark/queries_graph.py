@@ -755,3 +755,62 @@ def bitmap_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.sum(F.bitmap_count("bm7")).alias("n_users_7d"))
         .orderBy("day")
     )
+
+
+@query(
+    "snapshot_schema_evolution",
+    """
+    SELECT CASE WHEN o_orderkey % 10 < 8 THEN 'NONE'
+                ELSE o_orderpriority END AS pri,
+      COUNT(*) AS n_rows,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY pri
+    ORDER BY pri
+    """,
+    "sink", "snapshot", "schema",
+)
+def snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution across snapshot commits: v1 lands 80%
+    of orders WITHOUT the priority column; a later append commits the
+    remaining 20% WITH it. Reading the latest version merges the two
+    file schemas (union of columns), and pre-evolution rows surface
+    NULL for the new column — history is never rewritten, exactly the
+    Delta/Iceberg additive contract. The aggregate folds the NULL group
+    to 'NONE' so the oracle can state the same split from the raw
+    table.
+
+    Scale note: schema merge is a footer-only operation at planning
+    time (no data read); the per-file projection adapts at scan, so old
+    files pay nothing for columns they predate. Additive-only is the
+    safe subset plain parquet honors — renames/drops need a real table
+    format's column-id mapping, which operators/snapshots.py documents
+    as out of scope."""
+    from .operators.snapshots import commit_snapshot, latest_version, read_snapshot
+
+    o = load_table(spark, sf_dir, "orders")
+    path = _state_path(sf_dir, "orders_evolving_snapshots")
+    if latest_version(path) is None:
+        commit_snapshot(
+            o.filter(F.col("o_orderkey") % 10 < 8).select("o_orderkey", "o_totalprice"),
+            path,
+            mode="overwrite",
+        )
+        commit_snapshot(
+            o.filter(F.col("o_orderkey") % 10 >= 8).select(
+                "o_orderkey", "o_totalprice", "o_orderpriority"
+            ),
+            path,
+            mode="append",
+        )
+    back = read_snapshot(spark, path)
+    return (
+        back.groupBy(F.coalesce(F.col("o_orderpriority"), F.lit("NONE")).alias("pri"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("pri")
+    )

@@ -98,3 +98,22 @@ def test_compaction_after_appends_collapses_dirs(spark, table_path):
 def test_read_missing_table_raises(spark, table_path):
     with pytest.raises(FileNotFoundError):
         sn.read_snapshot(spark, table_path)
+
+
+def test_additive_schema_evolution_merges_and_nulls_old_rows(spark, table_path):
+    """An append with a NEW column must surface (a) the merged schema on
+    the latest read, (b) NULL for pre-evolution rows, and (c) the old
+    version untouched with its original narrow schema."""
+    sn.commit_snapshot(
+        spark.createDataFrame([(1, "a")], ["k", "v"]), table_path, mode="overwrite"
+    )
+    sn.commit_snapshot(
+        spark.createDataFrame([(2, "b", 7)], ["k", "v", "extra"]),
+        table_path,
+        mode="append",
+    )
+    latest = sn.read_snapshot(spark, table_path)
+    assert set(latest.columns) == {"k", "v", "extra"}
+    got = {r.k: r.extra for r in latest.collect()}
+    assert got == {1: None, 2: 7}
+    assert set(sn.read_snapshot(spark, table_path, 1).columns) == {"k", "v"}
