@@ -289,3 +289,84 @@ def histogram_order_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+#: probes for the multipass blocking query: two corrupt the SUFFIX (the
+#: single-pass block key — pass A must miss them, pass B recovers), one
+#: corrupts the middle (pass B misses, pass A recovers), one matches
+#: nothing. All target custkeys < 150 so every SF's customer table
+#: contains them.
+_MULTIPASS_PROBES = [
+    "Customer#00000000Z7",   # insert into suffix of ...007  -> pass B only
+    "Customer#000000X42",    # corrupt suffix of ...042      -> pass B only
+    "Customer#000100123",    # corrupt middle of ...123      -> pass A only
+    "Nobody#999999999",      # control: no match either pass
+]
+
+
+@query(
+    "er_multipass_blocking_names",
+    f"""
+    WITH probes AS (
+      SELECT * FROM (VALUES {", ".join(f"('{n}')" for n in _MULTIPASS_PROBES)})
+        AS t(dirty_name)
+    ), pass_a AS (
+      SELECT p.dirty_name, c.c_custkey, c.c_name
+      FROM probes p JOIN customer c
+        ON substr(p.dirty_name, length(p.dirty_name) - 2, 3)
+         = substr(c.c_name, length(c.c_name) - 2, 3)
+    ), pass_b AS (
+      SELECT p.dirty_name, c.c_custkey, c.c_name
+      FROM probes p JOIN customer c
+        ON substr(p.dirty_name, 13, 3) = substr(c.c_name, 13, 3)
+    ), candidates AS (
+      SELECT DISTINCT * FROM (
+        SELECT * FROM pass_a UNION ALL SELECT * FROM pass_b) u
+    )
+    SELECT dirty_name, c_custkey, c_name,
+      levenshtein(dirty_name, c_name) AS edit_dist
+    FROM candidates
+    WHERE levenshtein(dirty_name, c_name) <= 2
+    ORDER BY dirty_name, c_custkey
+    """,
+    "behavior", "join", "pipeline",
+)
+def er_multipass_blocking_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pass blocking for entity resolution: ANY single blocking
+    key has a blind spot — a corruption inside the key itself makes the
+    true match unblockable (fuzzy_join_customer_names blocks on the
+    name suffix, so suffix typos escape it). The fix every production
+    ER pipeline uses: run several ORTHOGONAL blocking passes (here:
+    suffix 3-gram and middle 3-gram), union the candidate pairs,
+    deduplicate, and verify once with the expensive residual
+    (levenshtein <= 2). The probe set is adversarial by construction —
+    two probes are invisible to pass A and recovered by pass B, one the
+    reverse, one matches nothing — so the hash gate proves the union
+    actually widens recall rather than just re-finding pass A's pairs.
+
+    Scale: each pass is a broadcast equi-join on its block key (probes
+    are tiny; for corpus-vs-corpus ER each pass is a shuffle equi-join
+    on the key — same shape as dedup_minhash_candidate_pairs' bands,
+    which IS multi-pass blocking with 16 passes); the verify cost is
+    |union of candidates|, and dedup before verify keeps pairs caught
+    by both passes from paying levenshtein twice."""
+    c = load_table(spark, sf_dir, "customer")
+    probes = spark.createDataFrame([(n,) for n in _MULTIPASS_PROBES], ["dirty_name"])
+    pass_a = probes.join(
+        c,
+        F.expr(
+            "substring(dirty_name, length(dirty_name) - 2, 3)"
+            " = substring(c_name, length(c_name) - 2, 3)"
+        ),
+    ).select("dirty_name", "c_custkey", "c_name")
+    pass_b = probes.join(
+        c, F.expr("substring(dirty_name, 13, 3) = substring(c_name, 13, 3)")
+    ).select("dirty_name", "c_custkey", "c_name")
+    candidates = pass_a.unionByName(pass_b).distinct()
+    return (
+        candidates.withColumn(
+            "edit_dist", F.levenshtein("dirty_name", "c_name")
+        )
+        .where(F.col("edit_dist") <= 2)
+        .orderBy("dirty_name", "c_custkey")
+    )
