@@ -370,3 +370,83 @@ def er_multipass_blocking_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("edit_dist") <= 2)
         .orderBy("dirty_name", "c_custkey")
     )
+
+
+@query(
+    "funnel_pattern_no_error_between",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ), anchored AS (
+      SELECT *,
+        MAX(CASE WHEN event_type = 'click' THEN rn END) OVER (
+          PARTITION BY user_id ORDER BY rn
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_rn,
+        MAX(CASE WHEN event_type = 'error' THEN rn END) OVER (
+          PARTITION BY user_id ORDER BY rn
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_error_rn
+      FROM ordered
+    )
+    SELECT user_id,
+      COUNT(*) AS n_purchases,
+      CAST(SUM(CASE WHEN last_click_rn IS NOT NULL
+                AND (last_error_rn IS NULL OR last_error_rn < last_click_rn)
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+    FROM anchored
+    WHERE event_type = 'purchase'
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    "behavior", "window", "pattern",
+)
+def funnel_pattern_no_error_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching with an EXCLUSION constraint — the
+    MATCH_RECOGNIZE shape (`CLICK (NOT ERROR)* PURCHASE`) that plain
+    funnels can't express: a purchase counts as clean only if the
+    user's most recent click happened AFTER their most recent error.
+    Two running-MAX windows over the per-user event sequence turn the
+    "no X between Y and Z" pattern into a single position comparison —
+    no self-join, no exploding all (click, purchase) pairs and
+    filtering, which is the naive plan and is quadratic per user.
+
+    Determinism: "between" is defined on the (ts, event_id) total
+    order, not raw timestamps, so tied timestamps cannot flip matches
+    between engines. Scale: one exchange on user_id serves the row
+    numbering and both anchor windows; the purchase filter then feeds
+    the same-key aggregation without a further shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prior = (
+        Window.partitionBy("user_id")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    anchored = (
+        ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("rn", F.row_number().over(seq))
+        .withColumn(
+            "last_click_rn",
+            F.max(F.when(F.col("event_type") == "click", F.col("rn"))).over(prior),
+        )
+        .withColumn(
+            "last_error_rn",
+            F.max(F.when(F.col("event_type") == "error", F.col("rn"))).over(prior),
+        )
+    )
+    clean = F.col("last_click_rn").isNotNull() & (
+        F.col("last_error_rn").isNull()
+        | (F.col("last_error_rn") < F.col("last_click_rn"))
+    )
+    return (
+        anchored.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.when(clean, 1).otherwise(0)).cast("bigint").alias("n_clean"),
+        )
+        .orderBy("user_id")
+    )
