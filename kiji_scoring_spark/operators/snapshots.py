@@ -144,6 +144,48 @@ def compact_snapshot(spark: SparkSession, path: str, target_files: int) -> int:
     return version
 
 
+def vacuum_snapshots(path: str, keep_from: int) -> list[str]:
+    """Expire history: drop every version older than `keep_from` and
+    physically delete data directories no retained version references.
+
+    Reference counting is the crux — an append-composed version REUSES
+    its ancestors' data dirs, so "older than the retention horizon"
+    does NOT imply deletable: a dir written at v1 and still listed in
+    the retained v4's manifest must survive. Only after a compaction
+    (which rewrites the file-set into its own dir) does old data
+    actually become unreferenced and reclaimable — the same
+    interplay Delta's VACUUM has with OPTIMIZE. Manifests are removed
+    first, then unreferenced data dirs, so a crash mid-vacuum can only
+    leave orphaned (never dangling) data. Returns the deleted data
+    dirs (relative paths)."""
+    import shutil
+
+    latest = latest_version(path)
+    if latest is None or keep_from > latest:
+        raise ValueError(f"keep_from={keep_from} exceeds latest version {latest}")
+    mdir = _manifest_dir(path)
+    versions = sorted(
+        int(n[1:-5])
+        for n in os.listdir(mdir)
+        if n.startswith("v") and n.endswith(".json")
+    )
+    referenced: set[str] = set()
+    for v in versions:
+        if v >= keep_from:
+            referenced.update(_read_manifest(path, v)["dirs"])
+    removed = []
+    for v in versions:
+        if v < keep_from:
+            os.remove(os.path.join(mdir, f"v{v}.json"))
+    data_root = os.path.join(path, "data")
+    for name in sorted(os.listdir(data_root)):
+        rel = os.path.join("data", name)
+        if rel not in referenced:
+            shutil.rmtree(os.path.join(data_root, name))
+            removed.append(rel)
+    return removed
+
+
 def data_file_count(path: str, version: int) -> int:
     """Number of parquet data files composing `version` (metadata-only)."""
     m = _read_manifest(path, version)

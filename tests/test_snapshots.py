@@ -100,6 +100,60 @@ def test_read_missing_table_raises(spark, table_path):
         sn.read_snapshot(spark, table_path)
 
 
+def test_vacuum_keeps_dirs_referenced_by_retained_appends(spark, table_path):
+    """Retention must be by REFERENCE, not by age: dirs written at v1-v3
+    are still listed in the retained v4 append manifest, so vacuuming to
+    keep_from=4 may delete no data at all — only the old manifests."""
+    for i in range(4):
+        sn.commit_snapshot(
+            spark.createDataFrame([(i, str(i))], ["k", "v"]),
+            table_path,
+            mode="append" if i else "overwrite",
+        )
+    removed = sn.vacuum_snapshots(table_path, keep_from=4)
+    assert removed == []
+    assert rows(sn.read_snapshot(spark, table_path, 4)) == [
+        (0, "0"),
+        (1, "1"),
+        (2, "2"),
+        (3, "3"),
+    ]
+    with pytest.raises(FileNotFoundError):
+        sn.read_snapshot(spark, table_path, 2)
+
+
+def test_vacuum_after_compaction_reclaims_old_dirs(spark, table_path):
+    """Compaction rewrites the file-set into its own dir, releasing the
+    ancestors' references — vacuum can then physically reclaim them."""
+    for i in range(3):
+        sn.commit_snapshot(
+            spark.createDataFrame([(i, str(i))], ["k", "v"]),
+            table_path,
+            mode="append" if i else "overwrite",
+        )
+    v4 = sn.compact_snapshot(spark, table_path, target_files=1)
+    removed = sn.vacuum_snapshots(table_path, keep_from=v4)
+    assert sorted(removed) == [
+        os.path.join("data", "v1"),
+        os.path.join("data", "v2"),
+        os.path.join("data", "v3"),
+    ]
+    assert rows(sn.read_snapshot(spark, table_path, v4)) == [
+        (0, "0"),
+        (1, "1"),
+        (2, "2"),
+    ]
+    assert sn.latest_version(table_path) == v4
+
+
+def test_vacuum_rejects_horizon_past_latest(spark, table_path):
+    sn.commit_snapshot(
+        spark.createDataFrame([(1, "a")], ["k", "v"]), table_path, mode="overwrite"
+    )
+    with pytest.raises(ValueError):
+        sn.vacuum_snapshots(table_path, keep_from=5)
+
+
 def test_additive_schema_evolution_merges_and_nulls_old_rows(spark, table_path):
     """An append with a NEW column must surface (a) the merged schema on
     the latest read, (b) NULL for pre-evolution rows, and (c) the old
