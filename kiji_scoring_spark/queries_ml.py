@@ -1195,3 +1195,97 @@ def streaming_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> Data
         )
         .orderBy("user_id", "view_id", F.asc_nulls_first("purchase_id"))
     )
+
+
+@query(
+    "streaming_dedup_within_watermark",
+    """
+    WITH keys AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id < 40
+    )
+    SELECT user_id,
+      CAST(1 + CASE WHEN user_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT)
+        AS n_emitted
+    FROM keys
+    UNION ALL
+    SELECT -1 AS user_id, CAST(1 AS BIGINT) AS n_emitted
+    UNION ALL
+    SELECT -2 AS user_id, CAST(1 AS BIGINT) AS n_emitted
+    ORDER BY user_id
+    """,
+    "streaming", "dedup", "watermark",
+)
+def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WATERMARK-BOUNDED streaming dedup (`dropDuplicatesWithinWatermark`)
+    — the variant whose state EXPIRES, which is the only dedup a
+    never-ending 100 TB stream can run (plain dropDuplicates keys state
+    forever). The emission contract, pinned by a three-batch replay:
+
+    - batch 0: every key (distinct user_id < 40) arrives once, plus an
+      in-delay duplicate for keys % 3 == 0 ten minutes later — the
+      duplicates are DROPPED (state alive), every key emits exactly once;
+    - batch 1: a lone advancer row (user_id = -1) thirty days later
+      pushes the watermark far past every batch-0 key's expiry
+      (first_ts + 1 h delay);
+    - batch 2: a second advancer (user_id = -2). Needed because state
+      eviction runs at the END of a batch, AFTER that batch's dedup
+      check (probed empirically: a re-send sharing a batch with its
+      key's eviction is still swallowed) — this batch is where the
+      expired batch-0 state physically leaves the store;
+    - batch 3: keys % 5 == 0 re-arrive — their state is gone, so they
+      emit a SECOND time. Unbounded dropDuplicates would have swallowed
+      them; that re-emission is precisely the bounded-state trade, and
+      the oracle states it: n_emitted = 1 + (key % 5 == 0), each
+      advancer once.
+
+    Determinism: mtime-ordered replay files + maxFilesPerTrigger=1 pin
+    the batch/watermark sequence; counts per key are arrival-order-free.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    keys = ev.filter(F.col("user_id") < 40).select("user_id").distinct()
+    base_ts = F.lit("2024-06-01 00:00:00").cast("timestamp")
+    key_off = F.make_interval(secs=F.col("user_id").cast("int"))
+    b0 = keys.select("user_id", (base_ts + key_off).alias("ts")).unionByName(
+        keys.filter(F.col("user_id") % 3 == 0).select(
+            "user_id",
+            (base_ts + key_off + F.expr("INTERVAL 10 MINUTES")).alias("ts"),
+        )
+    )
+    b1 = spark.range(1).select(
+        F.lit(-1).cast("long").alias("user_id"),
+        (base_ts + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+    )
+    b2 = spark.range(1).select(
+        F.lit(-2).cast("long").alias("user_id"),
+        (base_ts + F.expr("INTERVAL 30 DAYS 10 MINUTES")).alias("ts"),
+    )
+    b3 = keys.filter(F.col("user_id") % 5 == 0).select(
+        "user_id",
+        (base_ts + key_off + F.expr("INTERVAL 30 DAYS 1 HOUR")).alias("ts"),
+    )
+
+    base = _replay_files("kss_dedupww", sf_dir, (b0, b1, b2, b3))
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(base, "stream"))
+    )
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["user_id"]
+    )
+    sink = "streaming_dedup_within_watermark_sink"
+    with _state_partitions(spark, 8):
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.table(sink)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_emitted"))
+        .orderBy("user_id")
+    )
