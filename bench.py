@@ -116,6 +116,7 @@ HEADLINE = [
     "snapshot_compaction_roundtrip",
     "snapshot_cdc_upsert_history",
     "bitmap_rolling_distinct_users",
+    "streaming_dedup_within_watermark",
 ]
 
 #: round-over-round regression reference (sum over that round's HEADLINE):

@@ -23,6 +23,7 @@ def bfs_hops(
     src: str = "src",
     dst: str = "dst",
     vertex: str = "pk",
+    broadcast_frontier: bool = True,
 ) -> DataFrame:
     """Minimum-hop BFS from `seeds` over a DIRECTED edge list (pass both
     directions for an undirected graph). Returns one row per reachable
@@ -34,9 +35,10 @@ def bfs_hops(
     (one level's vertex set, orders of magnitude smaller than the
     edges) is broadcast; each level is `localCheckpoint`-ed so level
     k+1 plans against materialized output instead of replaying the
-    prefix. For a frontier that outgrows the broadcast threshold, drop
-    the hint — the identical code degrades to a co-partitioned shuffle
-    join on `src`.
+    prefix. On a graph whose levels outgrow the broadcast threshold
+    (dense expander graphs), pass broadcast_frontier=False — the
+    identical loop degrades to a co-partitioned shuffle join against
+    the edges' pinned `src` partitioning.
     """
     edges = edges.select(
         F.col(src).alias("__src"), F.col(dst).alias("__dst")
@@ -45,8 +47,9 @@ def bfs_hops(
     reached = seeds.withColumn("hops", F.lit(0))
     frontier = seeds
     for hop in range(1, max_hops + 1):
+        probe = F.broadcast(frontier) if broadcast_frontier else frontier
         nxt = (
-            edges.join(F.broadcast(frontier), on=F.col("__src") == F.col(vertex))
+            edges.join(probe, on=F.col("__src") == F.col(vertex))
             .select(F.col("__dst").alias(vertex))
             .distinct()
             .join(reached.select(vertex), on=vertex, how="left_anti")
@@ -74,7 +77,13 @@ def triangle_count(
     degree-d hub contributes O(m) wedge work instead of O(d^2), so no
     single join key explodes a shuffle partition at 100 TB.
     """
-    ce = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
+    # lazy localCheckpoint: materialized once on first use, then shared by
+    # every consumer (degree count, orientation, wedge-close) — a
+    # persist()/unpersist() pair around a LAZY plan would unpersist before
+    # anything executed and silently recompute the edge list per consumer
+    ce = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=False)
     deg = (
         ce.select(F.explode(F.array("src", "dst")).alias("node"))
         .groupBy("node")
@@ -100,11 +109,6 @@ def triangle_count(
         .filter(F.col("o1.v") < F.col("o2.v"))
         .select(F.col("o1.v").alias("src"), F.col("o2.v").alias("dst"))
     )
-    out = wedges.join(ce, on=["src", "dst"], how="inner").agg(
+    return wedges.join(ce, on=["src", "dst"], how="inner").agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
-    # force materialization before unpersist would drop the cached edges:
-    # the returned plan still references ce, so keep the unpersist lazy
-    # (blocking=False default) — executed plans re-scan cheaply if evicted.
-    ce.unpersist()
-    return out
