@@ -117,6 +117,7 @@ HEADLINE = [
     "snapshot_cdc_upsert_history",
     "bitmap_rolling_distinct_users",
     "streaming_dedup_within_watermark",
+    "graph_pagerank_fixed_point",
 ]
 
 #: round-over-round regression reference (sum over that round's HEADLINE):

@@ -814,3 +814,113 @@ def snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pri")
     )
+
+
+@query(
+    "graph_pagerank_fixed_point",
+    """
+    WITH qual AS (
+      SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 40
+    ),
+    ce AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM qual a JOIN qual b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM ce),
+    n AS (SELECT COUNT(*) AS n FROM nodes),
+    deg AS (SELECT src AS node, COUNT(*) AS d FROM ce GROUP BY src),
+    r0 AS (
+      SELECT node, CAST(1000000000 // n.n AS BIGINT) AS r FROM nodes, n
+    ),
+    r1 AS (
+      SELECT ce.dst AS node,
+        CAST((15::BIGINT * 1000000000) // (100 * n.n)
+             + SUM((85 * r0.r) // (100 * deg.d)) AS BIGINT) AS r
+      FROM ce JOIN r0 ON r0.node = ce.src
+              JOIN deg ON deg.node = ce.src, n
+      GROUP BY ce.dst, n.n
+    ),
+    r2 AS (
+      SELECT ce.dst AS node,
+        CAST((15::BIGINT * 1000000000) // (100 * n.n)
+             + SUM((85 * r1.r) // (100 * deg.d)) AS BIGINT) AS r
+      FROM ce JOIN r1 ON r1.node = ce.src
+              JOIN deg ON deg.node = ce.src, n
+      GROUP BY ce.dst, n.n
+    ),
+    r3 AS (
+      SELECT ce.dst AS node,
+        CAST((15::BIGINT * 1000000000) // (100 * n.n)
+             + SUM((85 * r2.r) // (100 * deg.d)) AS BIGINT) AS r
+      FROM ce JOIN r2 ON r2.node = ce.src
+              JOIN deg ON deg.node = ce.src, n
+      GROUP BY ce.dst, n.n
+    )
+    SELECT node, r AS rank_fp FROM r3
+    ORDER BY rank_fp DESC, node
+    LIMIT 20
+    """,
+    "graph", "iterative",
+)
+def graph_pagerank_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank, EXACT and oracle-checked — normally an iterative
+    float algorithm is rows-only (partial-sum order perturbs doubles),
+    but defining the iteration in FIXED-POINT INTEGER arithmetic makes
+    it bit-reproducible on any engine and any partitioning: ranks live
+    in 1e-9 units (BIGINT), each contribution is (85 * r) // (100 * d)
+    with integer division, and integer addition is order-independent —
+    so three Spark iterations must match three chained SQL CTE
+    iterations exactly, and they do. (Truncating division IS the spec
+    here, not an approximation of float PageRank; both engines
+    implement the same spec. Overflow headroom: contributions sum to
+    <= N * 1e9 ~ 2e12, far inside BIGINT.)
+
+    Spark shape: the co-purchase edge list (both directions, so no
+    dangling mass) is lazily localCheckpoint-ed and reused across
+    iterations; each iteration is one join + one groupBy(dst) shuffle
+    on the SAME key, and `localCheckpoint` cuts lineage so iteration
+    k+1 plans against materialized ranks. Isolated vertices never
+    appear (every node has degree >= 1 by construction), matching the
+    oracle's in-edge-driven recurrence row-for-row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qual = li.filter(F.col("l_quantity") >= 40).select("l_orderkey", "l_partkey")
+    baskets = qual.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("pks"))
+    ce = (
+        baskets.select(F.explode("pks").alias("src"), "pks")
+        .select("src", F.explode("pks").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = ce.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    nodes = ce.select(F.col("src").alias("node")).distinct()
+    n = nodes.agg(F.count(F.lit(1)).alias("n"))
+
+    SCALE = 1_000_000_000
+    ranks = nodes.crossJoin(n).select(
+        "node", F.expr(f"{SCALE} div n").cast("long").alias("r")
+    )
+    for _ in range(3):
+        contrib = (
+            ce.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select("dst", F.expr("(85 * r) div (100 * d)").alias("c"))
+        )
+        ranks = (
+            contrib.groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+            .crossJoin(n)
+            .select(
+                F.col("dst").alias("node"),
+                (F.expr(f"(15L * {SCALE}L) div (100L * n)") + F.col("s"))
+                .cast("long")
+                .alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        ranks.select("node", F.col("r").alias("rank_fp"))
+        .orderBy(F.desc("rank_fp"), "node")
+        .limit(20)
+    )
