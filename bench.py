@@ -118,6 +118,7 @@ HEADLINE = [
     "bitmap_rolling_distinct_users",
     "streaming_dedup_within_watermark",
     "graph_pagerank_fixed_point",
+    "fresh_scoring_snapshot_pipeline",
 ]
 
 #: round-over-round regression reference (sum over that round's HEADLINE):

@@ -364,3 +364,104 @@ def fresh_bulk_get_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     return got.select(
         "user_id", model.most_recent_value("value_versions").alias("score")
     ).orderBy("user_id")
+
+
+#: second scoring cycle, one day after the first — users whose newest
+#: event falls in the (AS_OF-5d, AS_OF-4d] band cross the shelf-life
+#: boundary between the two cycles.
+AS_OF2_MS = AS_OF_MS + DAY_MS
+
+
+@query(
+    "fresh_scoring_snapshot_pipeline",
+    f"""
+    WITH s AS (
+      SELECT user_id, max({_EPOCH_MS}) AS newest_ts,
+        max_by(value, CAST(epoch_ms(ts) AS BIGINT) * 1000000 + event_id)
+          AS newest_value
+      FROM events GROUP BY user_id
+    ), v1 AS (
+      SELECT user_id,
+        CASE WHEN {AS_OF_MS} - newest_ts <= {5 * DAY_MS}
+             THEN newest_ts ELSE {AS_OF_MS} END AS score_ts,
+        CASE WHEN {AS_OF_MS} - newest_ts <= {5 * DAY_MS}
+             THEN newest_value ELSE newest_value * 2 END AS score
+      FROM s
+    ), v2 AS (
+      SELECT user_id,
+        CASE WHEN {AS_OF2_MS} - newest_ts <= {5 * DAY_MS}
+             THEN newest_ts ELSE {AS_OF2_MS} END AS score_ts,
+        CASE WHEN {AS_OF2_MS} - newest_ts <= {5 * DAY_MS}
+             THEN newest_value ELSE newest_value * 2 END AS score
+      FROM s
+    )
+    SELECT v1.user_id, 'U' AS change,
+      v1.score AS old_score, v2.score AS new_score,
+      v1.score_ts AS old_ts, v2.score_ts AS new_ts
+    FROM v1 JOIN v2 ON v1.user_id = v2.user_id
+    WHERE v1.score <> v2.score OR v1.score_ts <> v2.score_ts
+    ORDER BY v1.user_id
+    """,
+    "kiji", "freshness", "scoring", "snapshot", "diff",
+)
+def fresh_scoring_snapshot_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 200th registry query, and the round-5 capstone: the
+    reference's core operator (A7 conditional score-and-writeback)
+    composed with the round-5 lakehouse machinery, end to end —
+
+    1. the FULL engine stack (registry record → ShelfLife(5d) policy →
+       DoubleLatestValueProducer → freshen scan) scores every user at
+       clock T, and the scored table is committed as snapshot v1;
+    2. the SAME stack re-runs at clock T+1d — users whose newest event
+       crossed the shelf-life boundary in between flip from fresh to
+       stale and get rescored — and is committed as snapshot v2;
+    3. the two PUBLISHED versions are compared with the
+       checksum-bucketed diff, reporting exactly which users the second
+       cycle changed (still-fresh users are bit-identical across
+       versions and never appear).
+
+    This is what the engine is FOR at 100 TB: periodic freshening runs
+    that each touch only their stale slice, versioned so any cycle can
+    be audited or rolled back, with reconciliation that reads a few
+    buckets instead of the table. The oracle restates both cycles as
+    window SQL and diffs them directly."""
+    from .operators.maintenance import checksum_diff
+    from .operators.snapshots import commit_snapshot, latest_version, read_snapshot
+    from .queries_graph import _state_path
+
+    vt = versioned_events(spark, sf_dir)
+    reg = FreshenerRegistry()
+    reg.store(
+        TableLayout(vt.schema),
+        "events_versioned",
+        "value:versions",
+        "kiji_scoring_spark.lib.DoubleLatestValueProducer",
+        "kiji_scoring_spark.policies.ShelfLife",
+        ShelfLife(5 * DAY_MS).serialize(),
+    )
+    reader = FreshTableReader(spark, "events_versioned", vt, reg, key_col="user_id")
+
+    path = _state_path(sf_dir, "fresh_score_snapshots")
+    if latest_version(path) is None:
+        for as_of in (AS_OF_MS, AS_OF2_MS):
+            scored = reader.scan(as_of).select(
+                "user_id",
+                model.most_recent_ts("value_versions").alias("score_ts"),
+                model.most_recent_value("value_versions").alias("score"),
+            )
+            commit_snapshot(scored, path, mode="overwrite")
+
+    def view(version: int) -> DataFrame:
+        return read_snapshot(spark, path, version)
+
+    d = checksum_diff(
+        view(1), view(2), key="user_id", canon_cols=["score", "score_ts"]
+    )
+    return d.select(
+        "user_id",
+        "change",
+        F.col("old_score").alias("old_score"),
+        F.col("new_score").alias("new_score"),
+        F.col("old_score_ts").alias("old_ts"),
+        F.col("new_score_ts").alias("new_ts"),
+    ).orderBy("user_id")
