@@ -853,3 +853,65 @@ def stats_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "t_stat"
         ),
     )
+
+
+@query(
+    "window_ratio_to_report",
+    """
+    WITH nat AS (
+      SELECT r_name, n_name,
+        SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_dec
+      FROM orders
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation ON n_nationkey = c_nationkey
+        JOIN region ON r_regionkey = n_regionkey
+      GROUP BY r_name, n_name
+    )
+    SELECT r_name, n_name,
+      CAST(total_dec AS DOUBLE) AS total,
+      CAST(total_dec AS DOUBLE)
+        / CAST(SUM(total_dec) OVER (PARTITION BY r_name) AS DOUBLE) AS share
+    FROM nat
+    ORDER BY r_name, n_name
+    """,
+    "window", "agg",
+)
+def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report (percent-of-total) — each nation's share of its
+    region's order revenue. The float trap: a window SUM over DOUBLE is
+    partial-order-dependent, so the share would be engine- and
+    partitioning-unstable in the last bit. Both levels therefore sum in
+    exact DECIMAL — the per-nation total AND the window's region total
+    (decimal window aggregation is order-independent) — and only the
+    final division runs in doubles, on the identical operand pair in
+    both engines. One exchange on the region key serves the window;
+    the dimension joins broadcast."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    from pyspark.sql import Window
+
+    nat = (
+        o.join(c.select("c_custkey", "c_nationkey"), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(n.select("n_nationkey", "n_name", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(r.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_dec"))
+    )
+    w = Window.partitionBy("r_name")
+    return nat.select(
+        "r_name",
+        "n_name",
+        F.col("total_dec").cast("double").alias("total"),
+        (
+            F.col("total_dec").cast("double")
+            / F.sum("total_dec").over(w).cast("double")
+        ).alias("share"),
+    ).orderBy("r_name", "n_name")

@@ -1289,3 +1289,80 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
         .agg(F.count(F.lit(1)).alias("n_emitted"))
         .orderBy("user_id")
     )
+
+
+@query(
+    "similarity_sparse_inverted_index",
+    r"""
+    WITH docs AS (
+      SELECT doc_id, lower(text) AS text FROM documents WHERE doc_id < 200
+    ),
+    toks AS (
+      SELECT doc_id,
+        unnest(list_filter(regexp_split_to_array(text, '\W+'), x -> x <> ''))
+          AS term
+      FROM docs
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tfv FROM toks GROUP BY doc_id, term),
+    kept AS (
+      SELECT term FROM tf GROUP BY term
+      HAVING COUNT(*) BETWEEN 2 AND 50
+    ),
+    postings AS (SELECT tf.* FROM tf JOIN kept USING (term)),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        CAST(SUM(a.tfv * b.tfv) AS BIGINT) AS dot
+      FROM postings a JOIN postings b
+        ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, dot FROM pairs
+    ORDER BY dot DESC, doc_a, doc_b
+    LIMIT 20
+    """,
+    "similarity", "text", "pipeline",
+)
+def similarity_sparse_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARSE similarity via an inverted-index posting join — the
+    retrieval-side counterpart of the dense-embedding ANN family: docs
+    become (term, doc, tf) postings, candidate pairs materialize ONLY
+    where a shared term exists (the join on term IS the inverted
+    index), and the pair score is the exact integer term-frequency dot
+    product — never an all-pairs comparison.
+
+    The scale discipline is the document-frequency band (2..50): a
+    stopword's posting list is O(corpus) long and its self-join is the
+    classic quadratic hot key, but a term in more than ~50 docs carries
+    no discriminative signal — dropping it both kills the skew AND
+    improves the metric (precisely why retrieval systems df-prune).
+    Terms in a single doc can't form a pair and are pruned too.
+    Integer tf products keep the score bit-exact under any
+    partial-aggregation order; ties on `dot` are broken by the pair
+    key so the LIMIT is deterministic."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", F.lower(F.col("text")).alias("text"))
+    )
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", r"\W+")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tfv"))
+    kept = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("dfv"))
+        .filter(F.col("dfv").between(2, 50))
+        .select("term")
+    )
+    postings = tf.join(kept, "term")
+    a = postings.alias("a")
+    b = postings.alias("b")
+    pairs = (
+        a.join(b, on="term")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.sum(F.col("a.tfv") * F.col("b.tfv")).cast("bigint").alias("dot"))
+    )
+    return pairs.orderBy(F.desc("dot"), "doc_a", "doc_b").limit(20)
