@@ -321,6 +321,36 @@ def test_bloom_runtime_filter_prunes_probe_side(spark, sf_dir):
         )
 
 
+ROUND5_BROADCAST_QUERIES = [
+    # FK anti-joins against dimension key sets must broadcast
+    "dq_constraint_audit",
+    # nation/region dims must broadcast under the ratio window
+    "window_ratio_to_report",
+    # both blocking passes probe with a tiny literal probe set
+    "er_multipass_blocking_names",
+]
+
+
+@pytest.mark.parametrize("name", ROUND5_BROADCAST_QUERIES)
+def test_round5_dimension_joins_broadcast(spark, sf_dir, name):
+    plan = executed_plan(spark, sf_dir, name)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, (
+        f"{name}: no broadcast join in plan"
+    )
+    assert "SortMergeJoin" not in plan, (
+        f"{name}: small side fell back to sort-merge (fact side shuffled)"
+    )
+
+
+def test_sparse_postings_join_not_cartesian(spark, sf_dir):
+    """The inverted-index pair join must be an equi-join on term —
+    a CartesianProduct here means the posting join degenerated to
+    all-pairs."""
+    plan = executed_plan(spark, sf_dir, "similarity_sparse_inverted_index")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_aqe_splits_skewed_join_partition(spark):
     """The session's AQE config must actually split a hot join key at
     runtime — the safety net under every un-salted join in the registry
