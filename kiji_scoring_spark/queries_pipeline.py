@@ -1039,3 +1039,135 @@ def setsim_join_exact_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return verified.orderBy("doc_a", "doc_b")
+
+
+@query(
+    "similarity_ivf_deterministic_seeds",
+    f"""
+    WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
+    seeds AS (
+      SELECT vec_id AS seed_id, embedding FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    asg AS (
+      SELECT vec_id, seed_id FROM (
+        SELECT a.vec_id, b.seed_id,
+          ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                             ORDER BY round({_COS_SQL}, 9) DESC, b.seed_id) AS rn
+        FROM corpus a JOIN seeds b ON TRUE
+      ) t WHERE rn = 1
+    ),
+    pcell AS (
+      SELECT vec_id AS probe_id, seed_id FROM (
+        SELECT a.vec_id, b.seed_id,
+          ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                             ORDER BY round({_COS_SQL}, 9) DESC, b.seed_id) AS rn
+        FROM corpus a JOIN seeds b ON TRUE
+        WHERE a.vec_id < 10
+      ) t WHERE rn <= 2
+    ),
+    cand AS (
+      SELECT p.probe_id, g.vec_id AS neighbor_id
+      FROM pcell p JOIN asg g ON g.seed_id = p.seed_id
+      WHERE g.vec_id <> p.probe_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rn FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        round({_COS_SQL}, 9) AS cos_sim,
+        ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                           ORDER BY round({_COS_SQL}, 9) DESC, b.vec_id) AS rn
+      FROM cand c
+        JOIN corpus a ON a.vec_id = c.probe_id
+        JOIN corpus b ON b.vec_id = c.neighbor_id
+    ) t WHERE rn <= 5 ORDER BY query_id, rn
+    """,
+    "similarity", "pipeline",
+)
+def similarity_ivf_deterministic_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN under the FULL hash gate — the trick that upgrades it from
+    rows-only: the coarse quantizer's centroids are DETERMINISTIC SEED
+    VECTORS (every 100th corpus vector) instead of k-means output, so
+    cell assignment, probe selection (n_probe = 2 nearest cells), and
+    the in-cell search are all closed-form and bit-reproducible, and
+    the oracle replays the identical three stages. The k-means variant
+    (`similarity_ivf_topk`) stays recall-gated; this query pins the IVF
+    MECHANICS — assignment, cell routing, probed-cells-only search —
+    exactly.
+
+    Scale shape is the real IVF one: the seed set is tiny and broadcast
+    (assignment is a narrow pass over the corpus — no shuffle of
+    embeddings); the probe search touches only the two probed cells'
+    vectors, reached by equi-join on the cell id. Float parity: dots
+    are left-assoc sums over unpacked primitive columns in codegen —
+    the same fold order as the oracle's list_reduce — and similarities
+    round to 9 dp before ranking with id tiebreaks."""
+    import functools
+    import operator
+
+    e = load_table(spark, sf_dir, "embeddings")
+    nrm2 = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v * v,
+    )
+    flat = e.select(
+        "vec_id",
+        F.sqrt(nrm2).alias("nrm"),
+        *[
+            F.col("embedding")[i].cast("double").alias(f"e{i}")
+            for i in range(_EMBED_DIM)
+        ],
+    )
+    seeds = flat.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("seed_id"),
+        F.col("nrm").alias("snrm"),
+        *[F.col(f"e{i}").alias(f"s{i}") for i in range(_EMBED_DIM)],
+    )
+
+    def seed_cos():
+        dot = functools.reduce(
+            operator.add,
+            [F.col(f"e{i}") * F.col(f"s{i}") for i in range(_EMBED_DIM)],
+        )
+        return F.round(dot / (F.col("nrm") * F.col("snrm")), 9)
+
+    scored = (
+        flat.crossJoin(F.broadcast(seeds))
+        .withColumn("c", seed_cos())
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.desc("c"), F.asc("seed_id"))
+            ),
+        )
+    )
+    asg = scored.filter(F.col("rn") == 1).select("vec_id", "seed_id")
+    pcell = (
+        scored.filter((F.col("vec_id") < 10) & (F.col("rn") <= 2))
+        .select(F.col("vec_id").alias("probe_id"), "seed_id")
+    )
+    cand = (
+        pcell.join(asg, "seed_id")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", F.col("vec_id").alias("neighbor_id"))
+    )
+
+    a = flat.alias("a")
+    b = flat.alias("b")
+    dot = functools.reduce(
+        operator.add,
+        [F.col(f"a.e{i}") * F.col(f"b.e{i}") for i in range(_EMBED_DIM)],
+    )
+    sim = F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 9)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        cand.join(a, F.col("a.vec_id") == F.col("probe_id"))
+        .join(b, F.col("b.vec_id") == F.col("neighbor_id"))
+        .select(
+            F.col("probe_id").alias("query_id"),
+            F.col("neighbor_id"),
+            sim.alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .orderBy("query_id", "rn")
+    )
