@@ -482,3 +482,111 @@ def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(melt(p))
     return out.orderBy("check_name")
+
+
+@query(
+    "dq_sequence_gaps",
+    """
+    WITH keys AS (
+      SELECT DISTINCT o_orderkey AS k FROM orders
+    ), marked AS (
+      SELECT k, k - ROW_NUMBER() OVER (ORDER BY k) AS grp FROM keys
+    ), islands AS (
+      SELECT MIN(k) AS island_start, MAX(k) AS island_end
+      FROM marked GROUP BY grp
+    )
+    SELECT island_end + 1 AS gap_start,
+      LEAD(island_start) OVER (ORDER BY island_start) - 1 AS gap_end,
+      LEAD(island_start) OVER (ORDER BY island_start) - island_end - 1
+        AS n_missing
+    FROM islands
+    QUALIFY gap_end IS NOT NULL
+    ORDER BY gap_start
+    """,
+    "warehouse", "dq", "window",
+)
+def dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-gap detection (missing-data audit): which o_orderkey
+    ranges are absent? Classic gaps-and-islands — k - ROW_NUMBER() is
+    constant within each consecutive run, islands collapse to
+    (start, end), and LEAD exposes the holes between them. The ingest
+    monitor that catches a dropped batch by its key range rather than
+    by comparing row counts.
+
+    Scale note: the single global ROW_NUMBER is the textbook shape but
+    a 100 TB anti-pattern (one-partition sort); the scale-out variant
+    assigns per-partition offsets exactly like ids_contiguous_no_global_sort
+    does, then runs the same island algebra — the algebra is
+    partition-local once keys are range-partitioned. At the audit's
+    typical grain (daily shard) the global window is fine."""
+    o = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    keys = o.select(F.col("o_orderkey").alias("k")).distinct()
+    marked = keys.withColumn(
+        "grp", F.col("k") - F.row_number().over(Window.orderBy("k"))
+    )
+    islands = marked.groupBy("grp").agg(
+        F.min("k").alias("island_start"), F.max("k").alias("island_end")
+    )
+    nxt = F.lead("island_start").over(Window.orderBy("island_start"))
+    return (
+        islands.select(
+            (F.col("island_end") + 1).alias("gap_start"),
+            (nxt - 1).alias("gap_end"),
+            (nxt - F.col("island_end") - 1).alias("n_missing"),
+        )
+        .filter(F.col("gap_end").isNotNull())
+        .orderBy("gap_start")
+    )
+
+
+@query(
+    "dq_benford_first_digit",
+    """
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INTEGER) AS d
+      FROM orders WHERE o_totalprice >= 1
+    ), n AS (SELECT COUNT(*) AS n FROM digits)
+    SELECT d, COUNT(*) AS n_obs,
+      CAST(COUNT(*) AS DOUBLE) / any_value(n.n) AS p_obs,
+      ln(1.0 + 1.0 / d) / ln(10.0) AS p_benford
+    FROM digits, n
+    GROUP BY d
+    ORDER BY d
+    """,
+    "warehouse", "dq", "stats",
+)
+def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit — the fraud/synthetic-data screen:
+    naturally-occurring monetary amounts follow P(d) = log10(1 + 1/d),
+    and a shard whose leading-digit histogram deviates hard was
+    fabricated, truncated, or double-counted. Counts are exact map-side
+    integers (one conditional-agg pass); observed shares and the
+    Benford expectation are derived per-row from those exact counts in
+    identical double expressions both engines, so even the float
+    columns hash-match. (The synthetic TPC-H price distribution is NOT
+    Benford — uniform-ish over a bounded range — which the output
+    shows; the audit reports, it does not assert.)"""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digits = o.select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("d")
+    )
+    n = digits.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        digits.groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "d",
+            "n_obs",
+            (F.col("n_obs").cast("double") / F.col("n")).alias("p_obs"),
+            (F.log(1.0 + 1.0 / F.col("d")) / F.log(F.lit(10.0))).alias("p_benford"),
+        )
+        .orderBy("d")
+    )
