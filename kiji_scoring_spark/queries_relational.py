@@ -1133,3 +1133,156 @@ def agg_empty_relation_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("l_quantity"), F.lit(0)).cast("double").alias("sum_coalesced"),
         F.count_distinct(F.col("l_suppkey")).alias("n_distinct_empty"),
     )
+
+
+@query(
+    "join_null_key_semantics_battery",
+    """
+    WITH l AS (
+      SELECT CASE WHEN user_id % 7 = 0 THEN NULL ELSE user_id END AS k,
+        COUNT(*) AS n
+      FROM events WHERE user_id < 60 GROUP BY k
+    ), r AS (
+      SELECT CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_custkey END AS k
+      FROM customer WHERE c_custkey < 60
+    )
+    SELECT 'anti' AS join_type, COUNT(*) AS n_rows FROM l
+      WHERE NOT EXISTS (SELECT 1 FROM r WHERE r.k = l.k)
+    UNION ALL
+    SELECT 'full_null_rows', COUNT(*) FROM l FULL JOIN r ON l.k = r.k
+      WHERE l.k IS NULL OR r.k IS NULL
+    UNION ALL
+    SELECT 'inner', COUNT(*) FROM l JOIN r ON l.k = r.k
+    UNION ALL
+    SELECT 'left_all', COUNT(*) FROM l LEFT JOIN r ON l.k = r.k
+    UNION ALL
+    SELECT 'nullsafe_inner', COUNT(*) FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    UNION ALL
+    SELECT 'semi', COUNT(*) FROM l
+      WHERE EXISTS (SELECT 1 FROM r WHERE r.k = l.k)
+    ORDER BY join_type
+    """,
+    "join", "semantics",
+)
+def join_null_key_semantics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL join-key semantics pinned across six join shapes — the
+    rules every engine must agree on and engineers routinely misremember:
+    a NULL key matches NOTHING under `=` (so inner/semi drop it, anti
+    KEEPS it — the classic NOT IN trap), outer joins preserve null-key
+    rows unmatched on the other side, and only the null-safe equality
+    (`<=>` / IS NOT DISTINCT FROM) lets NULL meet NULL. Both sides
+    derive keys with a deterministic %-to-NULL mapping so every class
+    (null-left, null-right, matched, unmatched) is populated; the six
+    counts pin the full behavior matrix against the oracle.
+
+    Scale: each leg is a broadcast join over pre-aggregated key sets;
+    the null-safe leg is the one that hashes NULL as a real key value —
+    worth knowing because at 100 TB a null-heavy column under `<=>`
+    funnels every NULL row into ONE hash bucket (salt it or pre-split
+    the null partition)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 60)
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 60)
+    left = (
+        ev.select(
+            F.when(F.col("user_id") % 7 == 0, F.lit(None))
+            .otherwise(F.col("user_id"))
+            .alias("k")
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    right = c.select(
+        F.when(F.col("c_custkey") % 5 == 0, F.lit(None))
+        .otherwise(F.col("c_custkey"))
+        .alias("k")
+    )
+
+    def cnt(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.lit(label).alias("join_type"), F.count(F.lit(1)).alias("n_rows")
+        )
+
+    rows = [
+        cnt(left.join(right, left.k == right.k, "anti"), "anti"),
+        cnt(
+            left.join(right.withColumnRenamed("k", "rk"), F.col("k") == F.col("rk"), "full")
+            .filter(F.col("k").isNull() | F.col("rk").isNull()),
+            "full_null_rows",
+        ),
+        cnt(left.join(right, left.k == right.k, "inner"), "inner"),
+        cnt(left.join(right.withColumnRenamed("k", "rk"), F.col("k") == F.col("rk"), "left"), "left_all"),
+        cnt(
+            left.join(right.withColumnRenamed("k", "rk"), F.col("k").eqNullSafe(F.col("rk")), "inner"),
+            "nullsafe_inner",
+        ),
+        cnt(left.join(right, left.k == right.k, "semi"), "semi"),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("join_type")
+
+
+@query(
+    "stats_theil_sen_slope",
+    """
+    WITH pts AS (
+      SELECT c_nationkey, c_custkey AS x, c_acctbal AS y
+      FROM customer WHERE c_custkey < 150
+    ), slopes AS (
+      SELECT a.c_nationkey,
+        (b.y - a.y) / CAST(b.x - a.x AS DOUBLE) AS slope
+      FROM pts a JOIN pts b
+        ON a.c_nationkey = b.c_nationkey AND a.x < b.x
+    )
+    SELECT c_nationkey, COUNT(*) AS n_pairs,
+      MEDIAN(slope) AS theil_sen_slope
+    FROM slopes GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+    "stats", "agg",
+)
+def stats_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust slope per nation — the median of all pairwise
+    slopes, the estimator that shrugs off the outliers that wreck OLS
+    (stats_linear_regression_price_qty is the OLS counterpart). Each
+    pairwise slope is ONE double division (exact, order-free), and the
+    exact median either selects an element or averages the two middle
+    ones — deterministic on both engines, so no rounding shim is
+    needed anywhere.
+
+    Scale: pairwise slopes are O(n²) PER GROUP by definition — the
+    estimator is meant for small-n panels (the bounded probe set here);
+    at large n the standard move is Theil-Sen over a deterministic
+    md5-sampled pair subset (the sample_deterministic_documents
+    pattern), identical plan shape. The in-group pair join is an
+    equi-join on the group key with the a.x < b.x residual — never a
+    global cross join."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 150)
+    pts = c.select(
+        "c_nationkey", F.col("c_custkey").alias("x"), F.col("c_acctbal").alias("y")
+    )
+    a = pts.alias("a")
+    b = pts.alias("b")
+    slopes = (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.x") < F.col("b.x")),
+        )
+        .select(
+            F.col("a.c_nationkey").alias("c_nationkey"),
+            (
+                (F.col("b.y") - F.col("a.y"))
+                / (F.col("b.x") - F.col("a.x")).cast("double")
+            ).alias("slope"),
+        )
+    )
+    return (
+        slopes.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.median("slope").alias("theil_sen_slope"),
+        )
+        .orderBy("c_nationkey")
+    )
