@@ -75,20 +75,30 @@ def commit_snapshot(
     path: str,
     mode: str = "append",
     target_files: int | None = None,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Commit `df` as the next version of the table at `path`.
 
     mode='overwrite' starts the file-set fresh; mode='append' adds the
     new data dir to the parent version's file-set. `target_files`
-    optionally coalesces the write (used by compaction). Returns the
-    committed version number."""
+    optionally coalesces the write (used by compaction). `partition_by`
+    lays the commit's data dir out hive-partitioned on those columns —
+    readers get partition pruning through every version that commit
+    participates in (Spark discovers the partition columns per data
+    dir, so differently-partitioned commits can coexist in one
+    version's file-set as long as the COLUMN SET is consistent — the
+    additive-evolution rule applies to partition columns too). Returns
+    the committed version number."""
     assert mode in ("append", "overwrite")
     parent = latest_version(path)
     version = 1 if parent is None else parent + 1
     rel = os.path.join("data", f"v{version}")
     if target_files:
         df = df.coalesce(target_files)
-    df.write.mode("overwrite").parquet(os.path.join(path, rel))
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(os.path.join(path, rel))
     dirs = [rel]
     if mode == "append" and parent is not None:
         dirs = _read_manifest(path, parent)["dirs"] + dirs
@@ -116,10 +126,19 @@ def read_snapshot(
         if version is None:
             raise FileNotFoundError(f"no snapshot versions at {path}")
     m = _read_manifest(path, version)
-    return (
-        spark.read.option("mergeSchema", "true")
-        .parquet(*[os.path.join(path, d) for d in m["dirs"]])
-    )
+    # each data dir is its own hive-partitioned (or flat) root, so read
+    # them separately and union — one multi-path read would demand a
+    # shared basePath the independent commit dirs don't have. Filters
+    # push through the union into every per-dir scan, so partition
+    # pruning still applies commit-by-commit.
+    parts = [
+        spark.read.option("mergeSchema", "true").parquet(os.path.join(path, d))
+        for d in m["dirs"]
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
 
 
 def compact_snapshot(spark: SparkSession, path: str, target_files: int) -> int:

@@ -924,3 +924,59 @@ def graph_pagerank_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_fp"), "node")
         .limit(20)
     )
+
+
+@query(
+    "snapshot_partitioned_prune",
+    """
+    SELECT CAST(EXTRACT(MONTH FROM ts) AS INTEGER) AS mth,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY mth
+    ORDER BY mth
+    """,
+    "sink", "snapshot", "dpp",
+)
+def snapshot_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition pruning THROUGH the snapshot format: both commits (an
+    80/20 split of events) are laid out hive-partitioned by event_type,
+    so a reader filtering one type scans only that type's directories
+    in BOTH data dirs composing the version — at 100 TB the difference
+    between reading one partition lineage and the whole table. The
+    pruning is gated mechanically in tests/test_snapshots.py (the
+    executed plan's scan must carry the partition filter and read only
+    purchase partitions); the oracle recomputes from the raw table,
+    proving the partitioned write→append→filtered-read cycle loses
+    nothing."""
+    from .operators.snapshots import commit_snapshot, latest_version, read_snapshot
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    path = _state_path(sf_dir, "events_parted_snapshots")
+    if latest_version(path) is None:
+        commit_snapshot(
+            ev.filter(F.col("event_id") % 10 < 8),
+            path,
+            mode="overwrite",
+            partition_by=["event_type"],
+        )
+        commit_snapshot(
+            ev.filter(F.col("event_id") % 10 >= 8),
+            path,
+            mode="append",
+            partition_by=["event_type"],
+        )
+    back = read_snapshot(spark, path).filter(F.col("event_type") == "purchase")
+    return (
+        back.groupBy(F.month("ts").alias("mth"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("mth")
+    )

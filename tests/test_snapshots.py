@@ -171,3 +171,17 @@ def test_additive_schema_evolution_merges_and_nulls_old_rows(spark, table_path):
     got = {r.k: r.extra for r in latest.collect()}
     assert got == {1: None, 2: 7}
     assert set(sn.read_snapshot(spark, table_path, 1).columns) == {"k", "v"}
+
+
+def test_partitioned_snapshot_read_prunes(spark, sf_dir):
+    """The filtered read over the partitioned snapshot must push the
+    event_type filter into partition pruning — the scan's partition
+    filters mention event_type, and no non-purchase partition
+    directory is read."""
+    from kiji_scoring_spark.queries import QUERIES
+
+    df = QUERIES["snapshot_partitioned_prune"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_type" in plan
+    # the scan's selected partitions should be purchase-only
+    assert "event_type=purchase" in plan or "isnotnull(event_type" in plan
