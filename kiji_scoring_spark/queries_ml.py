@@ -1366,3 +1366,123 @@ def similarity_sparse_inverted_index(spark: SparkSession, sf_dir: str) -> DataFr
         .agg(F.sum(F.col("a.tfv") * F.col("b.tfv")).cast("bigint").alias("dot"))
     )
     return pairs.orderBy(F.desc("dot"), "doc_a", "doc_b").limit(20)
+
+
+@query(
+    "streaming_stream_stream_full_outer",
+    """
+    WITH v AS (
+      SELECT user_id, event_id AS view_id, ts AS view_ts
+      FROM events WHERE event_type = 'view' AND user_id < 40
+    ), p AS (
+      SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase' AND user_id < 40
+    ), wm AS (
+      SELECT least((SELECT max(view_ts) FROM v),
+                   (SELECT max(purchase_ts) FROM p))
+             - INTERVAL 1 MINUTE AS w
+    )
+    SELECT v.user_id, v.view_id, p.purchase_id, v.view_ts, p.purchase_ts
+    FROM v JOIN p ON v.user_id = p.user_id
+      AND p.purchase_ts >= v.view_ts
+      AND p.purchase_ts <= v.view_ts + INTERVAL 2 HOUR
+    UNION ALL
+    SELECT v.user_id, v.view_id, NULL::BIGINT, v.view_ts, NULL::TIMESTAMP
+    FROM v CROSS JOIN wm
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p WHERE p.user_id = v.user_id
+        AND p.purchase_ts >= v.view_ts
+        AND p.purchase_ts <= v.view_ts + INTERVAL 2 HOUR
+    ) AND v.view_ts + INTERVAL 2 HOUR < wm.w
+    UNION ALL
+    SELECT p.user_id, NULL::BIGINT, p.purchase_id, NULL::TIMESTAMP, p.purchase_ts
+    FROM p CROSS JOIN wm
+    WHERE NOT EXISTS (
+      SELECT 1 FROM v WHERE v.user_id = p.user_id
+        AND p.purchase_ts >= v.view_ts
+        AND p.purchase_ts <= v.view_ts + INTERVAL 2 HOUR
+    ) AND p.purchase_ts < wm.w
+    ORDER BY user_id, view_id NULLS FIRST, purchase_id NULLS FIRST
+    """,
+    "streaming", "join", "outer",
+)
+def streaming_stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — completes the streaming
+    join matrix (inner, left, full). Both sides' unmatched rows emit
+    exactly once, at state eviction, and the two sides evict on
+    DIFFERENT bounds because the interval is asymmetric: a view can
+    still match purchases up to view_ts + 2h, so an unmatched view
+    emits iff view_ts + 2h < watermark; a purchase only matches views
+    AT OR BEFORE its own time, so it emits as soon as purchase_ts <
+    watermark. Both bounds pinned empirically (sf0.001: 9 matched +
+    178 view-null + 192 purchase-null rows, exact) and stated verbatim
+    by the oracle; the global watermark is min(max event time of each
+    side) - 1 minute.
+
+    Scale: identical state bounding to the inner/left variants — the
+    two-sided time range keeps ~2h of state per side regardless of
+    stream length; full-outer adds only eviction-time emission on both
+    sides, no extra state."""
+    load_table(spark, sf_dir, "events")  # sets the nanos-parquet conf
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def side(alias_type: str):
+        s = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        if dict(s.dtypes).get("ts") == "bigint":
+            s = s.withColumn(
+                "ts", F.expr("CAST(timestamp_micros(ts DIV 1000) AS timestamp)")
+            )
+        else:
+            s = s.withColumn("ts", F.col("ts").cast("timestamp"))
+        return (
+            s.filter((F.col("event_type") == alias_type) & (F.col("user_id") < 40))
+            .select("user_id", "event_id", "ts")
+            .withWatermark("ts", "1 minute")
+        )
+
+    v = side("view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = side("purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    joined = v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 2 HOURS")),
+        "full_outer",
+    )
+    sink = "streaming_stream_stream_full_outer_sink"
+    with _state_partitions(spark, 2):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.table(sink)
+        .select(
+            F.coalesce(F.col("v_user"), F.col("p_user")).alias("user_id"),
+            "view_id",
+            "purchase_id",
+            "view_ts",
+            "purchase_ts",
+        )
+        .orderBy(
+            "user_id",
+            F.asc_nulls_first("view_id"),
+            F.asc_nulls_first("purchase_id"),
+        )
+    )
