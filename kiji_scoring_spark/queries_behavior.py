@@ -450,3 +450,76 @@ def funnel_pattern_no_error_between(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "funnel_time_to_convert_percentiles",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ), anchored AS (
+      SELECT *,
+        MAX(CASE WHEN event_type = 'click' THEN ts END) OVER (
+          PARTITION BY user_id ORDER BY rn
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts
+      FROM ordered
+    ), conv AS (
+      SELECT CAST(date_diff('second', last_click_ts, ts) AS BIGINT) AS secs
+      FROM anchored
+      WHERE event_type = 'purchase' AND last_click_ts IS NOT NULL
+    )
+    SELECT COUNT(*) AS n_conversions,
+      quantile_cont(secs, 0.5) AS p50_secs,
+      quantile_cont(secs, 0.9) AS p90_secs,
+      quantile_cont(secs, 0.99) AS p99_secs
+    FROM conv
+    """,
+    "behavior", "window", "stats",
+)
+def funnel_time_to_convert_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution — the funnel's companion metric:
+    for every purchase preceded by a click, the seconds since that
+    user's MOST RECENT click (running-MAX anchor over the (ts,
+    event_id) order, same single-exchange shape as the pattern
+    query), summarized as exact interpolated p50/p90/p99. Latencies
+    are integer seconds, so the percentile interpolation arithmetic is
+    exact and both engines agree bit-for-bit — the reason the metric
+    is stated in seconds rather than float days.
+
+    Scale: one exchange on user_id for the anchor window; the
+    percentile runs over the (small) conversions subset — for an
+    unbounded conversion stream swap in approx_percentile, same plan
+    shape (stats_quantiles_price is that precedent)."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prior = (
+        Window.partitionBy("user_id")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    conv = (
+        ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("rn", F.row_number().over(seq))
+        .withColumn(
+            "last_click_ts",
+            F.max(F.when(F.col("event_type") == "click", F.col("ts"))).over(prior),
+        )
+        .filter(
+            (F.col("event_type") == "purchase") & F.col("last_click_ts").isNotNull()
+        )
+        .select(
+            (
+                F.unix_timestamp("ts") - F.unix_timestamp("last_click_ts")
+            ).alias("secs")
+        )
+    )
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.percentile("secs", 0.5).alias("p50_secs"),
+        F.percentile("secs", 0.9).alias("p90_secs"),
+        F.percentile("secs", 0.99).alias("p99_secs"),
+    )
