@@ -1286,3 +1286,43 @@ def stats_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@query(
+    "window_running_distinct_types",
+    """
+    SELECT user_id, event_id,
+      COUNT(DISTINCT event_type) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_types_seen
+    FROM events WHERE user_id < 30
+    ORDER BY user_id, event_id
+    """,
+    "window",
+)
+def window_running_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT count over a window — a shape Spark's window
+    engine refuses natively (COUNT(DISTINCT) OVER throws
+    DISTINCT_WINDOW_FUNCTION_UNSUPPORTED), translated to
+    size(collect_set(...) OVER ...): the set dedups inside the frame
+    and size() reads its cardinality, with the same cumulative-frame
+    semantics the oracle states directly. Bounded here by the 5-value
+    event_type domain, so the per-frame set is O(1) — the right call
+    whenever the distinct domain is small; for high-cardinality
+    domains the scalable running-distinct is the first-seen flag
+    (ROW_NUMBER = 1 per (user, value)) summed over the frame, same
+    single exchange."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.size(F.collect_set("event_type").over(w)).alias("n_types_seen"),
+        )
+        .orderBy("user_id", "event_id")
+    )

@@ -349,3 +349,43 @@ def scalar_timezone_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("ny_hour"),
     ).orderBy("event_id")
+
+
+@query(
+    "scalar_bitwise_battery",
+    """
+    SELECT event_type,
+      COUNT(*) AS n,
+      BIT_AND(user_id) AS band,
+      BIT_OR(user_id) AS bor,
+      BIT_XOR(user_id) AS bxor,
+      BIT_OR(CASE WHEN user_id % 8 = 0 THEN 1 ELSE 0 END
+           | CASE WHEN user_id % 3 = 0 THEN 2 ELSE 0 END) AS flag_union
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    "scalar", "agg",
+)
+def scalar_bitwise_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate battery — BIT_AND / BIT_OR / BIT_XOR over the
+    key domain plus a flag-word union (the compact permission/feature
+    mask idiom). All three aggregates are associative and commutative
+    on integers, so partial/final merge order cannot change a bit —
+    the same mergeability argument as the bitmap shards, in scalar
+    form. One conditional-agg pass, map-side partials."""
+    ev = load_table(spark, sf_dir, "events")
+    flags = (
+        F.when(F.col("user_id") % 8 == 0, F.lit(1)).otherwise(F.lit(0))
+    ).bitwiseOR(F.when(F.col("user_id") % 3 == 0, F.lit(2)).otherwise(F.lit(0)))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_and("user_id").alias("band"),
+            F.bit_or("user_id").alias("bor"),
+            F.bit_xor("user_id").alias("bxor"),
+            F.bit_or(flags).alias("flag_union"),
+        )
+        .orderBy("event_type")
+    )
