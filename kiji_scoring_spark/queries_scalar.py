@@ -389,3 +389,63 @@ def scalar_bitwise_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "scalar_try_functions_battery",
+    """
+    WITH base AS (
+      SELECT o_orderkey,
+        CASE WHEN o_custkey % 5 = 0 THEN NULL
+             ELSE o_totalprice / (o_custkey % 5) END AS safe_div,
+        TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS pri_num,
+        TRY_CAST(o_orderstatus AS INTEGER) AS status_num,
+        CASE WHEN length(string_split(o_orderpriority, '-')) >= 3
+             THEN string_split(o_orderpriority, '-')[3] END AS tok3
+      FROM orders
+    )
+    SELECT COUNT(*) AS n_rows,
+      COUNT(safe_div) AS n_div_ok,
+      CAST(SUM(CAST(safe_div AS DECIMAL(18,6))) AS DOUBLE) AS sum_div,
+      COUNT(pri_num) AS n_pri_parsed,
+      CAST(SUM(pri_num) AS BIGINT) AS sum_pri,
+      COUNT(status_num) AS n_status_parsed,
+      COUNT(tok3) AS n_tok3
+    FROM base
+    """,
+    "scalar", "ansi",
+)
+def scalar_try_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI error-safety battery: Spark 4 runs ANSI mode, where divide-
+    by-zero, bad casts, and out-of-bounds element access THROW — the
+    `try_` family converts each failure to NULL, and this battery pins
+    that contract on live data: try_divide hits a zero divisor on every
+    5th customer key, try_cast parses the priority's leading digit
+    (always succeeds) and the alphabetic order status (never does), and
+    try_element_at probes a token index most rows don't have. The
+    oracle states every rule with its portable equivalent (guarded
+    CASE / TRY_CAST / bounds-checked list index); counts and exact
+    sums of the successes prove NULL landed in exactly the same rows.
+
+    The engine-design point: try_ semantics are what make ANSI mode
+    deployable on dirty 100 TB data — errors become per-row NULLs that
+    aggregate away instead of killing a 10-hour job at row 9 billion."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.try_divide(F.col("o_totalprice"), F.col("o_custkey") % 5).alias("safe_div"),
+        F.try_to_number(
+            F.substring("o_orderpriority", 1, 1), F.lit("9")
+        ).cast("int").alias("pri_num"),
+        F.expr("try_cast(o_orderstatus AS INT)").alias("status_num"),
+        F.try_element_at(F.split("o_orderpriority", "-"), F.lit(3)).alias("tok3"),
+    )
+    return base.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("safe_div").alias("n_div_ok"),
+        F.sum(F.col("safe_div").cast("decimal(18,6)")).cast("double").alias("sum_div"),
+        F.count("pri_num").alias("n_pri_parsed"),
+        F.sum("pri_num").cast("bigint").alias("sum_pri"),
+        F.count("status_num").alias("n_status_parsed"),
+        F.count("tok3").alias("n_tok3"),
+    )
