@@ -915,3 +915,161 @@ def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("total_dec").over(w).cast("double")
         ).alias("share"),
     ).orderBy("r_name", "n_name")
+
+
+@query(
+    "trend_mom_revenue_growth",
+    """
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS mth,
+        SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+      FROM orders GROUP BY mth
+    )
+    SELECT mth,
+      CAST(rev_dec AS DOUBLE) AS revenue,
+      CAST(LAG(rev_dec) OVER (ORDER BY mth) AS DOUBLE) AS prev_revenue,
+      (CAST(rev_dec AS DOUBLE)
+       - CAST(LAG(rev_dec) OVER (ORDER BY mth) AS DOUBLE))
+        / CAST(LAG(rev_dec) OVER (ORDER BY mth) AS DOUBLE) AS mom_growth
+    FROM m ORDER BY mth
+    """,
+    "window", "timeseries", "agg",
+)
+def trend_mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month growth — the period-over-period trend every BI
+    layer ships: monthly revenue in exact DECIMAL, LAG carries the
+    prior month's EXACT value (lagging the decimal, not the double,
+    so no re-rounding drift), and the growth ratio is one double
+    division on identical operands both engines. The first month's
+    growth is NULL by LAG semantics, not zero — the honest answer.
+    Scale: the month grain collapses the table map-side; the window
+    runs over |months| rows."""
+    o = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    m = o.groupBy(F.date_trunc("month", "o_orderdate").alias("mth")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev_dec")
+    )
+    w = Window.orderBy("mth")
+    prev = F.lag("rev_dec").over(w)
+    return m.select(
+        "mth",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        prev.cast("double").alias("prev_revenue"),
+        (
+            (F.col("rev_dec").cast("double") - prev.cast("double"))
+            / prev.cast("double")
+        ).alias("mom_growth"),
+    ).orderBy("mth")
+
+
+@query(
+    "pareto_cumulative_revenue_share",
+    """
+    WITH c AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT o_custkey, rev_dec,
+        ROW_NUMBER() OVER (ORDER BY rev_dec DESC, o_custkey) AS rnk,
+        SUM(rev_dec) OVER (ORDER BY rev_dec DESC, o_custkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS cum_dec,
+        SUM(rev_dec) OVER () AS total_dec,
+        COUNT(*) OVER () AS n_cust
+      FROM c
+    )
+    SELECT rnk, o_custkey,
+      CAST(rev_dec AS DOUBLE) AS revenue,
+      CAST(cum_dec AS DOUBLE) / CAST(total_dec AS DOUBLE) AS cum_share,
+      CAST(rnk AS DOUBLE) / n_cust AS cust_frac
+    FROM ranked
+    WHERE rnk <= 100
+    ORDER BY rnk
+    """,
+    "window", "agg",
+)
+def pareto_cumulative_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto (80/20) concentration curve: customers ranked by revenue,
+    cumulative share of total against cumulative fraction of customers —
+    the 'how few customers are half the business' readout. Every sum on
+    the path (per-customer, running, grand total) stays in exact
+    DECIMAL; the two divisions to double happen last, per row, on
+    identical operands. The running frame needs a TOTAL order —
+    (revenue DESC, custkey) — or ties would make the cumulative sums
+    partitioning-dependent. Scale: one shuffle to the customer grain,
+    one global window over |customers| rows (top-100 output; at larger
+    grains pre-bucket by revenue percentile, same algebra per bucket)."""
+    o = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    c = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev_dec")
+    )
+    order = [F.desc("rev_dec"), F.asc("o_custkey")]
+    w_run = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    ranked = c.select(
+        F.row_number().over(Window.orderBy(*order)).alias("rnk"),
+        "o_custkey",
+        "rev_dec",
+        F.sum("rev_dec").over(w_run).alias("cum_dec"),
+        F.sum("rev_dec").over(w_all).alias("total_dec"),
+        F.count(F.lit(1)).over(w_all).alias("n_cust"),
+    )
+    return (
+        ranked.filter(F.col("rnk") <= 100)
+        .select(
+            "rnk",
+            "o_custkey",
+            F.col("rev_dec").cast("double").alias("revenue"),
+            (F.col("cum_dec").cast("double") / F.col("total_dec").cast("double")).alias(
+                "cum_share"
+            ),
+            (F.col("rnk").cast("double") / F.col("n_cust")).alias("cust_frac"),
+        )
+        .orderBy("rnk")
+    )
+
+
+@query(
+    "agg_mode_deterministic",
+    """
+    WITH counts AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id, event_type AS mode_type, n AS mode_count FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY n DESC, event_type) AS rn
+      FROM counts
+    ) t WHERE rn = 1
+    ORDER BY user_id
+    """,
+    "agg", "stats",
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE (most frequent value) per group. Native
+    `mode()` is the trap: both engines leave tie-breaking
+    implementation-defined, so two users with a 3-3 view/click split
+    can flip between runs, partitionings, or engines. The portable
+    form makes the tie rule explicit — (count DESC, value ASC) — via
+    count-then-rank, which is also the scale shape: the heavy work is
+    an ordinary two-key aggregation with map-side partials, and the
+    rank runs over |user x distinct-type| rows, never buffering raw
+    events."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("mode_type"),
+            F.col("n").alias("mode_count"),
+        )
+        .orderBy("user_id")
+    )
