@@ -1073,3 +1073,59 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "stats_weighted_median",
+    """
+    WITH w AS (
+      SELECT l_returnflag, l_extendedprice AS v,
+        CAST(l_quantity AS BIGINT) AS wt
+      FROM lineitem
+    ), ranked AS (
+      SELECT *,
+        SUM(wt) OVER (PARTITION BY l_returnflag ORDER BY v, wt
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        SUM(wt) OVER (PARTITION BY l_returnflag) AS total
+      FROM w
+    )
+    SELECT l_returnflag, MIN(v) AS weighted_median
+    FROM ranked WHERE 2 * cum >= total
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    "stats", "window", "agg",
+)
+def stats_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median — the smallest value whose cumulative weight
+    reaches half the total (each price weighted by its quantity): the
+    robust center that plain median gets wrong whenever observations
+    carry different mass. Exact by construction: weights are integer,
+    the cumulative and total sums are integer window aggregates under
+    a TOTAL order (value, weight — ties cannot shift the crossing
+    point), and the threshold test is the integer cross-multiplication
+    2*cum >= total, no division anywhere. Scale: one exchange on the
+    group key serves both window sums; the crossing-point filter and
+    MIN collapse without another shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window
+
+    w = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").cast("bigint").alias("wt"),
+    )
+    run = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("v", "wt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = w.withColumn("cum", F.sum("wt").over(run)).withColumn(
+        "total", F.sum("wt").over(Window.partitionBy("l_returnflag"))
+    )
+    return (
+        ranked.filter(2 * F.col("cum") >= F.col("total"))
+        .groupBy("l_returnflag")
+        .agg(F.min("v").alias("weighted_median"))
+        .orderBy("l_returnflag")
+    )

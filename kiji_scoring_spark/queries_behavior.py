@@ -523,3 +523,47 @@ def funnel_time_to_convert_percentiles(spark: SparkSession, sf_dir: str) -> Data
         F.percentile("secs", 0.9).alias("p90_secs"),
         F.percentile("secs", 0.99).alias("p99_secs"),
     )
+
+
+@query(
+    "behavior_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+        LAG(event_type) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n_transitions
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    ORDER BY prev_type, next_type
+    """,
+    "behavior", "window",
+)
+def behavior_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts between consecutive events
+    per user — the raw material of path analysis, next-action models,
+    and anomaly screens (a spike in error→error transitions is an
+    incident signature). LAG over the per-user (ts, event_id) total
+    order pins which event is 'previous' under tied timestamps; each
+    user's first event has no predecessor and is excluded rather than
+    faked as a self-transition. Scale: one exchange on user_id for the
+    LAG, then the 5x5 transition matrix aggregates map-side to
+    nothing."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev_type"),
+    )
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .orderBy("prev_type", "next_type")
+    )

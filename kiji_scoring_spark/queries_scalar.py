@@ -449,3 +449,45 @@ def scalar_try_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("status_num").alias("n_status_parsed"),
         F.count("tok3").alias("n_tok3"),
     )
+
+
+@query(
+    "scalar_calendar_arithmetic_battery",
+    """
+    SELECT o_orderkey,
+      o_orderdate + INTERVAL 1 MONTH AS plus_month,
+      last_day(o_orderdate) AS month_end,
+      CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS week_start,
+      CAST(EXTRACT(ISOYEAR FROM o_orderdate) AS INTEGER) AS iso_year,
+      CAST(EXTRACT(WEEK FROM o_orderdate) AS INTEGER) AS iso_week,
+      CAST(date_diff('day', o_orderdate,
+                     o_orderdate + INTERVAL 3 MONTH) AS INTEGER) AS days_in_3mo
+    FROM orders WHERE o_orderkey < 300
+    ORDER BY o_orderkey
+    """,
+    "scalar", "datetime",
+)
+def scalar_calendar_arithmetic_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-arithmetic battery — the semantics that silently differ
+    between engines and corrupt month-grain pipelines when they do:
+    month addition CLAMPS at month end (Jan 31 + 1 month = Feb 28/29 —
+    both engines agree, pinned here), last_day, ISO week numbering
+    (week 1 = the week containing the first Thursday, so early-January
+    dates can belong to the PREVIOUS iso_year — the classic
+    year-boundary bug), Monday week truncation, and day counts across
+    variable-length month spans. All pure scalar expressions —
+    codegen, zero shuffle beyond the final sort."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
+    return o.select(
+        "o_orderkey",
+        F.add_months("o_orderdate", 1)
+        .cast("timestamp_ntz")
+        .alias("plus_month"),
+        F.last_day("o_orderdate").cast("timestamp_ntz").alias("month_end"),
+        F.date_trunc("week", "o_orderdate").alias("week_start"),
+        F.expr("EXTRACT(YEAROFWEEK FROM o_orderdate)").cast("int").alias("iso_year"),
+        F.weekofyear("o_orderdate").cast("int").alias("iso_week"),
+        F.datediff(F.add_months("o_orderdate", 3), F.col("o_orderdate"))
+        .cast("int")
+        .alias("days_in_3mo"),
+    ).orderBy("o_orderkey")
