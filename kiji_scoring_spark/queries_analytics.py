@@ -1129,3 +1129,167 @@ def stats_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("v").alias("weighted_median"))
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "stats_chi_square_independence",
+    """
+    WITH obs AS (
+      SELECT CASE WHEN user_id % 2 = 1 THEN 'odd' ELSE 'even' END AS seg,
+        event_type, COUNT(*) AS n
+      FROM events GROUP BY seg, event_type
+    ), tot AS (
+      SELECT SUM(n) AS total FROM obs
+    ), margins AS (
+      SELECT o.seg, o.event_type, o.n,
+        SUM(o.n) OVER (PARTITION BY o.seg) AS row_n,
+        SUM(o.n) OVER (PARTITION BY o.event_type) AS col_n
+      FROM obs o
+    )
+    SELECT seg, event_type, n,
+      CAST(row_n AS DOUBLE) * col_n / total AS expected,
+      (n - CAST(row_n AS DOUBLE) * col_n / total)
+        * (n - CAST(row_n AS DOUBLE) * col_n / total)
+        / (CAST(row_n AS DOUBLE) * col_n / total) AS chi2_term
+    FROM margins, tot
+    ORDER BY seg, event_type
+    """,
+    "stats", "agg",
+)
+def stats_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence screen (user segment x event type) — the
+    categorical counterpart of the Welch t-test: per-cell observed
+    counts, expected counts under independence (row x col / total), and
+    the chi-square contribution of each cell. Every count is an exact
+    integer (one aggregation pass + two marginal windows over the 10
+    cells); each expected value and chi2 term is derived PER CELL in
+    one double expression with no cross-row float accumulation, so the
+    hash gate holds. (The caller sums chi2_term against the chi-square
+    CDF off-engine; emitting per-cell terms also shows WHERE the
+    dependence lives, which the scalar statistic hides.)"""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    obs = ev.groupBy(
+        F.when(F.col("user_id") % 2 == 1, F.lit("odd"))
+        .otherwise(F.lit("even"))
+        .alias("seg"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    withm = obs.withColumn(
+        "row_n", F.sum("n").over(Window.partitionBy("seg"))
+    ).withColumn("col_n", F.sum("n").over(Window.partitionBy("event_type")))
+    total = obs.agg(F.sum("n").alias("total"))
+    expected = F.col("row_n").cast("double") * F.col("col_n") / F.col("total")
+    return (
+        withm.crossJoin(F.broadcast(total))
+        .select(
+            "seg",
+            "event_type",
+            "n",
+            expected.alias("expected"),
+            (
+                (F.col("n") - expected) * (F.col("n") - expected) / expected
+            ).alias("chi2_term"),
+        )
+        .orderBy("seg", "event_type")
+    )
+
+
+@query(
+    "stats_categorical_entropy_per_user",
+    """
+    WITH counts AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events WHERE user_id < 60 GROUP BY user_id, event_type
+    ), packed AS (
+      SELECT user_id, SUM(n) AS total,
+        list_sort(list(n)) AS ns
+      FROM counts GROUP BY user_id
+    )
+    SELECT user_id, CAST(total AS BIGINT) AS n_events,
+      round(list_reduce(
+        list_transform(ns, x -> -(CAST(x AS DOUBLE) / total)
+                                 * ln(CAST(x AS DOUBLE) / total)),
+        (p, q) -> p + q), 9) AS entropy_nats
+    FROM packed
+    ORDER BY user_id
+    """,
+    "stats", "agg",
+)
+def stats_categorical_entropy_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral entropy per user (how spread their activity is across
+    event types) — and a demonstration of DETERMINISTIC float
+    summation: -Σ p·ln(p) over a handful of terms would normally be
+    partial-agg-order-dependent, so the counts are packed into a
+    SORTED array first and the entropy computed by a left fold over it
+    — a sequential, order-pinned reduction both engines execute
+    identically (Spark aggregate == DuckDB list_reduce), rounded to 9
+    dp at the end. The heavy work stays exact-integer aggregation;
+    only the bounded per-user fold (<= 5 terms) runs in floats."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 60)
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    packed = counts.groupBy("user_id").agg(
+        F.sum("n").alias("total"), F.array_sort(F.collect_list("n")).alias("ns")
+    )
+    p = lambda x: x.cast("double") / F.col("total")  # noqa: E731
+    entropy = F.aggregate(
+        F.transform("ns", lambda x: -p(x) * F.log(p(x))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return packed.select(
+        "user_id",
+        F.col("total").cast("bigint").alias("n_events"),
+        F.round(entropy, 9).alias("entropy_nats"),
+    ).orderBy("user_id")
+
+
+@query(
+    "stats_gini_revenue",
+    """
+    WITH c AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT rev, ROW_NUMBER() OVER (ORDER BY rev, o_custkey) AS i,
+        COUNT(*) OVER () AS n
+      FROM c
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+      2.0 * CAST(SUM(i * rev) AS DOUBLE)
+        / (MAX(n) * CAST(SUM(rev) AS DOUBLE))
+        - (MAX(n) + 1.0) / MAX(n) AS gini
+    FROM ranked
+    """,
+    "stats", "window", "agg",
+)
+def stats_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration — the scalar
+    the Pareto curve integrates to. Computed by the rank formula
+    G = 2·Σ(i·x_i)/(n·Σx_i) − (n+1)/n over ascending-sorted revenues,
+    and EXACT until the last step: revenues are DECIMAL, ranks are
+    integers, so Σ(i·x_i) and Σx_i are exact decimal sums under a total
+    order (rev, custkey); the two casts and three float ops happen once
+    on identical operands. Scale: customer-grain aggregation then one
+    global window — same envelope as the Pareto query, one scalar out."""
+    o = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    c = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    ranked = c.select(
+        "rev",
+        F.row_number().over(Window.orderBy("rev", "o_custkey")).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_customers"),
+        (
+            F.lit(2.0)
+            * F.sum(F.col("i") * F.col("rev")).cast("double")
+            / (F.max("n") * F.sum("rev").cast("double"))
+            - (F.max("n") + F.lit(1.0)) / F.max("n")
+        ).alias("gini"),
+    )
