@@ -61,6 +61,16 @@ SPOT_QUERIES = [
     "snapshot_cdc_upsert_history",
     "table_diff_checksum_buckets",
     "window_moving_median_order_value",
+    # tie-sensitive round-5 stats: 10x replication creates EXACT count
+    # and revenue ties, stressing every explicit tie rule (mode's
+    # count-then-rank, the weighted-median crossing point, Pareto's and
+    # Gini's total orders) at a density sf0.01 cannot produce
+    "agg_mode_deterministic",
+    "pareto_cumulative_revenue_share",
+    "stats_gini_revenue",
+    "stats_weighted_median",
+    "trend_mom_revenue_growth",
+    "window_running_distinct_types",
 ]
 
 
