@@ -465,3 +465,127 @@ def fresh_scoring_snapshot_pipeline(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("old_score_ts").alias("old_ts"),
         F.col("new_score_ts").alias("new_ts"),
     ).orderBy("user_id")
+
+
+def _meta_layout() -> TableLayout:
+    from pyspark.sql.types import MapType, StringType, StructField, StructType
+
+    return TableLayout(
+        StructType(
+            [
+                StructField("entity_id", StringType()),
+                StructField("info_name", model.versions_type(StringType())),
+                StructField("info_email", model.versions_type(StringType())),
+                StructField(
+                    "networks",
+                    MapType(StringType(), model.versions_type(StringType())),
+                ),
+            ]
+        )
+    )
+
+
+_META_POLICY = "kiji_scoring_spark.policies.ShelfLife"
+_META_PRODUCER = "kiji_scoring_spark.producers.Producer"
+
+
+@query(
+    "registry_metadata_crud_roundtrip",
+    """
+    SELECT * FROM (VALUES
+      ('user', 'info:name', 'kiji_scoring_spark.policies.NewerThan',
+       'kiji_scoring_spark.producers.Producer', '{"target": 42}'),
+      ('user', 'networks:home', 'kiji_scoring_spark.policies.ShelfLife',
+       'kiji_scoring_spark.producers.Producer', '{"shelf_ms": 1000}')
+    ) AS t(tbl, col, policy_class, producer_class, policy_state)
+    ORDER BY col
+    """,
+    "kiji", "metadata",
+)
+def registry_metadata_crud_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 metadata CRUD as a driver-checked query (was local-golden
+    only): a scripted store → store → store → remove → UPDATE sequence
+    runs through the REAL registry — every store passes the full A15
+    validation matrix, the update is remove-then-store exactly like
+    the reference's ``storePolicyWithStrings`` overwrite path
+    (``KijiFreshnessManager.java:235-295``) — and the surviving records
+    are emitted as rows. The oracle states the expected final registry
+    verbatim; any CRUD bug (phantom record, failed delete, stale state
+    after update) shifts the rows and fails the hash.
+    """
+    reg = FreshenerRegistry()
+    layout = _meta_layout()
+    reg.store(layout, "user", "info:name", _META_PRODUCER, _META_POLICY, '{"shelf_ms": 5}')
+    reg.store(layout, "user", "info:email", _META_PRODUCER, _META_POLICY, "{}")
+    reg.store(
+        layout, "user", "networks:home", _META_PRODUCER, _META_POLICY, '{"shelf_ms": 1000}'
+    )
+    reg.remove("user", "info:email")
+    # update = remove + store (the overwrite path)
+    reg.remove("user", "info:name")
+    reg.store(
+        layout,
+        "user",
+        "info:name",
+        _META_PRODUCER,
+        "kiji_scoring_spark.policies.NewerThan",
+        '{"target": 42}',
+    )
+    rows = [
+        (t, c, r.freshness_policy_class, r.producer_class, r.freshness_policy_state)
+        for (t, c), r in sorted(reg._records.items())
+    ]
+    return spark.createDataFrame(
+        rows, "tbl string, col string, policy_class string, "
+        "producer_class string, policy_state string"
+    ).orderBy("col")
+
+
+@query(
+    "registry_attachment_validation_matrix",
+    """
+    SELECT * FROM (VALUES
+      ('1_ok_qualified', 'OK'),
+      ('2_bad_policy_name', 'BAD_POLICY_NAME'),
+      ('3_bad_producer_name', 'BAD_PRODUCER_NAME'),
+      ('4_no_family', 'NO_FAMILY_IN_TABLE'),
+      ('5_no_qualified_column', 'NO_QUALIFIED_COLUMN_IN_TABLE'),
+      ('6_group_family_attachment', 'GROUP_TYPE_FAMILY_ATTACHMENT'),
+      ('7_already_attached', 'FRESHENER_ALREADY_ATTACHED'),
+      ('8_map_family_conflict', 'FRESHENER_ALREADY_ATTACHED')
+    ) AS t(mode, failures)
+    ORDER BY mode
+    """,
+    "kiji", "metadata",
+)
+def registry_attachment_validation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15's 8-mode attachment validation as a driver-checked query
+    (``validateAttachment``, ``KijiFreshnessManager.java:546-641``):
+    each mode exercises the REAL validator against a layout with both
+    group- and map-type families — valid attachment, malformed class
+    names (policy and producer), unknown family, unknown qualified
+    column, family-level attachment to a GROUP family, double
+    attachment, and the map-family-vs-qualified mutual exclusion. The
+    emitted (mode, failure-set) rows must match the oracle's statement
+    of the contract exactly."""
+    layout = _meta_layout()
+    reg = FreshenerRegistry()
+    reg.store(layout, "user", "info:name", _META_PRODUCER, _META_POLICY, "{}")
+    reg.store(layout, "user", "networks:home", _META_PRODUCER, _META_POLICY, "{}")
+
+    cases = [
+        ("1_ok_qualified", "info:email", _META_POLICY, _META_PRODUCER),
+        ("2_bad_policy_name", "info:email", "not a class!", _META_PRODUCER),
+        ("3_bad_producer_name", "info:email", _META_POLICY, "99bad..name"),
+        ("4_no_family", "absent:col", _META_POLICY, _META_PRODUCER),
+        ("5_no_qualified_column", "info:phone", _META_POLICY, _META_PRODUCER),
+        ("6_group_family_attachment", "info", _META_POLICY, _META_PRODUCER),
+        ("7_already_attached", "info:name", _META_POLICY, _META_PRODUCER),
+        ("8_map_family_conflict", "networks", _META_POLICY, _META_PRODUCER),
+    ]
+    rows = []
+    for mode, column, policy, producer in cases:
+        failures = reg.validate_attachment(layout, "user", column, producer, policy)
+        label = ",".join(sorted(f.value for f in failures)) or "OK"
+        rows.append((mode, label))
+    return spark.createDataFrame(rows, "mode string, failures string").orderBy("mode")
