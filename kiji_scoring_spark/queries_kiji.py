@@ -589,3 +589,91 @@ def registry_attachment_validation_matrix(spark: SparkSession, sf_dir: str) -> D
         label = ",".join(sorted(f.value for f in failures)) or "OK"
         rows.append((mode, label))
     return spark.createDataFrame(rows, "mode string, failures string").orderBy("mode")
+
+
+@query(
+    "cli_freshtool_six_modes",
+    """
+    SELECT * FROM (VALUES
+      (1, 'register', 0,
+       'Freshness policy: kiji_scoring_spark.policies.ShelfLife and producer: kiji_scoring_spark.producers.Producer attached to column: event:type in table: events'),
+      (2, 'retrieve', 0,
+       'Column: event:type / Freshness policy class: kiji_scoring_spark.policies.ShelfLife / Freshness policy state: {"shelf_life_ms": 5} / Producer class: kiji_scoring_spark.producers.Producer'),
+      (3, 'retrieve-all', 0,
+       'Column: event:type / Freshness policy class: kiji_scoring_spark.policies.ShelfLife / Freshness policy state: {"shelf_life_ms": 5} / Producer class: kiji_scoring_spark.producers.Producer'),
+      (4, 'validate', 0, 'Column: event:type valid'),
+      (5, 'validate-all', 0, 'Column: event:type valid'),
+      (6, 'unregister', 0,
+       'Freshness policy removed from column: event:type in table: events'),
+      (7, 'retrieve-missing', 1,
+       'There is no freshness policy attached to column: event:type in table: events')
+    ) AS t(step, mode, exit_code, output)
+    ORDER BY step
+    """,
+    "kiji", "metadata", "cli",
+)
+def cli_freshtool_six_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16 — the FreshTool CLI's six modes (register | retrieve |
+    retrieve-all | validate | validate-all | unregister, dispatch
+    ``tools/FreshTool.java:405-502``) as a driver-checked query: the
+    REAL argparse entrypoint runs a register→inspect→validate→
+    unregister lifecycle against the events parquet footer (layout read
+    without a SparkSession, matching the reference's metadata-only
+    behavior), stdout and exit codes captured per step — including the
+    exit-1 retrieve-after-unregister. Every byte of CLI output and
+    every exit code is stated verbatim by the oracle (newlines folded
+    to ' / ' for VALUES portability)."""
+    import contextlib
+    import io
+    import os as _os
+    import tempfile as _tf
+
+    from .cli import main as cli_main
+
+    reg_path = _os.path.join(_tf.mkdtemp(prefix="kss_cli_"), "reg.json")
+    tbl = f"{sf_dir}/events.parquet"
+    common = ["--registry", reg_path]
+    steps = [
+        (
+            1,
+            "register",
+            common
+            + [
+                "register", "--table", "events", "--table-path", tbl,
+                "--column", "event:type",
+                "--policy", "kiji_scoring_spark.policies.ShelfLife",
+                "--producer", "kiji_scoring_spark.producers.Producer",
+                "--state", '{"shelf_life_ms": 5}',
+            ],
+        ),
+        (2, "retrieve", common + ["retrieve", "--table", "events", "--column", "event:type"]),
+        (3, "retrieve-all", common + ["retrieve-all", "--table", "events"]),
+        (
+            4,
+            "validate",
+            common
+            + ["validate", "--table", "events", "--table-path", tbl, "--column", "event:type"],
+        ),
+        (
+            5,
+            "validate-all",
+            common + ["validate-all", "--table", "events", "--table-path", tbl],
+        ),
+        (6, "unregister", common + ["unregister", "--table", "events", "--column", "event:type"]),
+        (7, "retrieve-missing", common + ["retrieve", "--table", "events", "--column", "event:type"]),
+    ]
+    rows = []
+    for step, mode, argv in steps:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            try:
+                code = cli_main(argv)
+            except SystemExit as e:  # argparse-style exits
+                code = int(e.code or 0)
+        out = " / ".join(
+            line.strip() for line in buf.getvalue().splitlines() if line.strip()
+        )
+        rows.append((step, mode, code, out))
+    return spark.createDataFrame(
+        rows, "step int, mode string, exit_code int, output string"
+    ).orderBy("step")
