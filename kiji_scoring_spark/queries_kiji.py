@@ -677,3 +677,59 @@ def cli_freshtool_six_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "step int, mode string, exit_code int, output string"
     ).orderBy("step")
+
+
+@query(
+    "plugin_instantiation_by_name",
+    """
+    SELECT * FROM (VALUES
+      ('kiji_scoring_spark.policies.AlwaysFreshen', '', '', TRUE),
+      ('kiji_scoring_spark.policies.NeverFreshen', '', '', TRUE),
+      ('kiji_scoring_spark.policies.NewerThan',
+       '{"newerThanTimeMillis": -1}', '{"newerThanTimeMillis": 1706054400000}', TRUE),
+      ('kiji_scoring_spark.policies.ShelfLife',
+       '{"shelfLife": -1}', '{"shelfLife": 432000000}', TRUE)
+    ) AS t(class_name, default_state, hydrated_state, roundtrip_stable)
+    ORDER BY class_name
+    """,
+    "kiji", "metadata",
+)
+def plugin_instantiation_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17 — plugin instantiation by dotted class name, driver-checked
+    (was local-test only): each stock policy is loaded via the
+    registry's importlib path (the reference's
+    ``ReflectionUtils.newInstance`` analog, ``KijiFreshnessManager.java``
+    record → class hydration), instantiated with its DEFAULT state,
+    hydrated from a serialized state string, and round-tripped
+    serialize→deserialize→serialize into a fresh instance. The oracle
+    states every serialized form verbatim (the reference's camelCase
+    state keys, ``ShelfLife.java:118-134``) plus the round-trip
+    stability bit — a drift in state schema, key naming, or defaults
+    fails the hash."""
+    from .registry import load_class
+
+    cases = [
+        ("kiji_scoring_spark.policies.AlwaysFreshen", None),
+        ("kiji_scoring_spark.policies.NeverFreshen", None),
+        (
+            "kiji_scoring_spark.policies.NewerThan",
+            '{"newerThanTimeMillis": 1706054400000}',
+        ),
+        ("kiji_scoring_spark.policies.ShelfLife", '{"shelfLife": 432000000}'),
+    ]
+    rows = []
+    for name, state in cases:
+        cls = load_class(name)
+        default_state = cls().serialize()
+        inst = cls()
+        if state is not None:
+            inst.deserialize(state)
+        hydrated = inst.serialize()
+        fresh = cls()
+        fresh.deserialize(hydrated)
+        rows.append((name, default_state, hydrated, fresh.serialize() == hydrated))
+    return spark.createDataFrame(
+        rows,
+        "class_name string, default_state string, hydrated_state string, "
+        "roundtrip_stable boolean",
+    ).orderBy("class_name")
