@@ -102,9 +102,20 @@ def commit_snapshot(
     dirs = [rel]
     if mode == "append" and parent is not None:
         dirs = _read_manifest(path, parent)["dirs"] + dirs
+    # the manifest carries the commit's schema: an EMPTY commit writes no
+    # parquet files (a partitioned empty write leaves only _SUCCESS), so
+    # the schema must survive in metadata for readers — empty delta
+    # batches are routine in an incremental pipeline and must not make a
+    # version unreadable
     _publish(
         path,
-        {"version": version, "parent": parent, "op": mode, "dirs": dirs},
+        {
+            "version": version,
+            "parent": parent,
+            "op": mode,
+            "dirs": dirs,
+            "schema": df.schema.json(),
+        },
     )
     return version
 
@@ -130,11 +141,33 @@ def read_snapshot(
     # them separately and union — one multi-path read would demand a
     # shared basePath the independent commit dirs don't have. Filters
     # push through the union into every per-dir scan, so partition
-    # pruning still applies commit-by-commit.
+    # pruning still applies commit-by-commit. Dirs with no parquet files
+    # (empty commits) are skipped — they contribute no rows, and reading
+    # them would fail schema inference.
+    def has_files(d: str) -> bool:
+        root = os.path.join(path, d)
+        for cur, _dirs, files in os.walk(root):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
     parts = [
         spark.read.option("mergeSchema", "true").parquet(os.path.join(path, d))
         for d in m["dirs"]
+        if has_files(d)
     ]
+    if not parts:
+        # a version composed entirely of empty commits: reconstruct the
+        # empty table from the manifest's schema
+        from pyspark.sql.types import StructType
+
+        schema = m.get("schema")
+        if schema is None:
+            raise FileNotFoundError(
+                f"version {version} at {path} has no data files and no "
+                "recorded schema"
+            )
+        return spark.createDataFrame([], StructType.fromJson(json.loads(schema)))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p, allowMissingColumns=True)

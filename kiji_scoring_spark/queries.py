@@ -231,6 +231,7 @@ def filter_in_between_like(spark: SparkSession, sf_dir: str) -> DataFrame:
       COUNT(*) AS n_customers
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     GROUP BY ROLLUP (n_name, c_mktsegment)
+    HAVING COUNT(*) > 0  -- Spark: no grouping-set rows over empty input
     ORDER BY grp, n_name, c_mktsegment
     """,
     "agg", "rollup", "join",

@@ -401,7 +401,10 @@ def bitmap_exact_distinct_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     global_row = (
         shards.groupBy("bkt")
         .agg(F.bitmap_or_agg("bm").alias("bm"))
-        .agg(F.sum(F.bitmap_count("bm")).alias("n_users"))
+        # coalesce: over an EMPTY shard store the global aggregate still
+        # emits one row, and it must say 0 distinct users, not NULL —
+        # matching COUNT(DISTINCT) on the empty table
+        .agg(F.coalesce(F.sum(F.bitmap_count("bm")), F.lit(0)).alias("n_users"))
         .select(F.lit("ALL").alias("event_type"), "n_users")
     )
     return per_type.unionByName(global_row).orderBy("event_type")

@@ -670,6 +670,11 @@ def having_big_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    -- Spark emits NO grouping-set rows over empty input (DuckDB emits the
+    -- grand-total row with count 0, per the SQL standard); COUNT(*) > 0
+    -- makes the oracle Spark-equivalent in every regime and is a no-op on
+    -- non-empty data (only the empty grand total can have a zero count)
+    HAVING COUNT(*) > 0
     ORDER BY grp, o_orderstatus, o_orderpriority
     """,
     "agg", "rollup",

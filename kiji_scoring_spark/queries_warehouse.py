@@ -437,7 +437,9 @@ def dq_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
 
     def one(cond) -> F.Column:
-        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+        # coalesce: an audit over an EMPTY shard must report 0 violations
+        # per check, not NULL (sum over zero rows) — empty is clean
+        return F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0)).cast("long")
 
     cust_checks = c.agg(
         one(F.col("c_acctbal").isNull()).alias("customer_acctbal_null")

@@ -173,6 +173,23 @@ def test_additive_schema_evolution_merges_and_nulls_old_rows(spark, table_path):
     assert set(sn.read_snapshot(spark, table_path, 1).columns) == {"k", "v"}
 
 
+def test_empty_commit_stays_readable(spark, table_path):
+    """An empty delta commit (routine in incremental pipelines) writes no
+    parquet files; the version must stay readable via the manifest's
+    recorded schema — both as a pure-empty table and composed with
+    non-empty commits."""
+    empty = spark.createDataFrame([], "k long, v string")
+    assert sn.commit_snapshot(empty, table_path, mode="overwrite") == 1
+    got = sn.read_snapshot(spark, table_path, 1)
+    assert got.count() == 0 and set(got.columns) == {"k", "v"}
+
+    sn.commit_snapshot(
+        spark.createDataFrame([(1, "a")], ["k", "v"]), table_path, mode="append"
+    )
+    sn.commit_snapshot(empty, table_path, mode="append")  # empty delta
+    assert rows(sn.read_snapshot(spark, table_path, 3)) == [(1, "a")]
+
+
 def test_partitioned_snapshot_read_prunes(spark, sf_dir):
     """The filtered read over the partitioned snapshot must push the
     event_type filter into partition pruning — the scan's partition
