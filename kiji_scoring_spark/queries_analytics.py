@@ -796,9 +796,11 @@ def feature_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n_t AS n_treat, n_c AS n_control,
       sum_t / n_t AS mean_treat,
       sum_c / n_c AS mean_control,
-      ((sum_t / n_t) - (sum_c / n_c))
-        / sqrt(((ss_t - sum_t * sum_t / n_t) / (n_t - 1)) / n_t
-             + ((ss_c - sum_c * sum_c / n_c) / (n_c - 1)) / n_c) AS t_stat
+      CASE WHEN n_t >= 2 AND n_c >= 2 THEN
+        ((sum_t / n_t) - (sum_c / n_c))
+          / sqrt(((ss_t - sum_t * sum_t / n_t) / (n_t - 1)) / n_t
+               + ((ss_c - sum_c * sum_c / n_c) / (n_c - 1)) / n_c)
+      END AS t_stat
     FROM s
     """,
     "stats", "agg",
@@ -844,14 +846,20 @@ def stats_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     var_c = (F.col("ss_c") - F.col("sum_c") * F.col("sum_c") / F.col("n_c")) / (
         F.col("n_c") - 1
     )
+    # degenerate-sample guard: with fewer than 2 observations on either
+    # side the variance's n-1 denominator hits zero and the engines
+    # diverge on 0-division doubles (Inf vs NULL) — the statistically
+    # honest answer is NULL, stated identically by the oracle's CASE
+    t = F.when(
+        (F.col("n_t") >= 2) & (F.col("n_c") >= 2),
+        (mean_t - mean_c) / F.sqrt(var_t / F.col("n_t") + var_c / F.col("n_c")),
+    )
     return s.select(
         F.col("n_t").alias("n_treat"),
         F.col("n_c").alias("n_control"),
         mean_t.alias("mean_treat"),
         mean_c.alias("mean_control"),
-        ((mean_t - mean_c) / F.sqrt(var_t / F.col("n_t") + var_c / F.col("n_c"))).alias(
-            "t_stat"
-        ),
+        t.alias("t_stat"),
     )
 
 
