@@ -384,12 +384,17 @@ def window_moving_median_order_value(spark: SparkSession, sf_dir: str) -> DataFr
     lo = (n / F.lit(2)).cast("int")  # n/2: exact when n even
     odd = F.try_element_at(arr, half)
     even = (F.try_element_at(arr, lo) + F.try_element_at(arr, lo + 1)) / F.lit(2.0)
+    # n == 0 guard: collect_list SKIPS nulls, so an all-null frame yields an
+    # empty array and lo == 0 — and even try_element_at throws
+    # INVALID_INDEX_OF_ZERO on index 0 under ANSI. MEDIAN of no non-null
+    # values is NULL, matching the oracle.
+    med = F.when(n == 0, F.lit(None)).when(n % 2 == 1, odd).otherwise(even)
     return (
         o.select(
             "o_custkey",
             "o_orderkey",
             "o_totalprice",
-            F.when(n % 2 == 1, odd).otherwise(even).alias("med7"),
+            med.alias("med7"),
         )
         .orderBy("o_custkey", "o_orderkey")
     )

@@ -37,12 +37,21 @@ def versioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events → versioned-cell table: (user_id, value_versions) with the
     version array sorted ts-desc, ts in epoch ms (§1.2 encoding)."""
     ev = load_table(spark, sf_dir, "events")
+    # sort key carries event_id: two events can share a millisecond, and
+    # the bare (ts, value) struct order would tie-break by VALUE — a
+    # nondeterminism the oracles (which order by ts, event_id) don't share
+    # and that surfaces the moment payloads can be NULL. The id is
+    # stripped after sorting so the cell shape stays (ts, value).
     cell = F.struct(
         (F.unix_micros(F.col("ts").cast("timestamp")) / 1000).cast("long").alias("ts"),
+        F.col("event_id").alias("eid"),
         F.col("value").alias("value"),
     )
+    arr = F.reverse(F.array_sort(F.collect_list(cell)))
     return ev.groupBy("user_id").agg(
-        F.reverse(F.array_sort(F.collect_list(cell))).alias("value_versions")
+        F.transform(
+            arr, lambda x: F.struct(x["ts"].alias("ts"), x["value"].alias("value"))
+        ).alias("value_versions")
     )
 
 
@@ -98,9 +107,11 @@ def versioned_time_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate(
                 F.col("vr"),
                 F.lit(0).cast("decimal(18,2)"),
-                lambda acc, x: (acc + x["value"].cast("decimal(18,2)")).cast(
-                    "decimal(18,2)"
-                ),
+                # coalesce: a cell with a NULL payload must not poison the
+                # fold (acc + NULL = NULL forever) — SUM semantics skip it
+                lambda acc, x: (
+                    acc + F.coalesce(x["value"].cast("decimal(18,2)"), F.lit(0))
+                ).cast("decimal(18,2)"),
             ).cast("double").alias("sum_in_range"),
         )
         .orderBy("user_id")
@@ -154,6 +165,12 @@ def freshness_newer_than_partition(spark: SparkSession, sf_dir: str) -> DataFram
 
 @query(
     "fresh_batch_scoring",
+    # ORACLE NULL CONVENTION: max_by skips NULL values, but the engine's
+    # newest-cell read returns the newest cell even when its payload is
+    # NULL (a put of a null value is still the newest version). Wrapping
+    # in a struct -- max_by(struct(value), ord).v -- makes max_by
+    # null-preserving, aligning the oracles with versioned-cell reads.
+    # (Braces doubled below: the oracle is an f-string.)
     f"""
     SELECT user_id, score_ts, score FROM (
       SELECT user_id,
@@ -161,8 +178,8 @@ def freshness_newer_than_partition(spark: SparkSession, sf_dir: str) -> DataFram
              THEN max({_EPOCH_MS})
              ELSE {AS_OF_MS} END AS score_ts,
         CASE WHEN {AS_OF_MS} - max({_EPOCH_MS}) <= {5 * DAY_MS}
-             THEN max_by(value, CAST(epoch_ms(ts) AS BIGINT) * 1000000 + event_id)
-             ELSE max_by(value, CAST(epoch_ms(ts) AS BIGINT) * 1000000 + event_id) * 2 END AS score
+             THEN max_by({{'v': value}}, CAST(epoch_ms(ts) AS BIGINT) * 1000000 + event_id).v
+             ELSE max_by({{'v': value}}, CAST(epoch_ms(ts) AS BIGINT) * 1000000 + event_id).v * 2 END AS score
       FROM events GROUP BY user_id
     ) t ORDER BY user_id
     """,
@@ -204,12 +221,18 @@ A6_AS_OF_MS = 1_706_745_600_000
     f"""
     SELECT user_id, score_ts, score FROM (
       SELECT user_id,
-        CASE WHEN user_id % 3 = 0 THEN newest_ts + 1000 ELSE {A6_AS_OF_MS} END AS score_ts,
+        -- three outcomes: fresh (seed kept), stale-with-null-source
+        -- (producer emits NULL -> the A10 stale fallback keeps the OLD
+        -- score cell, i.e. the seed), stale (rescored at the clock)
+        CASE WHEN user_id % 3 = 0 THEN newest_ts + 1000
+             WHEN newest_value IS NULL THEN newest_ts - 1000
+             ELSE {A6_AS_OF_MS} END AS score_ts,
         CASE WHEN user_id % 3 = 0 THEN CAST(user_id AS DOUBLE)
+             WHEN newest_value IS NULL THEN CAST(user_id AS DOUBLE)
              ELSE newest_value * 2 END AS score
       FROM (
         SELECT user_id, max({_EPOCH_MS}) AS newest_ts,
-               max_by(value, CAST(epoch_ms(ts) AS BIGINT) * 1000000 + event_id) AS newest_value
+               max_by({{'v': value}}, CAST(epoch_ms(ts) AS BIGINT) * 1000000 + event_id).v AS newest_value
         FROM events GROUP BY user_id) t
     ) ORDER BY user_id
     """,
@@ -258,8 +281,8 @@ def fresh_a6_policy_own_request(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, score FROM (
       SELECT user_id,
         CASE WHEN {AS_OF_MS} - max({_EPOCH_MS}) <= {5 * DAY_MS}
-             THEN max_by(value, CAST(epoch_ms(ts) AS BIGINT) * 1000000 + event_id)
-             ELSE max_by(value, CAST(epoch_ms(ts) AS BIGINT) * 1000000 + event_id)
+             THEN max_by({{'v': value}}, CAST(epoch_ms(ts) AS BIGINT) * 1000000 + event_id).v
+             ELSE max_by({{'v': value}}, CAST(epoch_ms(ts) AS BIGINT) * 1000000 + event_id).v
                   * (2 + user_id % 5) END AS score
       FROM events GROUP BY user_id
     ) t ORDER BY user_id
@@ -338,8 +361,8 @@ def fresh_a9_kv_masked_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, score FROM (
       SELECT user_id,
         CASE WHEN {AS_OF_MS} - max({_EPOCH_MS}) <= {5 * DAY_MS}
-             THEN max_by(value, CAST(epoch_ms(ts) AS BIGINT) * 1000000 + event_id)
-             ELSE max_by(value, CAST(epoch_ms(ts) AS BIGINT) * 1000000 + event_id) * 2 END AS score
+             THEN max_by({{'v': value}}, CAST(epoch_ms(ts) AS BIGINT) * 1000000 + event_id).v
+             ELSE max_by({{'v': value}}, CAST(epoch_ms(ts) AS BIGINT) * 1000000 + event_id).v * 2 END AS score
       FROM events GROUP BY user_id
     ) t WHERE user_id IN (1, 2, 3, 5, 8, 13, 21, 34)
     ORDER BY user_id
@@ -377,7 +400,7 @@ AS_OF2_MS = AS_OF_MS + DAY_MS
     f"""
     WITH s AS (
       SELECT user_id, max({_EPOCH_MS}) AS newest_ts,
-        max_by(value, CAST(epoch_ms(ts) AS BIGINT) * 1000000 + event_id)
+        max_by({{'v': value}}, CAST(epoch_ms(ts) AS BIGINT) * 1000000 + event_id).v
           AS newest_value
       FROM events GROUP BY user_id
     ), v1 AS (
