@@ -55,7 +55,7 @@ def _state_partitions(spark: SparkSession, n: int):
       SELECT avg(c_acctbal) AS mu_bal, stddev_samp(c_acctbal) AS sd_bal,
              avg(CAST(c_nationkey AS DOUBLE)) AS mu_nat,
              stddev_samp(CAST(c_nationkey AS DOUBLE)) AS sd_nat
-      FROM customer
+      FROM customer WHERE c_acctbal IS NOT NULL
     )
     SELECT c_custkey,
       round(1.0 / (1.0 + exp(-(
@@ -63,6 +63,7 @@ def _state_partitions(spark: SparkSession, n: int):
         - 0.2 * (CAST(c_nationkey AS DOUBLE) - mu_nat) / sd_nat
         + 0.1))), 9) AS churn_score
     FROM customer, stats
+    WHERE c_acctbal IS NOT NULL
     ORDER BY c_custkey
     """,
     "scoring", "mllib", "kiji",
@@ -79,8 +80,13 @@ def mllib_scored_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import StandardScaler, VectorAssembler
     from pyspark.ml.functions import vector_to_array
 
-    c = load_table(spark, sf_dir, "customer").withColumn(
-        "nat_d", F.col("c_nationkey").cast("double")
+    # score only feature-complete rows: VectorAssembler errors on NULL
+    # features, and a model trained on observed balances should not
+    # silently score imputed ones (the oracle filters identically)
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal").isNotNull())
+        .withColumn("nat_d", F.col("c_nationkey").cast("double"))
     )
     pipeline = Pipeline(
         stages=[
@@ -105,7 +111,8 @@ def mllib_scored_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_tfidf_top_terms",
     r"""
     WITH docs AS (
-      SELECT doc_id, lower(text) AS text FROM documents WHERE doc_id < 100
+      SELECT doc_id, lower(text) AS text FROM documents
+      WHERE doc_id < 100 AND text IS NOT NULL
     ),
     toks AS (
       SELECT doc_id,
@@ -146,7 +153,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = (
         load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 100)
+        .filter((F.col("doc_id") < 100) & F.col("text").isNotNull())
         .select("doc_id", "text")
     )
     tokenized = RegexTokenizer(
@@ -187,7 +194,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH docs AS (
       SELECT doc_id,
         list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS toks
-      FROM documents WHERE doc_id < 200
+      FROM documents WHERE doc_id < 200 AND text IS NOT NULL
     ),
     bg AS (
       SELECT doc_id,
@@ -208,7 +215,7 @@ def text_bigrams_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = (
         load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 200)
+        .filter((F.col("doc_id") < 200) & F.col("text").isNotNull())
         .select("doc_id", "text")
     )
     tokenized = RegexTokenizer(
@@ -247,7 +254,7 @@ def word2vec_synonyms(
 
     docs = (
         load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 200)
+        .filter((F.col("doc_id") < 200) & F.col("text").isNotNull())
         .select("doc_id", "text")
     )
     tokenized = (
@@ -400,7 +407,7 @@ def _embed_oracle() -> str:
     return f"""
     SELECT doc_id AS media_id,
       {dims}
-    FROM documents ORDER BY media_id
+    FROM documents WHERE text IS NOT NULL ORDER BY media_id
     """
 
 
@@ -413,7 +420,8 @@ def multimodal_payload_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame
     dimension so the oracle checks every component exactly."""
     from .operators import multimodal as mm
 
-    d = load_table(spark, sf_dir, "documents")
+    # a NULL body is a missing asset: dropped before embedding (both sides)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     media = mm.attach_media_columns(d, "doc_id", F.encode("text", "utf-8"))
     emb = mm.embed_payloads(media, dim=8)
     return emb.select(

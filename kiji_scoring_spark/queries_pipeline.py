@@ -52,6 +52,7 @@ def _minhash_oracle_sql() -> str:
     return f"""
     WITH words AS (
       SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      WHERE text IS NOT NULL
     ), shingles AS (
       SELECT doc_id,
         unnest(list_transform(generate_series(1, len(w)-2),
@@ -79,8 +80,10 @@ def dedup_minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     """MinHash+LSH near-dup candidates: 3-word shingles → 8 portable
     minhashes → 2 bands of 4 → in-bucket pairs. One explode, one groupBy,
     one bucket-group — the signature pipeline runs exactly once (a band
-    self-join would execute it twice; see operators/dedup.band_pairs)."""
-    d = load_table(spark, sf_dir, "documents")
+    self-join would execute it twice; see operators/dedup.band_pairs).
+    Null-body docs are dropped first (the hygiene contract both engines
+    state: a shingle pipeline over NULL text is undefined)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     sig = dd.minhash_signature_df(d, "doc_id", "text")
     bands = dd.minhash_band_keys(sig, "doc_id")
     return dd.band_pairs(bands, "doc_id").orderBy("doc_a", "doc_b")
@@ -116,7 +119,7 @@ def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle re-derives components with a recursive CTE — an iterative
     distributed algorithm still hash-checked against an independent
     engine."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     sig = dd.minhash_signature_df(d, "doc_id", "text")
     bands = dd.minhash_band_keys(sig, "doc_id")
     pairs = dd.band_pairs(bands, "doc_id")
@@ -142,6 +145,7 @@ def _simhash_oracle_sql() -> str:
     return f"""
     WITH toks AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      WHERE text IS NOT NULL
     ), hashes AS (
       SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks
     )
@@ -155,7 +159,7 @@ def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document (portable token hashing). Near-dup pairs
     = signatures within small hamming distance; the signature computation
     is the oracle-checked part, pair search is a bit_count(xor) filter."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     toks = d.select(
         "doc_id", F.transform(F.split("text", " "), dd.hash32).alias("th")
     )
@@ -167,6 +171,7 @@ def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH words AS (
       SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      WHERE text IS NOT NULL
     ), shingles AS (
       SELECT doc_id,
         list_distinct(list_transform(generate_series(1, len(w)-2),
@@ -188,7 +193,7 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe docs (doc_id < 20) vs all. The threshold comparison is done in
     exact integer arithmetic (inter*10 >= union) so the filter can't
     disagree between engines on float rounding."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     # words materialized before the shingle lambda (dedup.word_shingles PERF note)
     sh = d.select("doc_id", F.split("text", " ").alias("w")).select(
         "doc_id", F.array_distinct(dd._shingles_of_words(F.col("w"), 3)).alias("sh")
@@ -433,7 +438,8 @@ def text_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "text_fingerprint_rolling_hash",
     """
-    WITH t AS (SELECT doc_id, substr(text, 1, 64) AS head FROM documents)
+    WITH t AS (SELECT doc_id, substr(text, 1, 64) AS head FROM documents
+               WHERE text IS NOT NULL)
     SELECT doc_id,
       list_reduce(
         list_prepend(0::BIGINT,
@@ -445,8 +451,9 @@ def text_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_fingerprint_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: polynomial rolling hash (base 31, mod 1e9+7)
-    over the first 64 chars — identical left-fold in both engines."""
-    d = load_table(spark, sf_dir, "documents")
+    over the first 64 chars — identical left-fold in both engines.
+    Null-body docs are dropped (hygiene contract, both sides)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     head = F.substring("text", 1, 64)
     codes = F.transform(
         F.sequence(F.lit(1), F.length(head)),
@@ -666,7 +673,7 @@ def _multimodal_features_oracle() -> str:
       64 + {byte1} % 192 AS height,
       1 + {byte2} % 4 AS n_channels,
       {intensity} AS mean_intensity
-    FROM documents ORDER BY media_id
+    FROM documents WHERE text IS NOT NULL ORDER BY media_id
     """
 
 
@@ -677,7 +684,8 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic stub (no codecs in this container) — but the full Spark
     pipeline (binary column → canonical media schema → mapInPandas batches
     → typed feature rows) is real and oracle-checked end to end."""
-    d = load_table(spark, sf_dir, "documents")
+    # a NULL body is a missing asset: dropped before decode (both sides)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     media = mm.attach_media_columns(d, "doc_id", F.encode("text", "utf-8"))
     return mm.extract_image_features(media).orderBy("media_id")
 
@@ -689,7 +697,7 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
       CAST(octet_length(CAST(text AS BLOB)) * 1000 // 32000 AS BIGINT) AS duration_ms,
       CAST(ascii(substring(text, 1, 1)) AS INTEGER) AS lead_byte
-    FROM documents ORDER BY media_id
+    FROM documents WHERE text IS NOT NULL ORDER BY media_id
     """,
     "multimodal", "pipeline",
 )
@@ -699,7 +707,8 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     this container) but the Spark plumbing — binary column, batch shape,
     typed output schema — is real and oracle-checked (ASCII text payloads
     make lead_byte == ascii(first char) on both engines)."""
-    d = load_table(spark, sf_dir, "documents")
+    # a NULL body is a missing asset: dropped before decode (both sides)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     media = mm.attach_media_columns(d, "doc_id", F.encode("text", "utf-8"))
     return mm.extract_audio_features(media).orderBy("media_id")
 
@@ -708,7 +717,7 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_frame_samples",
     """
     SELECT doc_id AS media_id, 0 AS frame_idx, sha256(text) AS frame_sha256
-    FROM documents ORDER BY media_id
+    FROM documents WHERE text IS NOT NULL ORDER BY media_id
     """,
     "multimodal", "pipeline",
 )
@@ -717,7 +726,8 @@ def multimodal_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload explodes into frame rows. With <4 KB test payloads every doc
     yields exactly one frame whose digest is the payload digest — which is
     what the oracle checks; the row-explosion plumbing is the real part."""
-    d = load_table(spark, sf_dir, "documents")
+    # a NULL body is a missing asset: dropped before decode (both sides)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     media = mm.attach_media_columns(d, "doc_id", F.encode("text", "utf-8"))
     return mm.sample_frames(media).orderBy("media_id", "frame_idx")
 

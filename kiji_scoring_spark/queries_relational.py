@@ -888,9 +888,14 @@ def window_range_frame_value_sums(spark: SparkSession, sf_dir: str) -> DataFrame
     "window_percent_rank_cume_dist",
     """
     SELECT c_custkey, c_nationkey,
-      round(percent_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey), 9)
+      -- NULLS FIRST: Spark's ASC window default; DuckDB defaults NULLS
+      -- LAST, so the explicit clause keeps ranks aligned when balances
+      -- can be NULL (no-op on data without nulls)
+      round(percent_rank() OVER (PARTITION BY c_nationkey
+                                 ORDER BY c_acctbal NULLS FIRST, c_custkey), 9)
         AS pct_rank,
-      round(cume_dist() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey), 9)
+      round(cume_dist() OVER (PARTITION BY c_nationkey
+                              ORDER BY c_acctbal NULLS FIRST, c_custkey), 9)
         AS cume_d
     FROM customer WHERE c_nationkey < 3
     ORDER BY c_nationkey, c_custkey

@@ -32,7 +32,7 @@ from .sources import load_table
         row_number() OVER (PARTITION BY c_nationkey
                            ORDER BY c_acctbal, c_custkey) AS rn,
         count(*) OVER (PARTITION BY c_nationkey) AS n
-      FROM customer
+      FROM customer WHERE c_acctbal IS NOT NULL
     )
     SELECT c_nationkey,
       CAST(sum(cents) AS DOUBLE) / (100.0 * count(*)) AS trimmed_mean_acctbal
@@ -54,6 +54,13 @@ def udaf_trimmed_mean_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     def trimmed(pdf: pd.DataFrame) -> pd.DataFrame:
+        # a trimmed mean is over OBSERVED values: drop null balances (the
+        # oracle filters identically); a group with none vanishes
+        pdf = pdf.dropna(subset=["c_acctbal"])
+        if len(pdf) == 0:
+            return pd.DataFrame(
+                {"c_nationkey": [], "trimmed_mean_acctbal": []}
+            )
         pdf = pdf.sort_values(["c_acctbal", "c_custkey"])
         n = len(pdf)
         k = n // 10
@@ -78,7 +85,7 @@ def udaf_trimmed_mean_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT doc_id, t.i AS pos, w[t.i] AS tok
     FROM (SELECT doc_id, string_split(text, ' ') AS w
-          FROM documents WHERE doc_id < 5),
+          FROM documents WHERE doc_id < 5 AND text IS NOT NULL),
          LATERAL (SELECT unnest(generate_series(1, len(w))) AS i) AS t
     ORDER BY doc_id, pos
     """,
@@ -104,7 +111,7 @@ def udtf_positional_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT doc_id, t.pos, t.tok
         FROM __docs_udtf__, LATERAL tokenize_udtf(text) t
-        WHERE doc_id < 5
+        WHERE doc_id < 5 AND text IS NOT NULL
         ORDER BY doc_id, pos
         """
     )

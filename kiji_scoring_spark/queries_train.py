@@ -941,7 +941,13 @@ def split_leakage_safe_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame
     split_train_valid_test_hash, and re-splitting a grown corpus moves a
     doc only if its CLUSTER changed."""
     d = load_table(spark, sf_dir, "documents")
-    sig = dd.minhash_signature_df(d, "doc_id", "text")
+    # clusters come from non-null-text docs only (a NULL body has no
+    # shingles; unfixed, every null doc would share one empty signature
+    # and collapse into a single bogus mega-cluster) — but ALL docs,
+    # null-bodied included, still receive a split as their own canonical
+    sig = dd.minhash_signature_df(
+        d.filter(F.col("text").isNotNull()), "doc_id", "text"
+    )
     bands = dd.minhash_band_keys(sig, "doc_id")
     pairs = dd.band_pairs(bands, "doc_id")
     canon = dd.connected_components(pairs, "doc_a", "doc_b").select(

@@ -119,7 +119,8 @@ def scd2_event_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(SUM(('0x' || substr(md5(
         CAST(c_custkey AS VARCHAR) || '|' || c_name || '|' ||
         c_mktsegment || '|' ||
-        CAST(CAST(ROUND(c_acctbal * 100) AS BIGINT) AS VARCHAR)
+        COALESCE(CAST(CAST(ROUND(c_acctbal * 100) AS BIGINT) AS VARCHAR),
+                 'NULL')
       ), 1, 12))::BIGINT) AS BIGINT) AS row_checksum
     FROM customer
     GROUP BY c_nationkey
@@ -142,12 +143,16 @@ def table_checksum_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     25-key shuffle; no sort anywhere."""
     c = load_table(spark, sf_dir, "customer")
     cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    # a checksum must DEFINE its null serialization: concat_ws silently
+    # SKIPS nulls (canon would lose a field and two different rows could
+    # collide), so null cents serialize as the explicit 'NULL' sentinel,
+    # mirrored in the oracle via COALESCE
     canon = F.concat_ws(
         "|",
         F.col("c_custkey").cast("string"),
         F.col("c_name"),
         F.col("c_mktsegment"),
-        cents.cast("string"),
+        F.coalesce(cents.cast("string"), F.lit("NULL")),
     )
     row_hash = F.conv(F.substring(F.md5(canon), 1, 12), 16, 10).cast("bigint")
     return (
