@@ -41,11 +41,18 @@ def asof_join(
     direction: str = "backward",
     suffix: str = "_right",
     left_id: str | None = None,
+    right_tiebreak: list[str] | None = None,
 ) -> DataFrame:
     """For each left row, attach the single right row with the same keys
     and the greatest ``right_ts`` <= ``left_ts`` (direction='backward'; use
     'forward' for the smallest right_ts >= left_ts). Unmatched left rows
     keep NULLs (left-outer semantics).
+
+    ``right_tiebreak`` names columns that totalize the right-side order
+    when ``right_ts`` can tie (e.g. a unique event id): without it, two
+    right rows at the same timestamp are picked partition-order-
+    dependently — nondeterministic across runs and engines. Pass it
+    whenever right_ts is not unique per key.
 
     ``left_id`` names a column that uniquely identifies left rows; when
     given, the per-row window partitions on it directly. Prefer passing it:
@@ -75,12 +82,17 @@ def asof_join(
         lalias = left.withColumn("__lid__", F.monotonically_increasing_id()).alias("__l__")
     ralias = right.alias("__r__")
     keys = [F.col(f"__l__.{k}") == F.col(f"__r__.{k}") for k in on]
+    tb = right_tiebreak or []
     if direction == "backward":
         cond = F.col(f"__r__.{right_ts}") <= F.col(f"__l__.{left_ts}")
-        order = F.col(f"__r__.{right_ts}").desc()
+        order = [F.col(f"__r__.{right_ts}").desc()] + [
+            F.col(f"__r__.{c}").desc() for c in tb
+        ]
     elif direction == "forward":
         cond = F.col(f"__r__.{right_ts}") >= F.col(f"__l__.{left_ts}")
-        order = F.col(f"__r__.{right_ts}").asc()
+        order = [F.col(f"__r__.{right_ts}").asc()] + [
+            F.col(f"__r__.{c}").asc() for c in tb
+        ]
     else:
         raise ValueError(f"unknown direction {direction!r}")
 
@@ -91,7 +103,7 @@ def asof_join(
         for c in right.columns
         if c not in on
     ]
-    w = Window.partitionBy(F.col("__l__.__lid__")).orderBy(order)
+    w = Window.partitionBy(F.col("__l__.__lid__")).orderBy(*order)
     # rank right matches per left row; rows with no match survive (rn==1
     # over a single all-NULL match row)
     return (
@@ -128,11 +140,26 @@ def asof_join_union(
     winner among equal-ts right rows deterministic (highest wins).
     """
     tiebreak = tiebreak or []
+    # ONE struct carries all value columns: carrying them independently
+    # with last(ignorenulls) would let a NULL value on the winning right
+    # row be silently replaced by an OLDER non-null value while the other
+    # columns come from the winner — tearing one logical row into a
+    # chimera. The struct is non-null whenever a right row exists, so the
+    # winner's fields (nulls included) travel together.
     lt = left.select(
         *on,
         F.col(left_ts).alias("__ts__"),
         F.lit(1).alias("__is_left__"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}__") for c in value_cols],
+        F.lit(None)
+        .cast(
+            "struct<"
+            + ",".join(
+                f"`{c}`:{right.schema[c].dataType.simpleString()}"
+                for c in value_cols
+            )
+            + ">"
+        )
+        .alias("__pack__"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__t_{c}__") for c in tiebreak],
         F.struct(*left.columns).alias("__row__"),
     )
@@ -140,7 +167,7 @@ def asof_join_union(
         *on,
         F.col(right_ts).alias("__ts__"),
         F.lit(0).alias("__is_left__"),
-        *[F.col(c).alias(f"__v_{c}__") for c in value_cols],
+        F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("__pack__"),
         *[F.col(c).alias(f"__t_{c}__") for c in tiebreak],
         F.lit(None).cast(lt.schema["__row__"].dataType).alias("__row__"),
     )
@@ -157,14 +184,11 @@ def asof_join_union(
     carried = unioned.select(
         "__is_left__",
         "__row__",
-        *[
-            F.last(f"__v_{c}__", ignorenulls=True).over(w).alias(f"__c_{c}__")
-            for c in value_cols
-        ],
+        F.last("__pack__", ignorenulls=True).over(w).alias("__c__"),
     )
     out_cols = [F.col("__row__")[c].alias(c) for c in left.columns]
     out_cols += [
-        F.col(f"__c_{c}__").alias(c + suffix if c in left.columns else c)
+        F.col("__c__")[c].alias(c + suffix if c in left.columns else c)
         for c in value_cols
     ]
     return carried.filter(F.col("__is_left__") == 1).select(*out_cols)

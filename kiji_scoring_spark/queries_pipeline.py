@@ -893,7 +893,8 @@ def dedup_incremental_new_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFra
     formulation) and cross-boundary pairs are built in-bucket with array
     HOFs. doc_a < doc_b holds by construction (old < split <= new);
     DISTINCT collapses pairs that collide in both bands."""
-    d = load_table(spark, sf_dir, "documents")
+    # null-body hygiene, same contract as every shingle pipeline
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     sig = dd.minhash_signature_df(d, "doc_id", "text")
     bands = dd.minhash_band_keys(sig, "doc_id")
     buckets = (

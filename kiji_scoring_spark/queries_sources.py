@@ -425,7 +425,10 @@ def avro_cell_roundtrip_nation_stats(spark: SparkSession, sf_dir: str) -> DataFr
     (decode_avro_cells auto-probes), dropping Python entirely."""
     from .operators.avro import decode_avro_cells, encode_avro_cells
 
-    fields = [("name", "string"), ("cents", "long")]
+    # cents is a nullable union: a missing balance must round-trip as the
+    # Avro null branch (the encode path writes branch 0), not crash the
+    # codec on a non-nullable long
+    fields = [("name", "string"), ("cents", ["null", "long"])]
     cust = load_table(spark, sf_dir, "customer").select(
         F.col("c_nationkey").alias("nationkey"),
         F.col("c_name").alias("name"),
@@ -552,13 +555,19 @@ def avro_nested_cell_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataF
                 "name": "stats",
                 "fields": [
                     {
+                        # nullable union: a missing price round-trips as
+                        # the Avro null branch instead of crashing the
+                        # codec on a non-nullable decimal
                         "name": "total",
-                        "type": {
-                            "type": "bytes",
-                            "logicalType": "decimal",
-                            "precision": 18,
-                            "scale": 2,
-                        },
+                        "type": [
+                            "null",
+                            {
+                                "type": "bytes",
+                                "logicalType": "decimal",
+                                "precision": 18,
+                                "scale": 2,
+                            },
+                        ],
                     },
                     {"name": "flag", "type": "boolean"},
                     {"name": "note", "type": ["null", "string"]},

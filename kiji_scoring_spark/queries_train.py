@@ -383,7 +383,11 @@ def dedup_keep_best_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     time)."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     docs = load_table(spark, sf_dir, "documents")
-    sig = dd.minhash_signature_df(docs, "doc_id", "text")
+    # clusters form over non-null-text docs only (null body = no shingles;
+    # see split_leakage_safe_by_cluster) — every doc still gets a cluster
+    sig = dd.minhash_signature_df(
+        docs.filter(F.col("text").isNotNull()), "doc_id", "text"
+    )
     bands = dd.minhash_band_keys(sig, "doc_id")
     pairs = dd.band_pairs(bands, "doc_id")
     comp = dd.connected_components(pairs, "doc_a", "doc_b")
@@ -415,7 +419,7 @@ _BINARY_CACHE = os.path.join(tempfile.gettempdir(), "kiji_scoring_spark_binfiles
     "binaryfile_scan_doc_lengths",
     """
     SELECT doc_id, CAST(n_chars + 1 AS BIGINT) AS n_bytes
-    FROM documents WHERE doc_id < 100 ORDER BY doc_id
+    FROM documents WHERE doc_id < 100 AND text IS NOT NULL ORDER BY doc_id
     """,
     "source", "multimodal", "pipeline",
 )
@@ -437,7 +441,7 @@ def binaryfile_scan_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(_BINARY_CACHE, tag, "docs_txt")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         (
-            d.filter(F.col("doc_id") < 100)
+            d.filter((F.col("doc_id") < 100) & F.col("text").isNotNull())
             .select("doc_id", "text")
             .write.mode("overwrite")
             .partitionBy("doc_id")

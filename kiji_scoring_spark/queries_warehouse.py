@@ -177,7 +177,7 @@ def table_checksum_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_orderpriority, o_totalprice,
         NTILE(10) OVER (PARTITION BY o_orderpriority
                         ORDER BY o_totalprice, o_orderkey) AS decile
-      FROM orders
+      FROM orders WHERE o_totalprice IS NOT NULL
     )
     SELECT o_orderpriority, decile,
       COUNT(*) AS n_orders,
@@ -202,7 +202,9 @@ def bucketize_decile_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange). Skew note: 5 priorities means 5-way parallelism on the
     sort; at 100 TB swap NTILE for range-partitioned percentile bounds
     (stats_quantiles_price shows the approx_percentile path)."""
-    o = load_table(spark, sf_dir, "orders")
+    # deciles are defined over OBSERVED prices (the engines also disagree
+    # on NULL placement under NTILE: Spark nulls first, DuckDB nulls last)
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice").isNotNull())
     w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
     return (
         o.select("o_orderpriority", "o_totalprice", "o_orderkey")
