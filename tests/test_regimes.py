@@ -1,0 +1,165 @@
+"""Adversarial data-regime gates (round 5): the same parity contract as
+test_oracle_parity, but over datasets that stress the value-space edges
+where engine semantics diverge — NULL-heavy payload columns, one-row
+tables, and (for the state/audit family) fully empty tables.
+
+History: every fix in the round-5 null/one-row/empty hardening wave
+(asof tie-break and chimera-carrier operator bugs, max_by null-skipping,
+NULLS FIRST/LAST windows, checksum null serialization, Avro nullable
+unions, null-body hygiene) was found by exactly these sweeps. The full
+226-query sweep per regime runs ~3.5 min and stays an on-demand command
+(SPARK_GRAFT_SF_DIR_TEST=<regime dir> pytest tests/test_oracle_parity.py);
+this file pins a curated high-sensitivity subset per regime so the
+invariants can't silently rot between rounds.
+"""
+
+import os
+
+import pytest
+
+from kiji_scoring_spark.queries import QUERIES
+from kiji_scoring_spark.sources import TABLES
+
+from test_oracle_parity import duck_con, normalize
+
+#: deterministic ~30% NULLs in payload columns; identity/timestamp columns
+#: stay intact (the schema contract guarantees keys; payloads may be null)
+_NULL_MODS = {
+    "events": (
+        "SELECT * REPLACE ("
+        "CASE WHEN event_id % 10 < 3 THEN NULL ELSE value END AS value, "
+        "CASE WHEN event_id % 7 = 0 THEN NULL ELSE props END AS props)"
+    ),
+    "customer": (
+        "SELECT * REPLACE ("
+        "CASE WHEN c_custkey % 10 < 3 THEN NULL ELSE c_acctbal END AS c_acctbal)"
+    ),
+    "orders": (
+        "SELECT * REPLACE ("
+        "CASE WHEN o_orderkey % 10 < 3 THEN NULL ELSE o_totalprice END"
+        " AS o_totalprice)"
+    ),
+    "documents": (
+        "SELECT * REPLACE (CASE WHEN doc_id % 11 = 0 THEN NULL ELSE text END AS text)"
+    ),
+}
+
+
+def _build(tmp_path_factory, name: str, stmt_for) -> str:
+    import duckdb
+
+    src = os.environ.get("SPARK_GRAFT_SCALE_SRC_SMALL", "/root/testdata/sf0.001")
+    d = tmp_path_factory.mktemp(name)
+    con = duckdb.connect()
+    for t in TABLES:
+        stmt = stmt_for(t, f"read_parquet('{src}/{t}.parquet')")
+        con.execute(f"COPY ({stmt}) TO '{d}/{t}.parquet' (FORMAT parquet)")
+    con.close()
+    return str(d)
+
+
+@pytest.fixture(scope="session")
+def null_dir(tmp_path_factory):
+    return _build(
+        tmp_path_factory,
+        "nullsf",
+        lambda t, rp: f"{_NULL_MODS.get(t, 'SELECT *')} FROM {rp}",
+    )
+
+
+@pytest.fixture(scope="session")
+def onerow_dir(tmp_path_factory):
+    return _build(
+        tmp_path_factory, "onesf", lambda t, rp: f"SELECT * FROM {rp} LIMIT 1"
+    )
+
+
+@pytest.fixture(scope="session")
+def empty_dir(tmp_path_factory):
+    return _build(
+        tmp_path_factory, "emptysf", lambda t, rp: f"SELECT * FROM {rp} WHERE 1=0"
+    )
+
+
+#: the queries each regime historically broke (plus their operator kin)
+NULL_REGIME = [
+    "agg_mode_deterministic",
+    "asof_join_user_value_at_checkpoints",
+    "avro_cell_roundtrip_nation_stats",
+    "avro_nested_cell_roundtrip_orders",
+    "bucketize_decile_order_value",
+    "cdc_apply_changes_ordered",
+    "dedup_incremental_new_vs_corpus",
+    "dedup_keep_best_per_cluster",
+    "dedup_minhash_candidate_pairs",
+    "dedup_simhash_signatures",
+    "fresh_a6_policy_own_request",
+    "fresh_batch_scoring",
+    "gapfill_linear_interpolation",
+    "mllib_scored_customers",
+    "multimodal_image_features",
+    "snapshot_cdc_upsert_history",
+    "split_leakage_safe_by_cluster",
+    "stats_ab_welch_ttest",
+    "stats_weighted_median",
+    "table_checksum_by_nation",
+    "text_tfidf_top_terms",
+    "udaf_trimmed_mean_acctbal",
+    "versioned_most_recent_read",
+    "versioned_time_range_read",
+    "window_moving_median_order_value",
+    "window_percent_rank_cume_dist",
+]
+
+ONEROW_REGIME = [
+    "agg_empty_relation_semantics",
+    "cube_orders_status_priority",
+    "pareto_cumulative_revenue_share",
+    "stats_ab_welch_ttest",
+    "stats_gini_revenue",
+    "stats_theil_sen_slope",
+    "trend_mom_revenue_growth",
+    "window_moving_median_order_value",
+]
+
+EMPTY_REGIME = [
+    "bitmap_exact_distinct_shards",
+    "cube_orders_status_priority",
+    "dq_constraint_audit",
+    "q1_pricing_summary",
+    "rollup_acctbal_by_nation_segment",
+    "snapshot_cdc_upsert_history",
+    "snapshot_partitioned_prune",
+    "snapshot_time_travel_orders",
+    "stats_ab_welch_ttest",
+    "table_diff_checksum_buckets",
+]
+
+
+def _check(spark, data_dir, name):
+    import pandas as pd
+
+    spec = QUERIES[name]
+    got = normalize(spec.fn(spark, data_dir).toPandas())
+    want = normalize(duck_con(data_dir).execute(spec.oracle).fetchdf())
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want), f"{name}: rows {len(got)} vs {len(want)}"
+    pd.testing.assert_frame_equal(got, want, check_dtype=True, check_exact=True)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", NULL_REGIME)
+def test_null_regime(spark, null_dir, name):
+    _check(spark, null_dir, name)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", ONEROW_REGIME)
+def test_onerow_regime(spark, onerow_dir, name):
+    _check(spark, onerow_dir, name)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", EMPTY_REGIME)
+def test_empty_regime(spark, empty_dir, name):
+    _check(spark, empty_dir, name)
