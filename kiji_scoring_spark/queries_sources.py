@@ -259,7 +259,14 @@ def parquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             path,
             partition_by=["l_returnflag"],
         )
-    back = spark.read.parquet(path)
+    _sink_schema = "l_returnflag string, l_extendedprice double, l_shipdate timestamp_ntz"
+    try:
+        back = spark.read.parquet(path)
+    except Exception:
+        # empty source -> no parquet files at all; restore declared schema
+        back = spark.createDataFrame([], _sink_schema)
+    if "l_returnflag" not in back.columns:
+        back = spark.createDataFrame([], _sink_schema)
     return (
         back.groupBy("l_returnflag")
         .agg(
@@ -302,7 +309,15 @@ def dpp_partitioned_orders_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         from .sources import write_parquet
 
         write_parquet(o, path, partition_by=["o_orderpriority"])
-    fact = spark.read.parquet(path)
+    try:
+        fact = spark.read.parquet(path)
+    except Exception:
+        # an EMPTY source wrote no parquet files at all (partitioned
+        # writers emit only _SUCCESS); restore the declared schema so
+        # the join/aggregate still answers (zero rows)
+        fact = spark.createDataFrame([], o.schema)
+    if "o_orderpriority" not in fact.columns:
+        fact = spark.createDataFrame([], o.schema)
     dim = (
         load_table(spark, sf_dir, "orders")
         .select("o_orderpriority")

@@ -448,6 +448,10 @@ def binaryfile_scan_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
             .text(path)
         )
     back = spark.read.format("binaryFile").load(path)
+    if "doc_id" not in back.columns:
+        # an EMPTY corpus wrote no partition dirs, so partition discovery
+        # finds no doc_id column — the honest answer is zero files
+        return spark.createDataFrame([], "doc_id bigint, n_bytes bigint")
     return (
         back.select(
             F.col("doc_id").cast("bigint").alias("doc_id"),
