@@ -351,6 +351,24 @@ def test_sparse_postings_join_not_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+SINGLE_EXCHANGE_QUERIES = [
+    # docstring claims "one exchange serves both windows / the whole
+    # chain" — hold them to it: weighted median's running+total sums,
+    # the pattern funnel's rank+two-anchor windows+aggregate, and CDC
+    # apply's rank+count windows each cluster once on their key
+    "cdc_apply_changes_ordered",
+    "funnel_pattern_no_error_between",
+    "stats_weighted_median",
+]
+
+
+@pytest.mark.parametrize("name", SINGLE_EXCHANGE_QUERIES)
+def test_round5_window_chains_single_exchange(spark, sf_dir, name):
+    plan = executed_plan(spark, sf_dir, name)
+    n = plan.count("Exchange hashpartitioning")
+    assert n == 1, f"{name}: expected exactly 1 hash exchange, found {n}"
+
+
 def test_aqe_splits_skewed_join_partition(spark):
     """The session's AQE config must actually split a hot join key at
     runtime — the safety net under every un-salted join in the registry
