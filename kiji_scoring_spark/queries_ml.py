@@ -101,10 +101,20 @@ def mllib_scored_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     margin = (
         F.lit(0.8) * F.col("z")[0] - F.lit(0.2) * F.col("z")[1] + F.lit(0.1)
     )
-    return scaled.select(
-        "c_custkey",
-        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)), 9).alias("churn_score"),
-    ).orderBy("c_custkey")
+    # degenerate-fit guard: with fewer than 2 rows stddev_samp is
+    # undefined, the oracle's sd is NULL and its score NULL — MLlib's
+    # scaler instead zero-fills, which would fabricate a score. A
+    # z-score over an undefined spread is honestly NULL on both sides.
+    n = c.agg(F.count(F.lit(1)).alias("__n__"))
+    score = F.when(
+        F.col("__n__") >= 2,
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)), 9),
+    )
+    return (
+        scaled.crossJoin(F.broadcast(n))
+        .select("c_custkey", score.alias("churn_score"))
+        .orderBy("c_custkey")
+    )
 
 
 @query(
