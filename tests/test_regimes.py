@@ -113,6 +113,7 @@ NULL_REGIME = [
 
 ONEROW_REGIME = [
     "agg_empty_relation_semantics",
+    "mllib_scored_customers",
     "cube_orders_status_priority",
     "pareto_cumulative_revenue_share",
     "stats_ab_welch_ttest",
@@ -123,7 +124,10 @@ ONEROW_REGIME = [
 ]
 
 EMPTY_REGIME = [
+    "binaryfile_scan_doc_lengths",
     "bitmap_exact_distinct_shards",
+    "dpp_partitioned_orders_join",
+    "parquet_sink_roundtrip",
     "cube_orders_status_priority",
     "dq_constraint_audit",
     "q1_pricing_summary",
