@@ -88,6 +88,10 @@ def mllib_scored_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_acctbal").isNotNull())
         .withColumn("nat_d", F.col("c_nationkey").cast("double"))
     )
+    if not c.take(1):
+        # empty input: nothing to fit or score (take(1) costs one
+        # near-empty scan only on this degenerate path)
+        return spark.createDataFrame([], "c_custkey bigint, churn_score double")
     pipeline = Pipeline(
         stages=[
             VectorAssembler(inputCols=["c_acctbal", "nat_d"], outputCol="features"),
@@ -272,12 +276,18 @@ def word2vec_synonyms(
         .transform(docs)
         .repartition(num_partitions, "doc_id")
     )
-    top_token = (
+    top_row = (
         tokenized.select(F.explode("tokens").alias("tok"))
         .groupBy("tok")
         .count()
         .orderBy(F.desc("count"), F.asc("tok"))
-        .first()["tok"]
+        .first()
+    )
+    if top_row is None:
+        # empty corpus: no vocabulary, no neighbors
+        return spark.createDataFrame([], "word string, similarity double")
+    top_token = (
+        top_row["tok"]
     )
     model = Word2Vec(
         vectorSize=16, minCount=2, seed=42, numPartitions=num_partitions,

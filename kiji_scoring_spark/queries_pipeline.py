@@ -614,7 +614,18 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import similarity as sim
 
     e = load_table(spark, sf_dir, "embeddings")
-    centers = sim.train_ivf_centroids(e, "vec_id", "embedding", k=16)
+    head = e.take(16)  # bounded probe: only the degenerate path pays it
+    if len(head) < 2:
+        # empty or single-vector corpus: KMeans needs k >= 2 and a lone
+        # vector has no neighbors but itself — zero neighbor rows
+        return spark.createDataFrame(
+            [], "probe_id bigint, neighbor_id bigint, cos_sim double, rn int"
+        )
+    # a corpus smaller than the cell count still indexes: one centroid
+    # per point degenerates IVF to exact search, which is correct
+    centers = sim.train_ivf_centroids(
+        e, "vec_id", "embedding", k=min(16, len(head))
+    )
     normed = sim.unit_normalized(e, "vec_id", "embedding")
     corpus_cells = sim.with_cells(normed, centers)
     probes = sim.probe_cell_fanout(normed.filter(F.col("vec_id") < 10), centers, n_probe=6)
