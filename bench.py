@@ -125,6 +125,13 @@ HEADLINE = [
 #: r1 = 33.27 s / 24 queries at sf0.1 (BENCH_r01.json). Compare per-query,
 #: not totals, when the set grows.
 #:
+#: ROUND-5 SESSION REFERENCE (same-session, quiet machine): 69 headline
+#: queries, 49.0 s total at sf0.1 local[32]; the 6 slowest are the five
+#: deterministic streaming replays (1.8-2.3 s each — wall-clock-bound by
+#: micro-batch machinery, not compute) and contamination_ngram_overlap
+#: (1.9 s, deliberately single-pass; audited round 4). Like-for-like on
+#: the 44 queries shared with BENCH_r04: no regression beyond run noise.
+#:
 #: CROSS-ROUND CAVEAT (measured, round 5): the container's ambient speed
 #: drifts between rounds. Re-running the UNCHANGED round-4 code in the
 #: round-5 session gave multimodal_image_features 1.37 s (recorded 0.74 s
