@@ -71,6 +71,14 @@ SPOT_QUERIES = [
     "stats_weighted_median",
     "trend_mom_revenue_growth",
     "window_running_distinct_types",
+    # replicated events share TIMESTAMPS across copies (only event_id
+    # differs), so every LAG / running-anchor / percentile total order
+    # faces dense ts ties here
+    "behavior_transition_matrix",
+    "funnel_pattern_no_error_between",
+    "funnel_time_to_convert_percentiles",
+    "stats_categorical_entropy_per_user",
+    "stats_chi_square_independence",
 ]
 
 
