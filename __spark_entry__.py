@@ -26,20 +26,39 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q1_pricing_summary"].fn(spark, "/root/testdata/sf0.001")
 
 
+#: Queries whose IMPLEMENTATION or ORACLE changed this round: their last
+#: green driver row was earned by the OLD code, so they must jump the LRU
+#: queue and re-verify under the new code this round. Clear when the round's
+#: CORRECTNESS file lands with them green.
+_FORCE_RECHECK: frozenset[str] = frozenset(
+    {
+        "multimodal_audio_features",  # r6: real WAV codec replaces byte stub
+        "window_running_distinct_types",  # r6: first-seen-flag form is primary
+    }
+)
+
+
 def _correctness_priority() -> list[str]:
     """Order queries so the driver's (possibly capped/time-budgeted)
-    correctness gate maximizes signal each round: previously-FAILED
-    queries first (a red row turning green is the strongest signal), then
-    queries with no CORRECTNESS_r*.json row yet, then previously-green
-    ones LEAST-RECENTLY-CHECKED first. The staleness sort is what makes
-    the whole registry recycle under the driver's 50-per-round cap:
-    without it the same ~45 greens (lowest registry index) re-verify
-    every round while rows last checked in r01-r02 — under a different
-    session conf — never re-verify. With ~170 greens and a 50 cap, every
-    query now re-checks at least every ~4 rounds. Within a tier, cheap
-    queries run before expensive ones (streaming/multimodal dominate
-    per-query runtime). Round 1 proved the gate walks dict order and
-    stopped at 50/84; anything past the cap rotates automatically."""
+    correctness gate maximizes signal each round, in four tiers:
+
+    0. previously-FAILED queries (a red row turning green is the
+       strongest signal);
+    1. queries with NO CORRECTNESS_r*.json row yet — plain registry
+       order, deliberately NOT cost-sorted: round 5 proved that
+       cheap-first sorting inside this tier starves expensive streaming
+       queries past the 50-per-round cap forever (they entered the tier
+       last and re-entered it last every round);
+    2. queries whose code/oracle changed this round (_FORCE_RECHECK) —
+       their old green row no longer certifies the current code;
+    3. previously-green queries LEAST-RECENTLY-CHECKED first (LRU), so
+       the whole registry recycles under the cap: with ~220 greens and
+       a 50 cap every query re-checks at least every ~5 rounds. Within
+       this tier cheap queries still run first so a time-budgeted gate
+       re-verifies more of them per round.
+
+    Round 1 proved the gate walks dict order and stops at the cap;
+    anything past it rotates automatically on later rounds."""
     import glob
     import json
     import re
@@ -75,15 +94,19 @@ def _correctness_priority() -> list[str]:
     def key(item):
         idx, name = item
         spec = QUERIES[name]
-        if name in last_status:
-            tier = 2 if last_status[name] else 0  # green last / failed first
+        if name not in last_status:
+            tier = 1  # never driver-checked: outranks everything but red
+        elif not last_status[name]:
+            tier = 0  # failed last time
+        elif name in _FORCE_RECHECK:
+            tier = 2  # green row predates this round's code change
         else:
-            tier = 1  # never driver-checked
+            tier = 3  # green: LRU-rotated
         cost = max((cost_tags.get(t, 0) for t in spec.tags), default=0)
-        # green tier: least-recently-checked round first, so stale greens
-        # re-verify before fresh ones; meaningless (0) for tiers 0/1.
-        stale = last_round.get(name, 0) if tier == 2 else 0
-        return (tier, stale, cost, idx)
+        # green tier: least-recently-checked round first, then cheap-first;
+        # tiers 0-2 keep plain registry order (stale/cost pinned to 0).
+        stale = last_round.get(name, 0) if tier == 3 else 0
+        return (tier, stale, cost if tier == 3 else 0, idx)
 
     return [n for _, n in sorted(enumerate(QUERIES), key=key)]
 

@@ -145,7 +145,15 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark(app_name="kiji-scoring-spark-bench")
+    # BENCH_r05 lesson: the driver parses a captured TAIL of stdout, and the
+    # progress bar's \r spam (stdout, not stderr!) plus interleaved noise
+    # pushed the 69-query JSON line out of it ("parsed": null). Console
+    # progress must be off BEFORE the SparkContext exists, and the JSON
+    # must be the only thing this process ever writes to stdout.
+    spark = get_spark(
+        app_name="kiji-scoring-spark-bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     names = [n for n in HEADLINE if n in QUERIES]
@@ -166,18 +174,31 @@ def main() -> None:
         per_query[n] = round(statistics.median(samples), 4)
 
     total = round(sum(per_query.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "sf": sf,
-            }
-        )
+    # Per-group subtotals so plan regressions in the batch queries aren't
+    # masked by the streaming replays' fixed micro-batch wall-clock cost
+    # (7 replay queries ≈ 13 s of machinery, invariant to plan quality).
+    streaming_sec = round(
+        sum(t for n, t in per_query.items() if n.startswith("streaming_")), 4
+    )
+    groups = {
+        "batch_sec": round(total - streaming_sec, 4),
+        "streaming_replays_sec": streaming_sec,
+    }
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": per_query,
+            "groups": groups,
+            "sf": sf,
+        }
     )
     spark.stop()
+    # sole stdout write, after spark.stop() so no executor shutdown noise
+    # can land after it; flush guarantees it survives an abrupt exit
+    sys.stdout.write(line + "\n")
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":
