@@ -13,11 +13,13 @@ plus an atomic manifest rename can provide:
 - a manifest `<table>/_manifests/v<N>.json` lists the data dirs that
   COMPOSE that version (append = parent's dirs + the new dir;
   overwrite/compact = just the new dir) plus parent/op metadata;
-- the manifest is published with os.rename, which is atomic on POSIX
+- the manifest is published atomically (fsync'd temp file + link(2))
   — a reader never observes a half-written version. (On an object
-  store this rename is exactly the commit problem Delta's log and
-  Iceberg's catalog solve; single-writer is assumed here and
-  documented rather than hidden.)
+  store this is exactly the commit problem Delta's log and Iceberg's
+  catalog solve; single-writer is assumed here, and a violation is
+  LOUD: each version is claimed with an exclusive mkdir before any
+  data is written, so of two racing committers exactly one wins and
+  the other raises SnapshotConflictError — never last-writer-wins.)
 
 Readers never list data directories — they read the closed file-set
 named by the manifest, so a crashed half-written commit dir is
@@ -57,17 +59,63 @@ def latest_version(path: str) -> int | None:
     return max(versions) if versions else None
 
 
+class SnapshotConflictError(RuntimeError):
+    """A second writer raced this commit to the same version number.
+
+    The format is single-writer by design (the rename-based commit has no
+    distributed arbiter — that is exactly the commit problem Delta's log
+    and Iceberg's catalog exist to solve). This error makes a violation
+    LOUD instead of silently last-writer-wins: the loser of the race gets
+    this exception and its data dir never becomes referenced. Recovery
+    for a crashed winner (claimed dir, never published): the orphan dir
+    is unreferenced by every manifest, so `vacuum_snapshots` reclaims it,
+    after which the version number is claimable again."""
+
+
+def _claim_version(path: str, version: int) -> str:
+    """Atomically claim `version` by creating its data dir with an
+    exclusive mkdir (the POSIX-atomic O_EXCL analog for directories).
+    Exactly one of any set of racing writers succeeds; the rest raise
+    SnapshotConflictError BEFORE writing any data, so the winner's
+    files can never be clobbered by a loser writing the same path."""
+    rel = os.path.join("data", f"v{version}")
+    d = os.path.join(path, rel)
+    os.makedirs(os.path.dirname(d), exist_ok=True)
+    try:
+        os.mkdir(d)
+    except FileExistsError:
+        raise SnapshotConflictError(
+            f"version {version} at {path} is already claimed: a concurrent "
+            "(or crashed) writer owns its data dir. If no writer is live, "
+            "vacuum_snapshots() reclaims unreferenced claim dirs."
+        ) from None
+    return rel
+
+
 def _publish(path: str, manifest: dict) -> None:
-    """Atomic manifest publish: write to a temp name, fsync, rename."""
+    """Atomic manifest publish: write to a temp name, fsync, then
+    hard-link to the final name. link(2) fails atomically if the final
+    name exists, so even a writer that somehow bypassed the version
+    claim cannot overwrite a published manifest — a reader observes
+    either nothing or the complete winning manifest, never a torn or
+    replaced one."""
     mdir = _manifest_dir(path)
     os.makedirs(mdir, exist_ok=True)
     final = os.path.join(mdir, f"v{manifest['version']}.json")
-    tmp = final + ".tmp"
+    tmp = final + f".tmp.{os.getpid()}"
     with open(tmp, "w") as f:
         json.dump(manifest, f)
         f.flush()
         os.fsync(f.fileno())
-    os.rename(tmp, final)
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        raise SnapshotConflictError(
+            f"manifest v{manifest['version']} at {path} was published by a "
+            "concurrent writer"
+        ) from None
+    finally:
+        os.remove(tmp)
 
 
 def commit_snapshot(
@@ -92,7 +140,7 @@ def commit_snapshot(
     assert mode in ("append", "overwrite")
     parent = latest_version(path)
     version = 1 if parent is None else parent + 1
-    rel = os.path.join("data", f"v{version}")
+    rel = _claim_version(path, version)  # loses loudly, never clobbers
     if target_files:
         df = df.coalesce(target_files)
     writer = df.write.mode("overwrite")
@@ -185,7 +233,7 @@ def compact_snapshot(spark: SparkSession, path: str, target_files: int) -> int:
         raise FileNotFoundError(f"no snapshot versions at {path}")
     current = read_snapshot(spark, path, parent)
     version = parent + 1
-    rel = os.path.join("data", f"v{version}")
+    rel = _claim_version(path, version)  # loses loudly, never clobbers
     current.coalesce(target_files).write.mode("overwrite").parquet(
         os.path.join(path, rel)
     )

@@ -202,3 +202,78 @@ def test_partitioned_snapshot_read_prunes(spark, sf_dir):
     assert "PartitionFilters" in plan and "event_type" in plan
     # the scan's selected partitions should be purchase-only
     assert "event_type=purchase" in plan or "isnotnull(event_type" in plan
+
+
+def test_racing_commits_exactly_one_wins(spark, table_path):
+    """Round-6 single-writer gate: two committers that both observed the
+    same parent version race to version 2. The version claim (exclusive
+    mkdir of the data dir) arbitrates BEFORE any data is written, so
+    exactly one wins, the loser raises SnapshotConflictError, and the
+    winner's published data is untouched by the loser."""
+    import threading
+    from unittest import mock
+
+    sn.commit_snapshot(
+        spark.createDataFrame([(1, "a")], ["k", "v"]), table_path, mode="overwrite"
+    )
+    barrier = threading.Barrier(2, timeout=30)
+    real_latest = sn.latest_version
+
+    def racy_latest(path):
+        v = real_latest(path)
+        barrier.wait()  # both writers observe parent=1 before either claims
+        return v
+
+    results: dict[str, object] = {}
+
+    def writer(tag, payload):
+        df = spark.createDataFrame([payload], ["k", "v"])
+        try:
+            results[tag] = sn.commit_snapshot(df, table_path, mode="append")
+        except sn.SnapshotConflictError as e:
+            results[tag] = e
+
+    with mock.patch.object(sn, "latest_version", racy_latest):
+        t1 = threading.Thread(target=writer, args=("w1", (2, "b")))
+        t2 = threading.Thread(target=writer, args=("w2", (3, "c")))
+        t1.start(); t2.start(); t1.join(); t2.join()
+
+    outcomes = sorted(results.values(), key=lambda r: isinstance(r, Exception))
+    assert outcomes[0] == 2, f"expected one winner at v2, got {results}"
+    assert isinstance(outcomes[1], sn.SnapshotConflictError), results
+    # the table is intact: v2 holds v1's row plus exactly ONE writer's row
+    assert sn.latest_version(table_path) == 2
+    got = rows(sn.read_snapshot(spark, table_path, 2))
+    assert got in ([(1, "a"), (2, "b")], [(1, "a"), (3, "c")])
+
+
+def test_crashed_claim_blocks_then_vacuum_reclaims(spark, table_path):
+    """A writer that claimed a version and died leaves an orphan data dir:
+    the next committer fails LOUDLY (no silent clobber), and
+    vacuum_snapshots reclaims the unreferenced dir, unblocking commits."""
+    sn.commit_snapshot(
+        spark.createDataFrame([(1, "a")], ["k", "v"]), table_path, mode="overwrite"
+    )
+    sn._claim_version(table_path, 2)  # crashed writer: claim, no publish
+    with pytest.raises(sn.SnapshotConflictError):
+        sn.commit_snapshot(
+            spark.createDataFrame([(2, "b")], ["k", "v"]), table_path, mode="append"
+        )
+    assert sn.vacuum_snapshots(table_path, keep_from=1) == [os.path.join("data", "v2")]
+    assert sn.commit_snapshot(
+        spark.createDataFrame([(2, "b")], ["k", "v"]), table_path, mode="append"
+    ) == 2
+    assert rows(sn.read_snapshot(spark, table_path, 2)) == [(1, "a"), (2, "b")]
+
+
+def test_publish_refuses_to_replace_manifest(table_path):
+    """Belt-and-braces: even bypassing the claim, link(2)-based publish
+    cannot replace an already-published manifest."""
+    sn._publish(table_path, {"version": 7, "parent": None, "op": "t", "dirs": []})
+    with pytest.raises(sn.SnapshotConflictError):
+        sn._publish(table_path, {"version": 7, "parent": None, "op": "t", "dirs": []})
+    with open(os.path.join(table_path, "_manifests", "v7.json")) as f:
+        assert json.load(f)["op"] == "t"
+    # no temp litter left behind by the refused publish
+    assert [n for n in os.listdir(os.path.join(table_path, "_manifests"))
+            if ".tmp" in n] == []
