@@ -686,24 +686,44 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_audio_features",
+    # the oracle recomputes the DECODED signal's statistics from the text
+    # the fixture waveform was rendered from: sample i = (ord(c_i)-96)*256,
+    # 16 kHz mono 16-bit PCM in a 44-byte-header WAV container
     """
+    WITH t AS (
+      SELECT doc_id, length(text) AS n,
+        list_transform(generate_series(1, length(text)),
+                       i -> CAST((ord(substr(text, i, 1)) - 96) * 256 AS BIGINT)) AS s
+      FROM documents WHERE text IS NOT NULL
+    )
     SELECT doc_id AS media_id,
-      CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
-      CAST(octet_length(CAST(text AS BLOB)) * 1000 // 32000 AS BIGINT) AS duration_ms,
-      CAST(ascii(substring(text, 1, 1)) AS INTEGER) AS lead_byte
-    FROM documents WHERE text IS NOT NULL ORDER BY media_id
+      CAST(44 + 2 * n AS BIGINT) AS n_bytes,
+      CAST(16000 AS INTEGER) AS sample_rate,
+      CAST(n AS BIGINT) AS n_frames,
+      CAST(n * 1000 // 16000 AS BIGINT) AS duration_ms,
+      CASE WHEN n = 0 THEN 0.0 ELSE
+        CAST(list_sum(list_transform(s, v -> abs(v))) AS DOUBLE) / n END
+        AS mean_abs_amplitude,
+      CAST(COALESCE(list_max(list_transform(s, v -> abs(v))), 0) AS INTEGER)
+        AS peak_amplitude,
+      CAST(len(list_filter(generate_series(2, n), i -> s[i] * s[i-1] < 0)) AS BIGINT)
+        AS zero_crossings
+    FROM t ORDER BY media_id
     """,
     "multimodal", "pipeline",
 )
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio modality (§2.G): payload → PCM duration + probe features via
-    Arrow-batched mapInPandas. Decode is an honest stub (no audio libs in
-    this container) but the Spark plumbing — binary column, batch shape,
-    typed output schema — is real and oracle-checked (ASCII text payloads
-    make lead_byte == ascii(first char) on both engines)."""
+    """Audio modality (§2.G) — REAL codec as of round 6: text renders to
+    genuine PCM WAV containers (stdlib `wave`, fixture stage standing in
+    for real assets), then `extract_audio_features` PARSES the WAV header
+    and computes duration / mean-abs / peak / zero-crossing statistics
+    from the decoded int16 samples, Arrow batch by Arrow batch. The
+    oracle replays the signal math from the source text, so the decoder's
+    output — not a byte-length proxy — is under the value-hash gate."""
     # a NULL body is a missing asset: dropped before decode (both sides)
     d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    media = mm.attach_media_columns(d, "doc_id", F.encode("text", "utf-8"))
+    wav = mm.synthesize_wav_payloads(d, "doc_id", "text")
+    media = mm.attach_media_columns(wav, "media_id", "payload")
     return mm.extract_audio_features(media).orderBy("media_id")
 
 
