@@ -1313,26 +1313,47 @@ def stats_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_running_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running DISTINCT count over a window — a shape Spark's window
     engine refuses natively (COUNT(DISTINCT) OVER throws
-    DISTINCT_WINDOW_FUNCTION_UNSUPPORTED), translated to
-    size(collect_set(...) OVER ...): the set dedups inside the frame
-    and size() reads its cardinality, with the same cumulative-frame
-    semantics the oracle states directly. Bounded here by the 5-value
-    event_type domain, so the per-frame set is O(1) — the right call
-    whenever the distinct domain is small; for high-cardinality
-    domains the scalable running-distinct is the first-seen flag
-    (ROW_NUMBER = 1 per (user, value)) summed over the frame, same
-    single exchange."""
+    DISTINCT_WINDOW_FUNCTION_UNSUPPORTED). Implemented (round 6) in the
+    SCALABLE first-seen-flag form, which is what a library user should
+    copy at 100×: flag each row that is the first occurrence of its
+    (user, type) — computed with a lag() comparison under a per-user
+    sort by (type, ts, id), O(1) window state — then running-SUM the
+    flags under the cumulative (ts, id) frame. Both windows partition
+    on user_id, so Spark satisfies them with ONE exchange and two
+    in-partition sorts (plan-gated: single Exchange, no collect_set in
+    tests/test_plans.py); per-row state never grows with the distinct
+    domain, unlike the size(collect_set() OVER) translation this
+    replaces, whose frame set is O(distinct values) per row and which
+    survives only while the domain is tiny. The oracle states the
+    semantics directly as COUNT(DISTINCT) OVER.
+
+    NULL semantics match COUNT(DISTINCT): NULL types never flag. The
+    NULLS FIRST per-user sort makes the lag() seed correct — the first
+    NON-null row of a user sees lag ∈ {NULL-type row, nothing} and
+    flags either way, as the true first occurrence of its type."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
-    w = (
+    w_type = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_first("event_type"), "ts", "event_id"
+    )
+    first_seen = F.when(
+        F.col("event_type").isNotNull()
+        & (
+            F.lag("event_type").over(w_type).isNull()
+            | (F.lag("event_type").over(w_type) != F.col("event_type"))
+        ),
+        1,
+    ).otherwise(0)
+    w_run = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        ev.select(
+        ev.select("user_id", "event_id", "ts", first_seen.alias("first_seen"))
+        .select(
             "user_id",
             "event_id",
-            F.size(F.collect_set("event_type").over(w)).alias("n_types_seen"),
+            F.sum("first_seen").over(w_run).alias("n_types_seen"),
         )
         .orderBy("user_id", "event_id")
     )

@@ -359,7 +359,18 @@ SINGLE_EXCHANGE_QUERIES = [
     "cdc_apply_changes_ordered",
     "funnel_pattern_no_error_between",
     "stats_weighted_median",
+    # r6: first-seen-flag running distinct — both windows cluster on
+    # user_id, so the lag() pass and the running sum share one exchange
+    "window_running_distinct_types",
 ]
+
+
+def test_running_distinct_uses_bounded_state(spark, sf_dir):
+    """The scalable running-distinct must be the first-seen-flag plan:
+    no collect_set anywhere (the O(distinct-domain)-state translation it
+    replaced), state per window row O(1)."""
+    plan = executed_plan(spark, sf_dir, "window_running_distinct_types")
+    assert "collect_set" not in plan, "running distinct regressed to set-state"
 
 
 @pytest.mark.parametrize("name", SINGLE_EXCHANGE_QUERIES)
