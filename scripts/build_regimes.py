@@ -1,0 +1,68 @@
+"""Build the four adversarial data regimes as on-disk parquet dirs, for
+the FULL-registry parity sweeps recorded in REGIMES.md.
+
+Same construction as tests/test_regimes.py (which pins a curated subset
+per session); this script materializes the dirs at stable paths so the
+whole-registry sweep is one reproducible command per regime:
+
+    python scripts/build_regimes.py /tmp/regimes
+    SPARK_GRAFT_SF_DIR_TEST=/tmp/regimes/null \\
+        python -m pytest tests/test_oracle_parity.py -q
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+from kiji_scoring_spark.sources import TABLES  # noqa: E402
+
+#: deterministic ~30% NULLs in payload columns; identity/timestamp columns
+#: stay intact (mirrors tests/test_regimes.py exactly)
+NULL_MODS = {
+    "events": (
+        "SELECT * REPLACE ("
+        "CASE WHEN event_id % 10 < 3 THEN NULL ELSE value END AS value, "
+        "CASE WHEN event_id % 7 = 0 THEN NULL ELSE props END AS props)"
+    ),
+    "customer": (
+        "SELECT * REPLACE ("
+        "CASE WHEN c_custkey % 10 < 3 THEN NULL ELSE c_acctbal END AS c_acctbal)"
+    ),
+    "orders": (
+        "SELECT * REPLACE ("
+        "CASE WHEN o_orderkey % 10 < 3 THEN NULL ELSE o_totalprice END"
+        " AS o_totalprice)"
+    ),
+    "documents": (
+        "SELECT * REPLACE (CASE WHEN doc_id % 11 = 0 THEN NULL ELSE text END AS text)"
+    ),
+}
+
+REGIMES = {
+    "null": lambda t, rp: f"{NULL_MODS.get(t, 'SELECT *')} FROM {rp}",
+    "onerow": lambda t, rp: f"SELECT * FROM {rp} LIMIT 1",
+    "empty": lambda t, rp: f"SELECT * FROM {rp} WHERE 1=0",
+}
+
+
+def main() -> None:
+    import duckdb
+
+    out_root = sys.argv[1] if len(sys.argv) > 1 else "/tmp/regimes"
+    src = os.environ.get("SPARK_GRAFT_SCALE_SRC_SMALL", "/root/testdata/sf0.001")
+    for name, stmt_for in REGIMES.items():
+        d = os.path.join(out_root, name)
+        os.makedirs(d, exist_ok=True)
+        con = duckdb.connect()
+        for t in TABLES:
+            stmt = stmt_for(t, f"read_parquet('{src}/{t}.parquet')")
+            con.execute(f"COPY ({stmt}) TO '{d}/{t}.parquet' (FORMAT parquet)")
+        con.close()
+        print(f"built {name}: {d}")
+
+
+if __name__ == "__main__":
+    main()

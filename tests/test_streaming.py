@@ -239,6 +239,8 @@ def test_tws_processor_agrees_with_group_state_freshener():
 # StateMessage_pb2). Where the runtime lacks it the protocol CANNOT run,
 # so the test is defined conditionally rather than skipped — the
 # operator's logic is still covered above via stub state handles.
+# `pip install -r dev-requirements.txt` (outside the pinned CI container)
+# provides it and makes this test execute end to end.
 try:
     import google.protobuf  # noqa: F401
 
