@@ -119,6 +119,10 @@ HEADLINE = [
     "streaming_dedup_within_watermark",
     "graph_pagerank_fixed_point",
     "fresh_scoring_snapshot_pipeline",
+    # round 6: the audio path became a REAL WAV codec (synthesize →
+    # attach-meta → decode, three Arrow stages) — benched so the heavier
+    # pipeline can't regress silently
+    "multimodal_audio_features",
 ]
 
 #: round-over-round regression reference (sum over that round's HEADLINE):
@@ -131,6 +135,16 @@ HEADLINE = [
 #: micro-batch machinery, not compute) and contamination_ngram_overlap
 #: (1.9 s, deliberately single-pass; audited round 4). Like-for-like on
 #: the 44 queries shared with BENCH_r04: no regression beyond run noise.
+#:
+#: ROUND-6 SESSION REFERENCE: 69 shared headline queries, 52.7 s total at
+#: sf0.1 local[32] (batch 39.6 s / streaming replays 13.2 s). Like-for-like
+#: on the 51 queries recoverable from the r05 tail: 1.12x — entirely
+#: ambient drift, verified the way the caveat below prescribes: re-running
+#: the UNCHANGED r05 commit (git worktree at aa2f914) on its 7
+#: most-"regressed" queries in THIS session gave times at or ABOVE the
+#: round-6 numbers (e.g. q9 1.19 s vs 0.74 s r06-code, table_diff 1.26 s
+#: vs 1.09 s, setsim 1.67 s vs 1.16 s) — the r06 code is not slower than
+#: r05 anywhere; the machine is.
 #:
 #: CROSS-ROUND CAVEAT (measured, round 5): the container's ambient speed
 #: drifts between rounds. Re-running the UNCHANGED round-4 code in the
