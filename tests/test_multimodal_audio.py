@@ -70,3 +70,17 @@ def test_zero_frame_file_decodes_to_silence(spark):
     r = mm.extract_audio_features(media).collect()[0]
     assert (r.n_frames, r.duration_ms, r.mean_abs_amplitude,
             r.peak_amplitude, r.zero_crossings) == (0, 0, 0.0, 0, 0)
+
+
+def test_resize_stage_shape_contract(spark):
+    """resize_images is the one multimodal stage no registry query uses:
+    pin its binary-in/binary-out contract here so it can't rot — payload
+    truncates/pads to width*height bytes, metadata columns recomputed."""
+    df = spark.createDataFrame(
+        [(1, bytearray(b"0123456789")), (2, bytearray(b""))], ["doc_id", "body"]
+    )
+    media = mm.attach_media_columns(df, "doc_id", "body")
+    out = {r.media_id: r for r in mm.resize_images(media, 2, 3).collect()}
+    assert bytes(out[1].payload) == b"012345"          # truncated to 6
+    assert bytes(out[2].payload) == b"\0" * 6          # padded to 6
+    assert (out[1].width, out[1].height) == (2, 3)
