@@ -34,6 +34,8 @@ _FORCE_RECHECK: frozenset[str] = frozenset(
     {
         "multimodal_audio_features",  # r6: real WAV codec replaces byte stub
         "window_running_distinct_types",  # r6: first-seen-flag form is primary
+        "stats_gini_revenue",  # r6: NULL-revenue customers excluded pre-rank
+        "scalar_try_functions_battery",  # r6: decimal rounded before double cast
     }
 )
 

@@ -1267,7 +1267,7 @@ def stats_categorical_entropy_per_user(spark: SparkSession, sf_dir: str) -> Data
     ), ranked AS (
       SELECT rev, ROW_NUMBER() OVER (ORDER BY rev, o_custkey) AS i,
         COUNT(*) OVER () AS n
-      FROM c
+      FROM c WHERE rev IS NOT NULL
     )
     SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
       2.0 * CAST(SUM(i * rev) AS DOUBLE)
@@ -1285,13 +1285,19 @@ def stats_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers, so Σ(i·x_i) and Σx_i are exact decimal sums under a total
     order (rev, custkey); the two casts and three float ops happen once
     on identical operands. Scale: customer-grain aggregation then one
-    global window — same envelope as the Pareto query, one scalar out."""
+    global window — same envelope as the Pareto query, one scalar out.
+
+    Customers with NO observed revenue (every order price NULL) are
+    EXCLUDED before ranking (round-6 fix, found by the sf0.1 null-regime
+    sweep): a NULL can't take a rank in the Lorenz order, and leaving
+    it in makes the ranks engine-dependent — Spark sorts NULLS FIRST
+    ascending where DuckDB sorts NULLS LAST, shifting every i."""
     o = load_table(spark, sf_dir, "orders")
     from pyspark.sql import Window
 
     c = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
-    )
+    ).filter(F.col("rev").isNotNull())
     ranked = c.select(
         "rev",
         F.row_number().over(Window.orderBy("rev", "o_custkey")).alias("i"),

@@ -406,7 +406,7 @@ def scalar_bitwise_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT COUNT(*) AS n_rows,
       COUNT(safe_div) AS n_div_ok,
-      CAST(SUM(CAST(safe_div AS DECIMAL(18,6))) AS DOUBLE) AS sum_div,
+      CAST(ROUND(SUM(CAST(safe_div AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_div,
       COUNT(pri_num) AS n_pri_parsed,
       CAST(SUM(pri_num) AS BIGINT) AS sum_pri,
       COUNT(status_num) AS n_status_parsed,
@@ -427,6 +427,14 @@ def scalar_try_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     CASE / TRY_CAST / bounds-checked list index); counts and exact
     sums of the successes prove NULL landed in exactly the same rows.
 
+    sum_div rounds the exact DECIMAL sum to 2 places BEFORE the double
+    cast (round-6 fix, found by the sf0.1 null-regime sweep): once a
+    decimal's UNSCALED value exceeds 2^53 — which a 6-decimal sum over
+    150k orders does — decimal→double conversion is no longer exact and
+    Spark and DuckDB round the last ulp differently. Rounding first
+    shrinks the unscaled value back under 53 bits, making the cast
+    bit-identical on both engines at any corpus size.
+
     The engine-design point: try_ semantics are what make ANSI mode
     deployable on dirty 100 TB data — errors become per-row NULLs that
     aggregate away instead of killing a 10-hour job at row 9 billion."""
@@ -443,7 +451,9 @@ def scalar_try_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count("safe_div").alias("n_div_ok"),
-        F.sum(F.col("safe_div").cast("decimal(18,6)")).cast("double").alias("sum_div"),
+        F.round(F.sum(F.col("safe_div").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("sum_div"),
         F.count("pri_num").alias("n_pri_parsed"),
         F.sum("pri_num").cast("bigint").alias("sum_pri"),
         F.count("status_num").alias("n_status_parsed"),

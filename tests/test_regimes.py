@@ -96,6 +96,12 @@ NULL_REGIME = [
     "fresh_a6_policy_own_request",
     "fresh_batch_scoring",
     "gapfill_linear_interpolation",
+    # r6: an sf0.1-SOURCED null sweep (REGIMES.md) caught these two — gini's
+    # NULL-revenue ranks (Spark NULLS FIRST vs DuckDB NULLS LAST) and the
+    # try-battery's decimal->double cast past 2^53 unscaled; the small
+    # regime can't reproduce the mass, but pins the NULL-handling paths
+    "scalar_try_functions_battery",
+    "stats_gini_revenue",
     "mllib_scored_customers",
     "multimodal_image_features",
     "snapshot_cdc_upsert_history",
