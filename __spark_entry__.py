@@ -36,6 +36,7 @@ _FORCE_RECHECK: frozenset[str] = frozenset(
         "window_running_distinct_types",  # r6: first-seen-flag form is primary
         "stats_gini_revenue",  # r6: NULL-revenue customers excluded pre-rank
         "scalar_try_functions_battery",  # r6: decimal rounded before double cast
+        "q1_pricing_summary",  # r6: same 2^53 hardening on the flagship sums
     }
 )
 

@@ -75,8 +75,8 @@ def _charge() -> F.Column:
     SELECT l_returnflag, l_linestatus,
       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-      CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-      CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+      CAST(ROUND(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc_price,
+      CAST(ROUND(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_charge,
       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
       CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
@@ -91,7 +91,15 @@ def _charge() -> F.Column:
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan-heavy grouped aggregation. Scale: the filter and
     the 7-column projection push to the parquet scan; partial aggregation
-    (16 groups) makes the shuffle negligible at any SF."""
+    (16 groups) makes the shuffle negligible at any SF.
+
+    The high-scale decimal sums (disc_price at 4 dp, charge at 6 dp)
+    round to 2 dp BEFORE their double cast (round-6 hardening): a
+    6-dp group sum crosses 2^53 unscaled around sf0.13, past which
+    DECIMAL→DOUBLE conversion is engine-dependent in the last ulp (see
+    scalar_try_functions_battery, where the sf0.1 null sweep proved the
+    divergence is real). Rounding first keeps the cast bit-identical at
+    any SF while preserving monetary (cent) precision."""
     li = load_table(spark, sf_dir, "lineitem")
     cnt = F.count(F.lit(1))
     return (
@@ -100,8 +108,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(_dec2("l_quantity")).cast("double").alias("sum_qty"),
             F.sum(_dec2("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(_disc_price()).cast("double").alias("sum_disc_price"),
-            F.sum(_charge()).cast("double").alias("sum_charge"),
+            F.round(F.sum(_disc_price()), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(_charge()), 2).cast("double").alias("sum_charge"),
             (F.sum(_dec2("l_quantity")).cast("double") / cnt).alias("avg_qty"),
             (F.sum(_dec2("l_extendedprice")).cast("double") / cnt).alias("avg_price"),
             (F.sum(_dec2("l_discount")).cast("double") / cnt).alias("avg_disc"),
