@@ -37,6 +37,8 @@ _FORCE_RECHECK: frozenset[str] = frozenset(
         "stats_gini_revenue",  # r6: NULL-revenue customers excluded pre-rank
         "scalar_try_functions_battery",  # r6: decimal rounded before double cast
         "q1_pricing_summary",  # r6: same 2^53 hardening on the flagship sums
+        "udf_pandas_scalar_discounted_cents",  # r6: nullable Int64 (keynull crash)
+        "versioned_time_range_read",  # r6: all-NULL cell array sums to NULL not 0
     }
 )
 

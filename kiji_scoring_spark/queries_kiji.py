@@ -104,15 +104,22 @@ def versioned_time_range_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             F.size("vr").cast("long").alias("n_in_range"),
-            F.aggregate(
-                F.col("vr"),
-                F.lit(0).cast("decimal(18,2)"),
-                # coalesce: a cell with a NULL payload must not poison the
-                # fold (acc + NULL = NULL forever) — SUM semantics skip it
-                lambda acc, x: (
-                    acc + F.coalesce(x["value"].cast("decimal(18,2)"), F.lit(0))
-                ).cast("decimal(18,2)"),
-            ).cast("double").alias("sum_in_range"),
+            # full SUM semantics over the cell array: NULL payloads are
+            # SKIPPED by the fold (coalesce — acc + NULL would poison it),
+            # but a row whose every cell is NULL must yield NULL, not the
+            # fold seed 0 (round-6 fix: the key-level null regime built a
+            # user with all-NULL values and SQL SUM returned NULL where
+            # the fold returned 0.0)
+            F.when(
+                F.exists(F.col("vr"), lambda x: x["value"].isNotNull()),
+                F.aggregate(
+                    F.col("vr"),
+                    F.lit(0).cast("decimal(18,2)"),
+                    lambda acc, x: (
+                        acc + F.coalesce(x["value"].cast("decimal(18,2)"), F.lit(0))
+                    ).cast("decimal(18,2)"),
+                ).cast("double"),
+            ).alias("sum_in_range"),
         )
         .orderBy("user_id")
     )

@@ -754,7 +754,9 @@ def streaming_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame
         CASE WHEN ts < m - INTERVAL 15 DAY THEN 0 ELSE 1 END AS b
       FROM e, mx
     ), per AS (
-      SELECT user_id, b, COUNT(*) AS n, SUM(cents) AS c
+      -- COALESCE: the state op counts every event but sums OBSERVED
+      -- cents (pandas .sum() skips NaN), so an all-NULL batch adds 0
+      SELECT user_id, b, COUNT(*) AS n, COALESCE(SUM(cents), 0) AS c
       FROM tagged GROUP BY user_id, b
     )
     SELECT user_id,
@@ -778,6 +780,12 @@ def streaming_stateful_running_user_totals(spark: SparkSession, sf_dir: str) -> 
     per-batch aggregate + a running-sum window over the batch index.
     This is the freshness-capsule state shape (reference's per-entity
     scoring state) under the exact-value gate instead of a local golden.
+
+    NULL contract (pinned by the key-level null regime, round 6): the
+    state op counts EVERY event but accumulates only OBSERVED cents —
+    a NULL value contributes nothing, and a user with no observed
+    values carries 0, not NULL (state must stay a concrete number to
+    merge). The oracle states the same rule with COALESCE(SUM, 0).
 
     Scale: state is two longs per user, partitioned by the grouping key
     across state stores; Arrow batches stream per group — no
@@ -854,7 +862,7 @@ def streaming_stateful_running_user_totals(spark: SparkSession, sf_dir: str) -> 
     )
     SELECT user_id,
       COUNT(*) AS n_events,
-      CAST(SUM(cents) AS BIGINT) AS cents_total,
+      CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS cents_total,
       CAST(COUNT(DISTINCT b) AS BIGINT) AS batches_seen
     FROM tagged
     GROUP BY user_id

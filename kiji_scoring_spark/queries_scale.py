@@ -141,8 +141,15 @@ def udf_pandas_scalar_discounted_cents(spark: SparkSession, sf_dir: str) -> Data
     from pyspark.sql.functions import pandas_udf
 
     def _discounted(price, disc):
-        cents = (price * 100).round().astype("int64")
-        disc_pct = (disc * 100).round().astype("int64")
+        # pandas NULLABLE Int64 (not numpy int64): a NULL price/discount
+        # must propagate to a NULL result exactly like the SQL `*` does —
+        # numpy astype("int64") CRASHES the whole Arrow batch on one NaN
+        # (round-6 bug, found by the key-level null regime: lineitem rows
+        # whose l_discount is NULL killed the task instead of nulling the
+        # row). Extension Int64 carries the mask through the arithmetic
+        # and Arrow hands Spark a proper nullable bigint column.
+        cents = (price * 100).round().astype("Int64")
+        disc_pct = (disc * 100).round().astype("Int64")
         return cents * (100 - disc_pct)
 
     # real (non-string) annotations: `from __future__ import annotations`

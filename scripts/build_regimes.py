@@ -41,8 +41,40 @@ NULL_MODS = {
     ),
 }
 
+#: round-6 addition: KEY-level nulls — entire groups go all-NULL in their
+#: payload column at ANY scale factor, unlike the row-level ~30% regime
+#: where a large-enough group almost surely keeps a non-null row. This is
+#: the construction that exposes rank-over-nullable-aggregate divergence
+#: (Spark NULLS FIRST vs DuckDB NULLS LAST) regardless of data mass —
+#: the gini bug's trigger, reproducible at sf0.001.
+KEYNULL_MODS = {
+    "events": (
+        "SELECT * REPLACE ("
+        "CASE WHEN user_id % 7 = 0 THEN NULL ELSE value END AS value, "
+        "CASE WHEN user_id % 5 = 0 THEN NULL ELSE props END AS props)"
+    ),
+    "customer": (
+        "SELECT * REPLACE ("
+        "CASE WHEN c_nationkey = 3 THEN NULL ELSE c_acctbal END AS c_acctbal)"
+    ),
+    "orders": (
+        "SELECT * REPLACE ("
+        "CASE WHEN o_custkey % 11 = 0 THEN NULL ELSE o_totalprice END"
+        " AS o_totalprice)"
+    ),
+    "lineitem": (
+        "SELECT * REPLACE ("
+        "CASE WHEN l_suppkey % 9 = 0 THEN NULL ELSE l_discount END AS l_discount)"
+    ),
+    "documents": (
+        "SELECT * REPLACE ("
+        "CASE WHEN doc_id % 13 = 0 THEN NULL ELSE text END AS text)"
+    ),
+}
+
 REGIMES = {
     "null": lambda t, rp: f"{NULL_MODS.get(t, 'SELECT *')} FROM {rp}",
+    "keynull": lambda t, rp: f"{KEYNULL_MODS.get(t, 'SELECT *')} FROM {rp}",
     "onerow": lambda t, rp: f"SELECT * FROM {rp} LIMIT 1",
     "empty": lambda t, rp: f"SELECT * FROM {rp} WHERE 1=0",
 }

@@ -68,6 +68,27 @@ def null_dir(tmp_path_factory):
 
 
 @pytest.fixture(scope="session")
+def keynull_dir(tmp_path_factory):
+    """KEY-level nulls: whole groups go all-NULL in their payload column
+    at ANY scale (canonical mods live in scripts/build_regimes.py —
+    round 6's regime, which caught 4 bugs the row-level regime missed)."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"),
+    )
+    from build_regimes import KEYNULL_MODS
+
+    return _build(
+        tmp_path_factory,
+        "keynullsf",
+        lambda t, rp: f"{KEYNULL_MODS.get(t, 'SELECT *')} FROM {rp}",
+    )
+
+
+@pytest.fixture(scope="session")
 def onerow_dir(tmp_path_factory):
     return _build(
         tmp_path_factory, "onesf", lambda t, rp: f"SELECT * FROM {rp} LIMIT 1"
@@ -102,6 +123,13 @@ NULL_REGIME = [
     # regime can't reproduce the mass, but pins the NULL-handling paths
     "scalar_try_functions_battery",
     "stats_gini_revenue",
+    # r6: the KEY-level null regime (whole groups all-NULL at any scale —
+    # scripts/build_regimes.py "keynull") caught these four: pandas-UDF
+    # astype("int64") crashing on NaN, the versioned-cell fold seeding 0
+    # where SQL SUM of all-NULL is NULL, and both stateful-replay oracles
+    # needing COALESCE for all-NULL batches
+    "udf_pandas_scalar_discounted_cents",
+    "versioned_time_range_read",
     "mllib_scored_customers",
     "multimodal_image_features",
     "snapshot_cdc_upsert_history",
@@ -115,6 +143,18 @@ NULL_REGIME = [
     "versioned_time_range_read",
     "window_moving_median_order_value",
     "window_percent_rank_cume_dist",
+]
+
+#: round-6 regime: the queries the keynull sweep broke (all-NULL groups),
+#: plus gini — its NULL-rank bug needed all-null groups too, just at the
+#: customer grain the sf0.1-sourced row-level regime happened to produce
+KEYNULL_REGIME = [
+    "udf_pandas_scalar_discounted_cents",
+    "versioned_time_range_read",
+    "stats_gini_revenue",
+    "salted_agg_event_type_stats",
+    "most_recent_event_per_user",
+    "window_running_distinct_types",
 ]
 
 ONEROW_REGIME = [
@@ -161,6 +201,12 @@ def _check(spark, data_dir, name):
 @pytest.mark.parametrize("name", NULL_REGIME)
 def test_null_regime(spark, null_dir, name):
     _check(spark, null_dir, name)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", KEYNULL_REGIME)
+def test_keynull_regime(spark, keynull_dir, name):
+    _check(spark, keynull_dir, name)
 
 
 @pytest.mark.slow
