@@ -184,11 +184,15 @@ def synthesize_wav_payloads(
 ) -> DataFrame:
     """Fixture synthesis: deterministically render a text column into REAL
     16-bit mono PCM WAV files (stdlib ``wave`` — no native deps). Sample i
-    is ``(ord(text[i]) - 96) * 256`` — a genuine signed waveform whose
-    amplitude/zero-crossing statistics a SQL oracle can recompute from the
-    text, which is what lets the downstream REAL decoder stay under the
-    value-hash gate. Text is assumed ASCII (the documents fixture
-    guarantees it; non-ASCII would overflow int16 on both engines alike).
+    is ``((ord(text[i]) + 96) % 128 - 64) * 256`` — a genuine signed
+    waveform whose amplitude/zero-crossing statistics a SQL oracle can
+    recompute from the text, which is what lets the downstream REAL
+    decoder stay under the value-hash gate. The modulo fold keeps EVERY
+    codepoint inside int16 (the unicode regime caught the unfolded
+    ``(ord-96)*256`` silently wrapping numpy int16 on CJK text, r6)
+    while reducing to exactly ``(ord - 96) * 256`` on printable ASCII —
+    value-identical to the original fixture on the driver corpus. The
+    dividend is non-negative, so Python's and SQL's ``%`` agree.
 
     This stage exists because the container ships no audio assets; in a
     deployment you replace it with the actual binary source, and
@@ -203,7 +207,7 @@ def synthesize_wav_payloads(
 
         def render(text: str) -> bytes:
             pcm = np.array(
-                [(ord(c) - 96) * 256 for c in text], dtype="<i2"
+                [((ord(c) + 96) % 128 - 64) * 256 for c in text], dtype="<i2"
             )
             buf = io.BytesIO()
             with wave.open(buf, "wb") as w:

@@ -473,9 +473,9 @@ def text_fingerprint_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame
     "multimodal_binary_metadata",
     """
     SELECT doc_id,
-      octet_length(text::BLOB) AS payload_len,
+      octet_length(encode(text)) AS payload_len,
       md5(text) AS payload_md5,
-      hex(substr(text, 1, 8)::BLOB) AS header_hex
+      hex(encode(substr(text, 1, 8))) AS header_hex
     FROM documents ORDER BY doc_id
     """,
     "multimodal", "pipeline",
@@ -651,7 +651,11 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _multimodal_features_oracle() -> str:
     # the stub decoder derives fake dimensions from the payload sha256 and
-    # mean intensity from the first 256 payload bytes; text is pure ASCII
+    # mean intensity from the first 256 payload bytes. FIXTURE PRECONDITION
+    # (kept by design after the r6 unicode sweep): this oracle's char
+    # arithmetic mirrors the stub's BYTE arithmetic only for ASCII text —
+    # real deployments feed real binary payloads, and the stub's byte math
+    # is the correct behavior to model; the driver corpus text is ASCII
     # (verified) so DuckDB char arithmetic == byte arithmetic
     byte0 = "('0x' || substr(sha256(text), 1, 2))::INT"
     byte1 = "('0x' || substr(sha256(text), 3, 2))::INT"
@@ -687,13 +691,15 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "multimodal_audio_features",
     # the oracle recomputes the DECODED signal's statistics from the text
-    # the fixture waveform was rendered from: sample i = (ord(c_i)-96)*256,
-    # 16 kHz mono 16-bit PCM in a 44-byte-header WAV container
+    # the fixture waveform was rendered from: sample i =
+    # ((ord(c_i)+96) % 128 - 64)*256 (== (ord-96)*256 on printable ASCII;
+    # the modulo keeps any codepoint int16-safe), 16 kHz mono 16-bit PCM
+    # in a 44-byte-header WAV container
     """
     WITH t AS (
       SELECT doc_id, length(text) AS n,
         list_transform(generate_series(1, length(text)),
-                       i -> CAST((ord(substr(text, i, 1)) - 96) * 256 AS BIGINT)) AS s
+                       i -> CAST(((ord(substr(text, i, 1)) + 96) % 128 - 64) * 256 AS BIGINT)) AS s
       FROM documents WHERE text IS NOT NULL
     )
     SELECT doc_id AS media_id,

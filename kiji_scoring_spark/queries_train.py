@@ -418,7 +418,7 @@ _BINARY_CACHE = os.path.join(tempfile.gettempdir(), "kiji_scoring_spark_binfiles
 @query(
     "binaryfile_scan_doc_lengths",
     """
-    SELECT doc_id, CAST(n_chars + 1 AS BIGINT) AS n_bytes
+    SELECT doc_id, CAST(octet_length(encode(text)) + 1 AS BIGINT) AS n_bytes
     FROM documents WHERE doc_id < 100 AND text IS NOT NULL ORDER BY doc_id
     """,
     "source", "multimodal", "pipeline",
@@ -429,8 +429,9 @@ def binaryfile_scan_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     writer — no driver-side loop), then scanned back with the
     ``binaryFile`` source, which is how raw image/audio/document blobs
     enter a multimodal corpus. The partition directory yields the doc_id;
-    the payload byte length must equal n_chars + the writer's trailing
-    newline, proving the bytes survived the round trip.
+    the payload byte length must equal the text's UTF-8 byte length + the
+    writer's trailing newline, proving the bytes survived the round trip
+    (byte length, not char count — the unicode regime split them, r6).
 
     Scale: binaryFile scans parallelize per file and never split one blob
     across tasks; partition discovery prunes on doc_id like any

@@ -72,9 +72,26 @@ KEYNULL_MODS = {
     ),
 }
 
+#: round-6 addition: non-ASCII text — CJK / accented / astral-plane
+#: characters in documents.text and unicode JSON in events.props. Found
+#: three byte-vs-char fixture bugs (REGIMES.md); every text-analysis
+#: operator passes on it.
+UNICODE_MODS = {
+    "documents": (
+        "SELECT * REPLACE (CASE WHEN doc_id % 5 = 0 THEN "
+        "text || ' café 日本語 Ω≈ç √∫ \U0001F680naïve' "
+        "WHEN doc_id % 7 = 0 THEN 'ümläut 中文 ' || text ELSE text END AS text)"
+    ),
+    "events": (
+        "SELECT * REPLACE (CASE WHEN event_id % 13 = 0 THEN "
+        '\'{"city": "São Paulo", "note": "測試 \U0001F389"}\' ELSE props END AS props)'
+    ),
+}
+
 REGIMES = {
     "null": lambda t, rp: f"{NULL_MODS.get(t, 'SELECT *')} FROM {rp}",
     "keynull": lambda t, rp: f"{KEYNULL_MODS.get(t, 'SELECT *')} FROM {rp}",
+    "unicode": lambda t, rp: f"{UNICODE_MODS.get(t, 'SELECT *')} FROM {rp}",
     "onerow": lambda t, rp: f"SELECT * FROM {rp} LIMIT 1",
     "empty": lambda t, rp: f"SELECT * FROM {rp} WHERE 1=0",
 }

@@ -83,7 +83,7 @@ def test_audio_codec_matches_numpy_reference(spark):
     import numpy as np
 
     rng = random.Random(1337)
-    texts = ["", "`", " ", "~" * 7, "a Zb `q"] + [
+    texts = ["", "`", " ", "~" * 7, "a Zb `q", "café 日本語 \U0001F680", "Ω≈ç\n√∫"] + [
         "".join(
             rng.choice(string.ascii_letters + string.digits + " .,!?-_@#")
             for _ in range(rng.randrange(0, 200))
@@ -102,7 +102,11 @@ def test_audio_codec_matches_numpy_reference(spark):
     assert len(got) == len(texts)
 
     for i, t in enumerate(texts):
-        s = np.array([(ord(c) - 96) * 256 for c in t], dtype=np.int64)
+        # canonical fixture waveform: the modulo fold keeps any codepoint
+        # int16-safe and equals (ord-96)*256 on printable ASCII
+        s = np.array(
+            [((ord(c) + 96) % 128 - 64) * 256 for c in t], dtype=np.int64
+        )
         n = len(s)
         a = np.abs(s)
         r = got[i]
