@@ -88,10 +88,33 @@ UNICODE_MODS = {
     ),
 }
 
+#: round-6 addition: negative and large-magnitude values (refunds,
+#: million-scale events, negative balances) — swept clean 225/225 on
+#: first run (REGIMES.md), so it guards rather than reproduces.
+EXTREMEVAL_MODS = {
+    "events": (
+        "SELECT * REPLACE (CASE WHEN user_id % 3 = 0 THEN -value "
+        "WHEN user_id % 17 = 0 THEN value * 1000000 ELSE value END AS value)"
+    ),
+    "orders": (
+        "SELECT * REPLACE (CASE WHEN o_custkey % 13 = 0 THEN -o_totalprice "
+        "ELSE o_totalprice END AS o_totalprice)"
+    ),
+    "customer": (
+        "SELECT * REPLACE (CASE WHEN c_custkey % 7 = 0 THEN -c_acctbal - 100000 "
+        "ELSE c_acctbal END AS c_acctbal)"
+    ),
+    "lineitem": (
+        "SELECT * REPLACE ("
+        "CASE WHEN l_suppkey % 19 = 0 THEN 0.0 ELSE l_discount END AS l_discount)"
+    ),
+}
+
 REGIMES = {
     "null": lambda t, rp: f"{NULL_MODS.get(t, 'SELECT *')} FROM {rp}",
     "keynull": lambda t, rp: f"{KEYNULL_MODS.get(t, 'SELECT *')} FROM {rp}",
     "unicode": lambda t, rp: f"{UNICODE_MODS.get(t, 'SELECT *')} FROM {rp}",
+    "extremeval": lambda t, rp: f"{EXTREMEVAL_MODS.get(t, 'SELECT *')} FROM {rp}",
     "onerow": lambda t, rp: f"SELECT * FROM {rp} LIMIT 1",
     "empty": lambda t, rp: f"SELECT * FROM {rp} WHERE 1=0",
 }
