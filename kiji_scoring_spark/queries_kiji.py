@@ -61,7 +61,13 @@ def versioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, newest_ts, newest_value, n_versions FROM (
       SELECT user_id,
         {_EPOCH_MS} AS newest_ts, value AS newest_value,
-        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn,
+        -- the cell model's newest-cell contract EXACTLY: millisecond-
+        -- truncated ts, event_id as the tie-break (versioned_events sorts
+        -- cells by (ms, eid)). Bare "ORDER BY ts DESC" is ambiguous the
+        -- moment two events share a timestamp — the ts-edge regime's
+        -- epoch-0 sentinel rows made every such user nondeterministic (r6)
+        ROW_NUMBER() OVER (PARTITION BY user_id
+                           ORDER BY {_EPOCH_MS} DESC, event_id DESC) AS rn,
         COUNT(*) OVER (PARTITION BY user_id) AS n_versions
       FROM events) t
     WHERE rn = 1 ORDER BY user_id

@@ -989,7 +989,15 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning); state size is watermark-bounded regardless of stream
     length. The bounded replay (AvailableNow) drains in one batch and
     terminates, so the append-mode inner join emits every match — which
-    is why the batch self-join oracle is exact."""
+    is why the batch self-join oracle is exact.
+
+    INHERENT MODEL BOUNDARY (ts-edge regime, r6): Spark initializes every
+    watermark to epoch 0, so rows whose EVENT TIME is at or before
+    1970-01-01 are late data from the very first batch and are dropped on
+    input — in this and both outer variants. A batch oracle cannot (and
+    should not) mirror that: pre-epoch event times are corrupt by
+    definition for event-time processing, and a production ingest
+    quarantines them upstream of the watermark."""
     load_table(spark, sf_dir, "events")  # sets the nanos-parquet conf
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
 

@@ -986,7 +986,12 @@ def recursive_cte_month_spine_orders(spark: SparkSession, sf_dir: str) -> DataFr
 
     Scale: recursion depth = number of months (bounded by the data's time
     span, ~84 here), each step a one-row projection — the iterative part
-    is O(months) driver-scheduled tiny jobs, never data-sized. BOTH date
+    is O(months) driver-scheduled tiny jobs, never data-sized. MAX
+    RECURSION LEVEL is raised to 10000 (≈830 years of months): Spark's
+    default cap is 100 levels, and the ts-edge regime proved one 1970
+    sentinel date in a 1998 corpus blows past it (r6) — a 100 TB ingest
+    WILL contain sentinel/corrupt dates, and the spine must absorb them
+    rather than kill the report. BOTH date
     bounds are computed in the anchor's single orders pass and the upper
     bound rides along as recursion state: a scalar subquery in the
     recursive member's WHERE would re-execute a full orders scan+agg per
@@ -997,7 +1002,7 @@ def recursive_cte_month_spine_orders(spark: SparkSession, sf_dir: str) -> DataFr
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(
         """
-        WITH RECURSIVE spine(m, hi) AS (
+        WITH RECURSIVE spine(m, hi) MAX RECURSION LEVEL 10000 AS (
           SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE),
                  CAST(date_trunc('month', MAX(o_orderdate)) AS DATE)
           FROM orders
