@@ -180,10 +180,11 @@ def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        / len(list_distinct(a.sh || b.sh)) AS jaccard
+        / NULLIF(len(list_distinct(a.sh || b.sh)), 0) AS jaccard
     FROM shingles a JOIN shingles b ON a.doc_id < b.doc_id AND a.doc_id < 20
     WHERE len(list_intersect(a.sh, b.sh)) * 10
           >= len(list_distinct(a.sh || b.sh))
+      AND len(list_distinct(a.sh || b.sh)) > 0
     ORDER BY doc_a, doc_b
     """,
     "dedup", "pipeline",
@@ -192,7 +193,13 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup scoring: pairs with jaccard >= 0.1 among
     probe docs (doc_id < 20) vs all. The threshold comparison is done in
     exact integer arithmetic (inter*10 >= union) so the filter can't
-    disagree between engines on float rounding."""
+    disagree between engines on float rounding.
+
+    Pairs where BOTH shingle sets are empty (docs under 3 words — empty
+    and whitespace-only docs exist in any real corpus) are EXCLUDED:
+    Jaccard is undefined on no evidence, and under ANSI the bare 0/0
+    killed the job before round 6's text-shape regime pinned the rule
+    (union > 0 filter + NULLIF on both engines)."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     # words materialized before the shingle lambda (dedup.word_shingles PERF note)
     sh = d.select("doc_id", F.split("text", " ").alias("w")).select(
@@ -207,11 +214,11 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            (inter.cast("double") / union).alias("jaccard"),
+            (inter.cast("double") / F.nullif(union, F.lit(0))).alias("jaccard"),
             inter.alias("__i__"),
             union.alias("__u__"),
         )
-        .filter(F.col("__i__") * 10 >= F.col("__u__"))
+        .filter((F.col("__i__") * 10 >= F.col("__u__")) & (F.col("__u__") > 0))
         .drop("__i__", "__u__")
         .orderBy("doc_a", "doc_b")
     )
@@ -627,7 +634,8 @@ _TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
       len(string_split(text, ' ')) AS n_ws_tokens,
       len(regexp_extract_all(text, '{_TOKEN_RE}')) AS n_bpe_tokens,
       CAST(length(replace(text, ' ', '')) AS DOUBLE)
-        / len(regexp_extract_all(text, '{_TOKEN_RE}')) AS chars_per_bpe_token
+        / NULLIF(len(regexp_extract_all(text, '{_TOKEN_RE}')), 0)
+        AS chars_per_bpe_token
     FROM documents ORDER BY doc_id
     """,
     "text", "pipeline",
@@ -643,8 +651,13 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(F.split("text", " ")).alias("n_ws_tokens"),
         F.size(bpe).alias("n_bpe_tokens"),
+        # NULLIF guard (r6, text-shape regime): an EMPTY or whitespace-only
+        # document has zero BPE tokens, and under ANSI the bare division
+        # KILLS the whole job — at 100 TB empty docs are a certainty. The
+        # compression ratio of a token-less doc is NULL, on both engines.
         (
-            F.length(F.regexp_replace("text", " ", "")).cast("double") / F.size(bpe)
+            F.length(F.regexp_replace("text", " ", "")).cast("double")
+            / F.nullif(F.size(bpe), F.lit(0))
         ).alias("chars_per_bpe_token"),
     ).orderBy("doc_id")
 
@@ -660,10 +673,14 @@ def _multimodal_features_oracle() -> str:
     byte0 = "('0x' || substr(sha256(text), 1, 2))::INT"
     byte1 = "('0x' || substr(sha256(text), 3, 2))::INT"
     byte2 = "('0x' || substr(sha256(text), 5, 2))::INT"
+    # empty-payload guard (r6, text-shape regime): the stub returns 0.0
+    # mean intensity for a zero-byte payload; list_reduce over an empty
+    # series is NULL, so state the rule explicitly
     intensity = (
+        "CASE WHEN length(text) = 0 THEN 0.0 ELSE "
         "CAST(list_reduce(list_transform(generate_series(1, least(length(text), 256)),"
         " i -> ord(substr(text, i, 1))::BIGINT), (a,b) -> a + b) AS DOUBLE)"
-        " / least(length(text), 256)"
+        " / least(length(text), 256) END"
     )
     return f"""
     SELECT doc_id AS media_id,
@@ -735,17 +752,35 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_frame_samples",
+    # the oracle models the REAL frame contract (r6 — the text-shape
+    # regime's 60 KB docs broke the old one-frame shortcut): up to 8
+    # frames of 4096 payload bytes each, digest per slice. DuckDB cannot
+    # slice BLOBs, so the slice happens on the VARCHAR then encodes —
+    # byte-exact for ASCII payload text (multi-frame fixture docs are
+    # ASCII in every regime; frame COUNT still uses true byte length)
     """
-    SELECT doc_id AS media_id, 0 AS frame_idx, sha256(text) AS frame_sha256
-    FROM documents WHERE text IS NOT NULL ORDER BY media_id
+    WITH m AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS nb
+      FROM documents WHERE text IS NOT NULL
+    ), f AS (
+      SELECT doc_id, text,
+        unnest(generate_series(
+          0, least(8, greatest(1, nb // 4096)) - 1)) AS frame_idx
+      FROM m
+    )
+    SELECT doc_id AS media_id, CAST(frame_idx AS INT) AS frame_idx,
+      sha256(substr(text, frame_idx * 4096 + 1, 4096)) AS frame_sha256
+    FROM f ORDER BY media_id, frame_idx
     """,
     "multimodal", "pipeline",
 )
 def multimodal_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling as a one-to-many mapInPandas (UDTF shape): each
-    payload explodes into frame rows. With <4 KB test payloads every doc
-    yields exactly one frame whose digest is the payload digest — which is
-    what the oracle checks; the row-explosion plumbing is the real part."""
+    payload explodes into up to 8 frame rows of 4096 bytes each, one
+    digest per byte-slice. The oracle replays the slicing byte-for-byte
+    (blob substring), so multi-frame payloads — which the text-shape
+    regime's 60 KB docs produce — are under the hash gate, not just the
+    single-frame small-doc case."""
     # a NULL body is a missing asset: dropped before decode (both sides)
     d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     media = mm.attach_media_columns(d, "doc_id", F.encode("text", "utf-8"))

@@ -206,8 +206,10 @@ def scalar_array_embedding_battery(spark: SparkSession, sf_dir: str) -> DataFram
     "scalar_json_events_battery",
     """
     SELECT event_id,
-      CAST(props->>'$.k' AS INT) AS k_val,
-      json_extract_string(props, '$.k') AS k_str,
+      CASE WHEN json_valid(props)
+           THEN CAST(props->>'$.k' AS INT) END AS k_val,
+      CASE WHEN json_valid(props)
+           THEN json_extract_string(props, '$.k') END AS k_str,
       CASE WHEN json_valid(props) THEN 1 ELSE 0 END AS is_valid_json
     FROM events WHERE event_id < 200 ORDER BY event_id
     """,
@@ -215,7 +217,13 @@ def scalar_array_embedding_battery(spark: SparkSession, sf_dir: str) -> DataFram
 )
 def scalar_json_events_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON access (§2.D): the reference serializes policy state as JSON
-    (ShelfLife.java:118-134); here the JSON column is events.props."""
+    (ShelfLife.java:118-134); here the JSON column is events.props.
+
+    Malformed-input contract (r6, text-shape regime): a non-JSON props
+    value ('' in the regime; truncated blobs in any real stream) yields
+    NULL extractions and is_valid_json=0 — Spark's get_json_object is
+    natively lenient; the oracle needs the explicit json_valid guard
+    because DuckDB's ->> THROWS on malformed input."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 200)
     return ev.select(
         "event_id",
@@ -230,9 +238,12 @@ def scalar_json_events_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
       COUNT(*) AS n_events,
-      CAST(SUM(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS sum_k,
-      MIN(CAST(props->>'$.k' AS INTEGER)) AS min_k,
-      MAX(CAST(props->>'$.k' AS INTEGER)) AS max_k
+      CAST(SUM(CASE WHEN json_valid(props)
+               THEN CAST(props->>'$.k' AS INTEGER) END) AS BIGINT) AS sum_k,
+      MIN(CASE WHEN json_valid(props)
+          THEN CAST(props->>'$.k' AS INTEGER) END) AS min_k,
+      MAX(CASE WHEN json_valid(props)
+          THEN CAST(props->>'$.k' AS INTEGER) END) AS max_k
     FROM events GROUP BY event_type ORDER BY event_type
     """,
     "scalar", "json", "variant",
@@ -244,9 +255,15 @@ def variant_shred_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-parses the string per extraction), VARIANT is a shredded binary
     encoding — repeated field access is an offset lookup, the right shape
     when a 100 TB event stream is queried on a handful of props keys.
-    The oracle shreds the same fields with DuckDB's JSON extraction."""
+    The oracle shreds the same fields with DuckDB's JSON extraction.
+
+    try_parse_json, not parse_json (r6, text-shape regime): a single
+    malformed props value KILLED the whole aggregation under ANSI —
+    exactly the per-row-error-becomes-job-error failure the try_ family
+    exists for. Malformed rows shred to NULL and aggregate away; the
+    oracle mirrors with a json_valid guard."""
     ev = load_table(spark, sf_dir, "events").select(
-        "event_type", F.parse_json("props").alias("v")
+        "event_type", F.try_parse_json("props").alias("v")
     )
     k = F.variant_get(F.col("v"), "$.k", "int")
     return (

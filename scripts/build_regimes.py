@@ -130,12 +130,30 @@ TSEDGE_MODS = {
     ),
 }
 
+#: round-6 addition: text-SHAPE extremes — empty strings, whitespace-only
+#: docs, 200x-repeated (~60 KB) docs, and malformed/empty JSON props.
+#: Found 11 divergences incl. 3 job-killing ANSI crashes (REGIMES.md).
+TEXTSHAPE_MODS = {
+    "documents": (
+        "SELECT * REPLACE (CASE "
+        "WHEN doc_id % 9 = 0 THEN '' "
+        "WHEN doc_id % 11 = 0 THEN '   ' "
+        "WHEN doc_id % 13 = 0 THEN repeat(text || ' ', 200) "
+        "ELSE text END AS text)"
+    ),
+    "events": (
+        "SELECT * REPLACE (CASE WHEN event_id % 17 = 0 THEN '' "
+        "WHEN event_id % 19 = 0 THEN '{}' ELSE props END AS props)"
+    ),
+}
+
 REGIMES = {
     "null": lambda t, rp: f"{NULL_MODS.get(t, 'SELECT *')} FROM {rp}",
     "keynull": lambda t, rp: f"{KEYNULL_MODS.get(t, 'SELECT *')} FROM {rp}",
     "unicode": lambda t, rp: f"{UNICODE_MODS.get(t, 'SELECT *')} FROM {rp}",
     "extremeval": lambda t, rp: f"{EXTREMEVAL_MODS.get(t, 'SELECT *')} FROM {rp}",
     "tsedge": lambda t, rp: f"{TSEDGE_MODS.get(t, 'SELECT *')} FROM {rp}",
+    "textshape": lambda t, rp: f"{TEXTSHAPE_MODS.get(t, 'SELECT *')} FROM {rp}",
     "onerow": lambda t, rp: f"SELECT * FROM {rp} LIMIT 1",
     "empty": lambda t, rp: f"SELECT * FROM {rp} WHERE 1=0",
 }

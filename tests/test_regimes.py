@@ -89,6 +89,28 @@ def keynull_dir(tmp_path_factory):
 
 
 @pytest.fixture(scope="session")
+def textshape_dir(tmp_path_factory):
+    """Text-shape extremes: empty / whitespace-only / 60 KB docs plus
+    malformed JSON props (canonical mods in scripts/build_regimes.py —
+    round 6's regime; found 3 ANSI job-killers and the minhash
+    empty-signature mega-bucket)."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"),
+    )
+    from build_regimes import TEXTSHAPE_MODS
+
+    return _build(
+        tmp_path_factory,
+        "textshapesf",
+        lambda t, rp: f"{TEXTSHAPE_MODS.get(t, 'SELECT *')} FROM {rp}",
+    )
+
+
+@pytest.fixture(scope="session")
 def onerow_dir(tmp_path_factory):
     return _build(
         tmp_path_factory, "onesf", lambda t, rp: f"SELECT * FROM {rp} LIMIT 1"
@@ -157,6 +179,18 @@ KEYNULL_REGIME = [
     "window_running_distinct_types",
 ]
 
+#: round-6 regime: the CHEAP queries the text-shape sweep broke (the
+#: heavy 60 KB-doc dedup family is covered by the on-demand full sweep —
+#: scripts/build_regimes.py "textshape" — at ~30 s/query it stays out of
+#: the per-session gate)
+TEXTSHAPE_REGIME = [
+    "text_token_counts",
+    "scalar_json_events_battery",
+    "variant_shred_event_props",
+    "multimodal_frame_samples",
+    "multimodal_image_features",
+]
+
 ONEROW_REGIME = [
     "agg_empty_relation_semantics",
     "mllib_scored_customers",
@@ -207,6 +241,12 @@ def test_null_regime(spark, null_dir, name):
 @pytest.mark.parametrize("name", KEYNULL_REGIME)
 def test_keynull_regime(spark, keynull_dir, name):
     _check(spark, keynull_dir, name)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", TEXTSHAPE_REGIME)
+def test_textshape_regime(spark, textshape_dir, name):
+    _check(spark, textshape_dir, name)
 
 
 @pytest.mark.slow
