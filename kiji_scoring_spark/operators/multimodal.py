@@ -205,7 +205,12 @@ def synthesize_wav_payloads(
         import numpy as np
         import pandas as pd
 
-        def render(text: str) -> bytes:
+        def render(text) -> bytes | None:
+            # NULL text -> NULL payload (not a crash): this is public API
+            # and an Arrow batch must not die because one row is NULL —
+            # mirrors extract_audio_features mapping None payloads to b''.
+            if text is None:
+                return None
             pcm = np.array(
                 [((ord(c) + 96) % 128 - 64) * 256 for c in text], dtype="<i2"
             )
@@ -242,7 +247,10 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
     the int16 samples (numpy over the Arrow batch; the mean divides an
     exact integer sum once, so it is bit-reproducible for an oracle).
 
-    Malformed payloads raise ``wave.Error`` and fail the task — fail-fast
+    Malformed payloads fail the task fast: a non-RIFF or wrong-format
+    payload raises ``wave.Error``; an EMPTY or truncated payload raises
+    ``EOFError`` from the stdlib chunk parser — both are part of the
+    fail-fast contract. Fail-fast
     is the right default for a decode stage; a 100 TB ingest wanting
     quarantine instead wraps the decode in try/except and routes failures
     to a dead-letter column, same mapInPandas shape. Only the WAV/PCM
@@ -260,9 +268,15 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
             with wave.open(io.BytesIO(payload), "rb") as w:
                 rate = w.getframerate()
                 n_frames = w.getnframes()
-                assert w.getsampwidth() == 2 and w.getnchannels() == 1, (
-                    "decoder handles 16-bit mono PCM"
-                )
+                if w.getsampwidth() != 2 or w.getnchannels() != 1:
+                    # explicit raise, NOT assert: asserts are stripped under
+                    # python -O, and a stereo/8-bit WAV frombuffer'd as
+                    # 16-bit mono would yield silently wrong statistics
+                    raise wave.Error(
+                        "decoder handles 16-bit mono PCM, got "
+                        f"sampwidth={w.getsampwidth()} "
+                        f"channels={w.getnchannels()}"
+                    )
                 x = np.frombuffer(
                     w.readframes(n_frames), dtype="<i2"
                 ).astype(np.int64)

@@ -143,7 +143,13 @@ def commit_snapshot(
     rel = _claim_version(path, version)  # loses loudly, never clobbers
     if target_files:
         df = df.coalesce(target_files)
-    writer = df.write.mode("overwrite")
+    # mode MUST be append, not overwrite: Spark's overwrite deletes the
+    # target directory before recreating it, which would momentarily
+    # remove the exclusive-mkdir claim marker — a racing writer could
+    # re-claim the same version in that window and both would write the
+    # same dir. Appending into the freshly-claimed EMPTY dir writes the
+    # identical file-set while the claim stays on disk for its whole life.
+    writer = df.write.mode("append")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(os.path.join(path, rel))
@@ -234,7 +240,9 @@ def compact_snapshot(spark: SparkSession, path: str, target_files: int) -> int:
     current = read_snapshot(spark, path, parent)
     version = parent + 1
     rel = _claim_version(path, version)  # loses loudly, never clobbers
-    current.coalesce(target_files).write.mode("overwrite").parquet(
+    # append, not overwrite, for the same reason as commit_snapshot: the
+    # claimed dir must never be deleted or the claim evaporates mid-write
+    current.coalesce(target_files).write.mode("append").parquet(
         os.path.join(path, rel)
     )
     _publish(

@@ -125,8 +125,12 @@ TSEDGE_MODS = {
         "ELSE ts END AS ts)"
     ),
     "orders": (
+        # DATE sentinel, not TIMESTAMP: mixing a TIMESTAMP literal with the
+        # DATE column in one CASE makes DuckDB promote the whole column to
+        # TIMESTAMP, silently changing the regime parquet's orders schema
+        # from the production DATE type (advice, r6)
         "SELECT * REPLACE (CASE WHEN o_orderkey % 37 = 0 "
-        "THEN TIMESTAMP '1970-01-01 00:00:00' ELSE o_orderdate END AS o_orderdate)"
+        "THEN DATE '1970-01-01' ELSE o_orderdate END AS o_orderdate)"
     ),
 }
 

@@ -49,22 +49,29 @@ def test_asof_equal_ts_right_row_included(spark):
     assert rows[0].val == "eq"
 
 
-def test_asof_without_left_id_warns(spark):
-    """Omitting left_id silently inherits retry-nondeterminism from
-    monotonically_increasing_id — a library user must be told."""
-    import warnings
-
-    left = spark.createDataFrame([("u1", 100)], ["uid", "ts"])
-    right = spark.createDataFrame([("u1", 90, "a")], ["uid", "ts", "val"])
-    with warnings.catch_warnings(record=True) as caught:
-        warnings.simplefilter("always")
-        joins.asof_join(left, right, ["uid"], "ts", "ts")
-        assert any("left_id" in str(w.message) for w in caught)
-    # and passing left_id stays silent
-    with warnings.catch_warnings(record=True) as caught:
-        warnings.simplefilter("always")
-        joins.asof_join(left, right, ["uid"], "ts", "ts", left_id="uid")
-        assert not any("left_id" in str(w.message) for w in caught)
+def test_asof_without_left_id_deterministic_fallback(spark):
+    """r7: the old monotonically_increasing_id fallback (nondeterministic
+    under stage retries) is retired. Without left_id the plan must (a) keep
+    per-row multiplicity for DUPLICATE left rows, (b) contain no
+    nondeterministic id expression, and (c) give the same multiset as the
+    explicit-left_id plan."""
+    left = spark.createDataFrame(
+        [("u1", 100), ("u1", 100), ("u1", 50), ("u2", 10)], ["uid", "ts"]
+    ).repartition(4)
+    right = spark.createDataFrame(
+        [("u1", 90, "a"), ("u1", 40, "b"), ("u2", 99, "c")], ["uid", "ts", "val"]
+    )
+    out = joins.asof_join(left, right, ["uid"], "ts", "ts")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "monotonically_increasing_id" not in plan
+    got = sorted((r.uid, r.ts, r.val) for r in out.collect())
+    # the two identical (u1,100) rows EACH keep their match
+    assert got == [
+        ("u1", 50, "b"),
+        ("u1", 100, "a"),
+        ("u1", 100, "a"),
+        ("u2", 10, None),
+    ]
 
 
 def test_range_join_bucketed_matches_plain(spark, sf_dir):

@@ -84,3 +84,34 @@ def test_resize_stage_shape_contract(spark):
     assert bytes(out[1].payload) == b"012345"          # truncated to 6
     assert bytes(out[2].payload) == b"\0" * 6          # padded to 6
     assert (out[1].width, out[1].height) == (2, 3)
+
+
+def test_null_text_yields_null_payload_not_crash(spark):
+    """r7 (advice): synthesize_wav_payloads is public API — a NULL text row
+    must map to a NULL payload, not TypeError the whole Arrow batch."""
+    df = spark.createDataFrame([(1, "abc"), (2, None)], ["doc_id", "text"])
+    out = {r.media_id: r.payload for r in
+           mm.synthesize_wav_payloads(df, "doc_id", "text").collect()}
+    assert out[2] is None
+    assert out[1] is not None and bytes(out[1])[:4] == b"RIFF"
+
+
+def test_non_mono16_wav_raises_explicitly(spark):
+    """r7 (advice): the sampwidth/channels precondition was a bare assert
+    (stripped under python -O → silently wrong stats on stereo/8-bit WAVs);
+    now an explicit wave.Error. Also: empty payloads raise EOFError from
+    the chunk parser — part of the documented fail-fast contract."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)  # stereo — outside the decoder's contract
+        w.setsampwidth(2)
+        w.setframerate(16_000)
+        w.writeframes(b"\x00\x01" * 8)
+    media = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()))], ["media_id", "payload"]
+    )
+    with pytest.raises(Exception, match="16-bit mono PCM"):
+        mm.extract_audio_features(media).collect()
+    empty = spark.createDataFrame([(1, bytearray(b""))], ["media_id", "payload"])
+    with pytest.raises(Exception, match="EOFError|unexpected end"):
+        empty_result = mm.extract_audio_features(empty).collect()  # noqa: F841

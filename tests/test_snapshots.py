@@ -277,3 +277,36 @@ def test_publish_refuses_to_replace_manifest(table_path):
     # no temp litter left behind by the refused publish
     assert [n for n in os.listdir(os.path.join(table_path, "_manifests"))
             if ".tmp" in n] == []
+
+
+def test_commit_never_deletes_claim_dir(spark, table_path, monkeypatch):
+    """r7 (advice): commits used df.write.mode('overwrite'), and Spark's
+    overwrite DELETES the target dir before recreating it — momentarily
+    removing the exclusive-mkdir claim marker, so a racing writer could
+    re-claim the version mid-write. Pin the fix: the directory created by
+    _claim_version must be the SAME inode after the data lands, for plain
+    commits, partitioned commits, and compaction."""
+    inodes = {}
+    orig = sn._claim_version
+
+    def spy(path, version):
+        rel = orig(path, version)
+        inodes[version] = os.stat(os.path.join(path, rel)).st_ino
+        return rel
+
+    monkeypatch.setattr(sn, "_claim_version", spy)
+    d = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    v1 = sn.commit_snapshot(d, table_path, mode="overwrite")
+    v2 = sn.commit_snapshot(d, table_path, mode="append", partition_by=["v"])
+    v3 = sn.compact_snapshot(spark, table_path, target_files=1)
+    for v in (v1, v2, v3):
+        assert (
+            os.stat(os.path.join(table_path, "data", f"v{v}")).st_ino == inodes[v]
+        ), f"claim dir for v{v} was deleted and recreated during the write"
+    # and the data written through the claim is intact
+    assert rows(sn.read_snapshot(spark, table_path, v3)) == [
+        (1, "a"),
+        (1, "a"),
+        (2, "b"),
+        (2, "b"),
+    ]
