@@ -32,13 +32,16 @@ def entry(spark: SparkSession) -> DataFrame:
 #: CORRECTNESS file lands with them green.
 _FORCE_RECHECK: frozenset[str] = frozenset(
     {
-        "multimodal_audio_features",  # r6: real WAV codec replaces byte stub
-        "window_running_distinct_types",  # r6: first-seen-flag form is primary
-        "stats_gini_revenue",  # r6: NULL-revenue customers excluded pre-rank
-        "scalar_try_functions_battery",  # r6: decimal rounded before double cast
-        "q1_pricing_summary",  # r6: same 2^53 hardening on the flagship sums
-        "udf_pandas_scalar_discounted_cents",  # r6: nullable Int64 (keynull crash)
-        "versioned_time_range_read",  # r6: all-NULL cell array sums to NULL not 0
+        # r7: snapshot commits write mode('append') into the claimed dir
+        # (overwrite deleted the claim marker mid-write) — same data, new
+        # write path, so the green rows predate the current code
+        "snapshot_time_travel_orders",
+        "snapshot_compaction_roundtrip",
+        "snapshot_cdc_upsert_history",
+        "fresh_scoring_snapshot_pipeline",
+        # r7: WAV codec precondition is an explicit raise; synthesize maps
+        # NULL text to NULL payload instead of crashing the Arrow batch
+        "multimodal_audio_features",
     }
 )
 

@@ -330,6 +330,132 @@ def text_word2vec_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_neighbors_fixed_vectors",
+    r"""
+    WITH toks AS (
+      SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\W+'),
+                                x -> x <> '')) AS tok
+      FROM documents WHERE doc_id < 200 AND text IS NOT NULL
+    ),
+    vocab AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
+              HAVING COUNT(*) >= 2),
+    vecs AS (
+      SELECT tok, n, list_transform(range(1, 9), j ->
+        (length(tok) * j
+         + ascii(substr(tok, 1, 1)) * ((j * j) % 13 + 1)
+         + ascii(substr(tok, length(tok), 1)) * ((j % 5) + 1)
+         + (CASE WHEN length(tok) >= 2 THEN ascii(substr(tok, 2, 1))
+                 ELSE 7 END) * ((j % 3) + 1)
+        ) % 101 - 50) AS v
+      FROM vocab
+    ),
+    top AS (SELECT tok AS top_tok, v AS top_v FROM vecs
+            ORDER BY n DESC, tok ASC LIMIT 1),
+    scored AS (
+      SELECT vecs.tok AS word,
+        CASE WHEN list_dot_product(vecs.v, vecs.v) = 0
+               OR list_dot_product(top.top_v, top.top_v) = 0 THEN 0.0
+             ELSE list_dot_product(top.top_v, vecs.v)
+                  / (sqrt(CAST(list_dot_product(top.top_v, top.top_v) AS DOUBLE))
+                     * sqrt(CAST(list_dot_product(vecs.v, vecs.v) AS DOUBLE)))
+        END AS sim
+      FROM vecs CROSS JOIN top
+      WHERE vecs.tok <> top.top_tok
+    )
+    SELECT word, ROUND(sim, 6) AS similarity FROM scored
+    ORDER BY ROUND(sim, 6) DESC, word ASC LIMIT 5
+    """,
+    "text", "pipeline",
+)
+def text_neighbors_fixed_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor ranking of the corpus's most frequent token under a
+    FIXED deterministic embedding — the hash-verifiable half of the
+    Word2Vec pipeline (round-6 verdict task 6).
+
+    `text_word2vec_neighbors` stays rows-only because skip-gram training
+    accumulates float gradients in scheduler order (no closed-form oracle
+    can exist). But everything AROUND the training — tokenization, vocab
+    build (minCount>=2), top-token selection, cosine top-k over the
+    (vocab x dim) matrix — IS deterministic, so this query runs that exact
+    pipeline with vectors injected as a pure function of the token text
+    (per-dim integer arithmetic over codepoints, values in [-50, 50]).
+    The dot products and norms are exact integers in both engines; the one
+    double division per pair is bit-identical; ROUND(…,6) absorbs the last
+    ulp. Ordering is (rounded sim DESC, word ASC) so the top-5 cut is
+    total in both engines.
+
+    Scale: the vocab is data-bounded but the probe is ONE broadcast row —
+    the cosine scan is a narrow map over vocab with a top-k bounded sort,
+    the same plan shape `similarity_cosine_topk` uses for real embeddings.
+    Tokens survive `\\W+` splitting, so they are pure ASCII word chars in
+    BOTH engines (Java and RE2 `\\w` are ASCII by default) and
+    `ascii()`/`length()`/`substr()` agree byte-for-byte."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 200) & F.col("text").isNotNull())
+        .select("text")
+    )
+    toks = (
+        docs.select(F.explode(F.split(F.lower("text"), r"\W+")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") >= 2)
+
+    def fixed_vec(t: F.Column) -> F.Column:
+        second = F.when(F.length(t) >= 2, F.ascii(F.substring(t, 2, 1))).otherwise(
+            F.lit(7)
+        )
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(8)),
+            lambda j: (
+                F.length(t) * j
+                + F.ascii(F.substring(t, 1, 1)) * ((j * j) % 13 + 1)
+                + F.ascii(F.substr(t, F.length(t), F.lit(1))) * ((j % 5) + 1)
+                + second * ((j % 3) + 1)
+            )
+            % 101
+            - 50,
+        )
+
+    vecs = vocab.withColumn("v", fixed_vec(F.col("tok")))
+    top = (
+        vecs.orderBy(F.desc("n"), F.asc("tok"))
+        .limit(1)
+        .select(F.col("tok").alias("top_tok"), F.col("v").alias("top_v"))
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    scored = (
+        vecs.crossJoin(F.broadcast(top))
+        .filter(F.col("tok") != F.col("top_tok"))
+        .withColumn("dp", dot(F.col("top_v"), F.col("v")))
+        .withColumn("nt", dot(F.col("top_v"), F.col("top_v")))
+        .withColumn("nv", dot(F.col("v"), F.col("v")))
+        .withColumn(
+            "sim",
+            F.when((F.col("nv") == 0) | (F.col("nt") == 0), F.lit(0.0)).otherwise(
+                F.col("dp").cast("double")
+                / (
+                    F.sqrt(F.col("nt").cast("double"))
+                    * F.sqrt(F.col("nv").cast("double"))
+                )
+            ),
+        )
+    )
+    return (
+        scored.select(F.col("tok").alias("word"), F.round("sim", 6).alias("similarity"))
+        .orderBy(F.desc("similarity"), F.asc("word"))
+        .limit(5)
+    )
+
+
+@query(
     "streaming_hourly_event_stats",
     """
     SELECT date_trunc('hour', ts) AS window_start,
