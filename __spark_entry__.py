@@ -42,6 +42,11 @@ _FORCE_RECHECK: frozenset[str] = frozenset(
         # r7: WAV codec precondition is an explicit raise; synthesize maps
         # NULL text to NULL payload instead of crashing the Arrow batch
         "multimodal_audio_features",
+        # r7: pre-epoch shim — event time shifted at ingest, reversed at
+        # emit (normal-corpus output bit-identical, but the plan changed)
+        "streaming_stream_stream_join",
+        "streaming_stream_stream_left_outer",
+        "streaming_stream_stream_full_outer",
     }
 )
 

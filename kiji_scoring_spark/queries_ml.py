@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from .queries import query
 from .sources import load_table
+from .streaming import shift_event_time, unshift_event_time
 
 
 @contextmanager
@@ -1117,13 +1118,16 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     terminates, so the append-mode inner join emits every match — which
     is why the batch self-join oracle is exact.
 
-    INHERENT MODEL BOUNDARY (ts-edge regime, r6): Spark initializes every
-    watermark to epoch 0, so rows whose EVENT TIME is at or before
-    1970-01-01 are late data from the very first batch and are dropped on
-    input — in this and both outer variants. A batch oracle cannot (and
-    should not) mirror that: pre-epoch event times are corrupt by
-    definition for event-time processing, and a production ingest
-    quarantines them upstream of the watermark."""
+    PRE-EPOCH SHIM (r7, closing the r6 tsedge boundary): Spark
+    initializes every watermark to epoch 0, so rows whose EVENT TIME is
+    at or before 1970-01-01 would be late data from the very first batch
+    and silently dropped on input. All three stream-stream variants now
+    apply :func:`streaming.shift_event_time` (+200 000 days, exact
+    integer micros) symmetrically at ingest and reverse it on the
+    emitted columns — every relative decision (watermark delay, join
+    range, eviction bound) shifts with the data, so normal-corpus output
+    is bit-identical while pre-epoch rows survive. Verified on the
+    tsedge regime (tests/test_regimes.py::test_tsedge_stream_stream)."""
     load_table(spark, sf_dir, "events")  # sets the nanos-parquet conf
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
@@ -1139,9 +1143,19 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         else:
             s = s.withColumn("ts", F.col("ts").cast("timestamp"))
+        # pre-epoch shim (r7): shift event time by a constant BEFORE the
+        # watermark so rows at/before epoch 0 — which Spark's initial
+        # watermark of 0 would drop as first-batch late data — survive;
+        # exactly reversed on the emitted columns. Relative semantics
+        # (watermark delay, join time-range, eviction bounds) shift with
+        # the data, so normal-corpus results are bit-identical.
         return (
-            s.filter((F.col("event_type") == alias_type) & (F.col("user_id") < 40))
-            .select("user_id", "event_id", "ts")
+            shift_event_time(
+                s.filter(
+                    (F.col("event_type") == alias_type) & (F.col("user_id") < 40)
+                ).select("user_id", "event_id", "ts"),
+                "ts",
+            )
             .withWatermark("ts", "1 minute")
         )
 
@@ -1179,7 +1193,7 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
     ts_type = load_table(spark, sf_dir, "events").schema["ts"].dataType
     return (
-        spark.table(sink)
+        unshift_event_time(spark.table(sink), ["view_ts", "purchase_ts"])
         .select(
             F.col("v_user").alias("user_id"),
             "view_id",
@@ -1335,9 +1349,19 @@ def streaming_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> Data
             )
         else:
             s = s.withColumn("ts", F.col("ts").cast("timestamp"))
+        # pre-epoch shim (r7): shift event time by a constant BEFORE the
+        # watermark so rows at/before epoch 0 — which Spark's initial
+        # watermark of 0 would drop as first-batch late data — survive;
+        # exactly reversed on the emitted columns. Relative semantics
+        # (watermark delay, join time-range, eviction bounds) shift with
+        # the data, so normal-corpus results are bit-identical.
         return (
-            s.filter((F.col("event_type") == alias_type) & (F.col("user_id") < 40))
-            .select("user_id", "event_id", "ts")
+            shift_event_time(
+                s.filter(
+                    (F.col("event_type") == alias_type) & (F.col("user_id") < 40)
+                ).select("user_id", "event_id", "ts"),
+                "ts",
+            )
             .withWatermark("ts", "1 minute")
         )
 
@@ -1369,7 +1393,7 @@ def streaming_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> Data
         )
         q.awaitTermination()
     return (
-        spark.table(sink)
+        unshift_event_time(spark.table(sink), ["view_ts", "purchase_ts"])
         .select(
             F.col("v_user").alias("user_id"),
             "view_id",
@@ -1622,9 +1646,19 @@ def streaming_stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> Data
             )
         else:
             s = s.withColumn("ts", F.col("ts").cast("timestamp"))
+        # pre-epoch shim (r7): shift event time by a constant BEFORE the
+        # watermark so rows at/before epoch 0 — which Spark's initial
+        # watermark of 0 would drop as first-batch late data — survive;
+        # exactly reversed on the emitted columns. Relative semantics
+        # (watermark delay, join time-range, eviction bounds) shift with
+        # the data, so normal-corpus results are bit-identical.
         return (
-            s.filter((F.col("event_type") == alias_type) & (F.col("user_id") < 40))
-            .select("user_id", "event_id", "ts")
+            shift_event_time(
+                s.filter(
+                    (F.col("event_type") == alias_type) & (F.col("user_id") < 40)
+                ).select("user_id", "event_id", "ts"),
+                "ts",
+            )
             .withWatermark("ts", "1 minute")
         )
 
@@ -1656,7 +1690,7 @@ def streaming_stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> Data
         )
         q.awaitTermination()
     return (
-        spark.table(sink)
+        unshift_event_time(spark.table(sink), ["view_ts", "purchase_ts"])
         .select(
             F.coalesce(F.col("v_user"), F.col("p_user")).alias("user_id"),
             "view_id",

@@ -29,6 +29,50 @@ from pyspark.sql.types import (
 )
 
 
+#: Default event-time shift for pre-epoch-safe streaming: 200 000 days
+#: (~547 years) in microseconds. Spark initializes every watermark to
+#: epoch 0, so rows whose EVENT TIME is at or before 1970-01-01 are late
+#: data from the very first batch and get dropped on input — an inherent
+#: engine boundary (tsedge regime, r6). Shifting event time by a constant
+#: at ingest and reversing it at emit is semantics-preserving: watermark
+#: delays, join time-ranges, and window lengths are all RELATIVE, so
+#: every eviction/lateness decision shifts with the data — but the
+#: shifted times clear the initial watermark, so pre-epoch rows survive.
+#: The caller must pick an offset larger than -min(event_time); the
+#: default absorbs anything back to ~1423 CE.
+PRE_EPOCH_SHIFT_MICROS: int = 200_000 * 86_400 * 1_000_000
+
+
+def shift_event_time(
+    df: DataFrame, ts_col: str, offset_micros: int = PRE_EPOCH_SHIFT_MICROS
+) -> DataFrame:
+    """Shift ``ts_col`` forward by a constant, in exact integer
+    microseconds (NOT a calendar interval: adding then subtracting a
+    year-month interval is not an exact inverse across leap-day clamps —
+    2000-02-29 + 500 years + -500 years lands on 02-28). Apply BEFORE
+    ``withWatermark`` on every stream that participates in the same
+    event-time comparison, and reverse with :func:`unshift_event_time`
+    on the emitted columns."""
+    return df.withColumn(
+        ts_col,
+        F.timestamp_micros(F.unix_micros(F.col(ts_col)) + F.lit(offset_micros)),
+    )
+
+
+def unshift_event_time(
+    df: DataFrame, ts_cols: list[str], offset_micros: int = PRE_EPOCH_SHIFT_MICROS
+) -> DataFrame:
+    """Exact inverse of :func:`shift_event_time` on each emitted
+    event-time column (bit-identical round trip — the integer micros
+    arithmetic has no calendar edge cases)."""
+    out = df
+    for c in ts_cols:
+        out = out.withColumn(
+            c, F.timestamp_micros(F.unix_micros(F.col(c)) - F.lit(offset_micros))
+        )
+    return out
+
+
 def read_events_stream(
     spark, events_parquet_dir: str, schema, max_files_per_trigger: int = 1
 ) -> DataFrame:

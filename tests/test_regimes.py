@@ -259,3 +259,41 @@ def test_onerow_regime(spark, onerow_dir, name):
 @pytest.mark.parametrize("name", EMPTY_REGIME)
 def test_empty_regime(spark, empty_dir, name):
     _check(spark, empty_dir, name)
+
+
+#: r7: timestamp-edge events (epoch-0 sentinels, pre-1970, +150-year rows)
+#: — the construction under which the three stream-stream joins used to
+#: DROP pre/at-epoch rows (Spark's initial watermark is 0). The r7
+#: pre-epoch shim (streaming.shift_event_time applied symmetrically at
+#: ingest, reversed at emit) closes that boundary; this gate pins it.
+_TSEDGE_MODS = {
+    "events": (
+        "SELECT * REPLACE (CASE "
+        "WHEN user_id % 23 = 0 THEN TIMESTAMP '1970-01-01 00:00:00' "
+        "WHEN user_id % 29 = 0 THEN TIMESTAMP '1969-06-01 12:00:00' "
+        "WHEN user_id % 31 = 0 THEN ts + INTERVAL 150 YEAR "
+        "ELSE ts END AS ts)"
+    ),
+}
+
+
+@pytest.fixture(scope="session")
+def tsedge_dir(tmp_path_factory):
+    return _build(
+        tmp_path_factory,
+        "tsedgesf",
+        lambda t, rp: f"{_TSEDGE_MODS.get(t, 'SELECT *')} FROM {rp}",
+    )
+
+
+TSEDGE_STREAM_STREAM = [
+    "streaming_stream_stream_join",
+    "streaming_stream_stream_left_outer",
+    "streaming_stream_stream_full_outer",
+]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", TSEDGE_STREAM_STREAM)
+def test_tsedge_stream_stream(spark, tsedge_dir, name):
+    _check(spark, tsedge_dir, name)
