@@ -176,6 +176,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     names = [n for n in HEADLINE if n in QUERIES]
+    # optional subset for ad-hoc scaling runs (e.g. the sf0.1-vs-sf1
+    # audit in REGIMES.md): comma-separated query names
+    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    if subset:
+        wanted = {s.strip() for s in subset.split(",") if s.strip()}
+        names = [n for n in QUERIES if n in wanted]
     # Warm-up runs IMMEDIATELY before each timed run (not one batch pass
     # over all queries first): Spark's whole-stage-codegen compilation
     # cache holds ~100 generated classes, so with 30+ headline queries a
@@ -233,7 +239,10 @@ def main() -> None:
         "sf": sf,
     }
     detail_json = json.dumps(detail, indent=1, sort_keys=True)
-    detail_name = f"BENCH_DETAIL_r{int(round_no):02d}.json"
+    # ad-hoc subset runs must not clobber the round's committed detail file
+    detail_name = (
+        "BENCH_DETAIL_adhoc.json" if subset else f"BENCH_DETAIL_r{int(round_no):02d}.json"
+    )
     with open(os.path.join(here, detail_name), "w") as f:
         f.write(detail_json + "\n")
     slowest = dict(
