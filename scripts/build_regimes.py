@@ -151,8 +151,40 @@ TEXTSHAPE_MODS = {
     ),
 }
 
+#: round-7 addition: KEY SKEW — one mega-key absorbs a large share of a
+#: fact table (user 7 gets ~33% of events; supplier 1 ~25% of lineitem;
+#: customer 1 ~25% of orders; 20% of documents become ONE identical
+#: mega-cluster). This is what dirty 100 TB data does to shuffles: a
+#: single reducer partition carrying a third of the table, per-key
+#: streaming state concentrated on one key, and a dedup bucket far past
+#: the hot-bucket quarantine threshold. Results legitimately change (the
+#: oracle reads the same skewed parquet); what the sweep checks is that
+#: SKEW never changes answers — AQE skew splits, salted aggs, per-key
+#: state, and the quarantine path must be value-neutral.
+SKEW_MODS = {
+    "events": (
+        "SELECT * REPLACE ("
+        "CASE WHEN user_id % 3 = 0 THEN 7 ELSE user_id END AS user_id)"
+    ),
+    "lineitem": (
+        "SELECT * REPLACE ("
+        "CASE WHEN l_suppkey % 4 = 0 THEN 1 ELSE l_suppkey END AS l_suppkey)"
+    ),
+    "orders": (
+        "SELECT * REPLACE ("
+        "CASE WHEN o_custkey % 4 = 0 THEN 1 ELSE o_custkey END AS o_custkey)"
+    ),
+    "documents": (
+        "SELECT * REPLACE (CASE WHEN doc_id % 5 = 0 THEN "
+        "'skewed mega cluster document about distributed deduplication "
+        "banding and hot bucket quarantine at corpus scale' "
+        "ELSE text END AS text)"
+    ),
+}
+
 REGIMES = {
     "null": lambda t, rp: f"{NULL_MODS.get(t, 'SELECT *')} FROM {rp}",
+    "skew": lambda t, rp: f"{SKEW_MODS.get(t, 'SELECT *')} FROM {rp}",
     "keynull": lambda t, rp: f"{KEYNULL_MODS.get(t, 'SELECT *')} FROM {rp}",
     "unicode": lambda t, rp: f"{UNICODE_MODS.get(t, 'SELECT *')} FROM {rp}",
     "extremeval": lambda t, rp: f"{EXTREMEVAL_MODS.get(t, 'SELECT *')} FROM {rp}",

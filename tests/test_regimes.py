@@ -297,3 +297,48 @@ TSEDGE_STREAM_STREAM = [
 @pytest.mark.parametrize("name", TSEDGE_STREAM_STREAM)
 def test_tsedge_stream_stream(spark, tsedge_dir, name):
     _check(spark, tsedge_dir, name)
+
+
+@pytest.fixture(scope="session")
+def skew_dir(tmp_path_factory):
+    """KEY SKEW: one mega-key owns a large share of each fact table
+    (canonical mods in scripts/build_regimes.py — round 7's regime; the
+    full sweep went 226/226 clean on first run). The gate pins the
+    skew-value-neutrality of exactly the machinery that exists FOR skew:
+    salting, AQE skew-join, the dedup hot-bucket quarantine, and
+    per-key streaming state."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"),
+    )
+    from build_regimes import SKEW_MODS
+
+    return _build(
+        tmp_path_factory,
+        "skewsf",
+        lambda t, rp: f"{SKEW_MODS.get(t, 'SELECT *')} FROM {rp}",
+    )
+
+
+SKEW_REGIME = [
+    # the two operators whose whole purpose is skew: salted agg + join
+    "salted_agg_event_type_stats",
+    "salted_join_event_labels",
+    # 20% of documents collapse into ONE identical text → a single dedup
+    # bucket far past the quarantine threshold; candidate pairs and the
+    # survivor ranking must come out identical to the oracle's
+    "dedup_minhash_candidate_pairs",
+    "dedup_keep_best_per_cluster",
+    # per-user windows/state with one user owning ~33% of events
+    "most_recent_event_per_user",
+    "streaming_stateful_running_user_totals",
+]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", SKEW_REGIME)
+def test_skew_regime(spark, skew_dir, name):
+    _check(spark, skew_dir, name)
