@@ -47,6 +47,10 @@ _FORCE_RECHECK: frozenset[str] = frozenset(
         "streaming_stream_stream_join",
         "streaming_stream_stream_left_outer",
         "streaming_stream_stream_full_outer",
+        # r7: image path graduated from digest stub to a REAL PNG codec
+        # (synthesize -> CRC-verified decode -> pixel statistics); both the
+        # query plan and the oracle changed
+        "multimodal_image_features",
     }
 )
 

@@ -3,13 +3,17 @@ opaque ``BinaryType`` columns with typed metadata structs, processed by
 Arrow-batched ``mapInPandas`` pipelines.
 
 The Spark-side plumbing — schemas, batch iteration, partition sizing, UDF
-signatures — is real and tested. Codec status (round 6): the AUDIO path is
+signatures — is real and tested. Codec status (round 7): the AUDIO path is
 a REAL decoder — `extract_audio_features` parses genuine PCM WAV containers
-with stdlib ``wave`` and computes signal statistics from the samples; only
-image/video decode remain stubs, because this container has no PIL/ffmpeg.
-Each remaining stub is deterministic (derived from the payload bytes) so
-tests can golden-check the full pipeline; swap `_decode_image_stub` etc.
-for PIL/ffmpeg calls in a real deployment without touching any Spark code.
+with stdlib ``wave`` — and the IMAGE path is now a REAL codec too:
+`_png_encode`/`_png_decode` implement the PNG container natively on stdlib
+``zlib``/``struct`` (chunk CRCs verified, IDAT inflated, all five scanline
+filters unfiltered), so `extract_image_features` computes dimensions and
+intensity from genuinely decoded pixels and `resize_images` is a true
+decode → nearest-neighbor resample → re-encode stage. Only VIDEO decode
+remains a stub (no ffmpeg in this container); it is deterministic
+(byte-slice digests) so tests can golden-check the full pipeline, and a
+deployment swaps it for ffmpeg keyframe seeks without touching Spark code.
 
 Scale notes: payloads stay in executor memory one Arrow batch at a time
 (``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds batch bytes);
@@ -118,35 +122,216 @@ def attach_media_columns(df: DataFrame, id_col: str, payload_col) -> DataFrame:
     )
 
 
-def _decode_image_stub(payload: bytes) -> tuple[int, int, int, float]:
-    """STUB decoder — deterministic fake dimensions/intensity derived from
-    the payload digest. Replace with `PIL.Image.open(io.BytesIO(payload))`
-    in a deployment with codecs installed."""
-    h = hashlib.sha256(payload).digest()
-    width = 64 + h[0] % 192          # 64..255
-    height = 64 + h[1] % 192
-    n_channels = 1 + h[2] % 4        # 1..4
-    mean_intensity = sum(payload[:256]) / max(1, min(len(payload), 256)) if payload else 0.0
-    return width, height, n_channels, float(mean_intensity)
+#: ---- native PNG container codec (round 7 — stdlib zlib/struct only) ----
+#: PNG is the one raster format implementable honestly without PIL: the
+#: container is chunked (length/tag/data/CRC32), pixels are zlib-deflated
+#: scanlines, and the per-scanline filters are small integer recurrences.
+#: The encoder writes filter 0 (None) throughout; the decoder implements
+#: all five filters so foreign PNGs (PIL-, libpng-produced) decode too.
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: PNG color type -> samples per pixel (bit depth 8 only)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+_PNG_COLOR_TYPE = {1: 0, 2: 4, 3: 2, 4: 6}  # channels -> color type
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def _png_encode(img) -> bytes:
+    """Encode a (H, W) or (H, W, C) uint8 numpy array as a REAL PNG file:
+    8-bit, color type from channel count (1→gray, 2→gray+alpha, 3→RGB,
+    4→RGBA), filter 0 scanlines, one zlib-deflated IDAT. Any PNG reader
+    (PIL, browsers, libpng) opens the output."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.ascontiguousarray(img, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    if h < 1 or w < 1 or ch not in _PNG_COLOR_TYPE:
+        raise ValueError(f"unencodable image shape {a.shape}")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, _PNG_COLOR_TYPE[ch], 0, 0, 0)
+    # filter byte 0 prefixes every scanline: insert a zero column, flatten
+    raw = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8), a.reshape(h, w * ch)], axis=1
+    ).tobytes()
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_decode(payload: bytes):
+    """Decode a PNG payload to ``(width, height, channels, pixels)`` with
+    ``pixels`` a (H, W*C) uint8 numpy array. Genuine container parse:
+    signature check, per-chunk CRC32 verification, multi-IDAT inflate,
+    and full unfiltering (filter types 0–4 incl. Paeth). Supported pixel
+    formats: bit depth 8, color types 0/2/4/6, no interlace — the formats
+    the encoder above emits plus plain PIL/libpng output. Malformed
+    payloads raise ``ValueError`` (fail-fast, like the WAV path)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if len(payload) < 8 or bytes(payload[:8]) != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        tag = bytes(payload[pos + 4 : pos + 8])
+        data = bytes(payload[pos + 8 : pos + 8 + ln])
+        if len(data) != ln or pos + 12 + ln > len(payload):
+            raise ValueError(f"truncated PNG chunk {tag!r}")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + ln)
+        if crc != (zlib.crc32(tag + data) & 0xFFFFFFFF):
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = data
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or len(ihdr) != 13:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype, comp, filt, inter = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8 or ctype not in _PNG_CHANNELS or comp or filt or inter:
+        raise ValueError(
+            f"decoder handles 8-bit non-interlaced color types 0/2/4/6, got "
+            f"depth={depth} color={ctype} interlace={inter}"
+        )
+    ch = _PNG_CHANNELS[ctype]
+    stride = w * ch
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"PNG IDAT inflate failed: {e}") from e
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG pixel data length mismatch")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
+    filters, lines = rows[:, 0], rows[:, 1:]
+    if not filters.any():
+        return w, h, ch, lines.copy()  # all filter 0: the encoder's own fast path
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        ft = int(filters[y])
+        cur = lines[y].astype(np.int32)
+        up = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if ft == 0:
+            rec = cur
+        elif ft == 2:  # Up
+            rec = (cur + up) & 0xFF
+        elif ft in (1, 3, 4):  # Sub / Average / Paeth: left-recurrences
+            rec = np.zeros(stride, np.int32)
+            for i in range(stride):
+                left = rec[i - ch] if i >= ch else 0
+                if ft == 1:
+                    rec[i] = (cur[i] + left) & 0xFF
+                elif ft == 3:
+                    rec[i] = (cur[i] + (left + up[i]) // 2) & 0xFF
+                else:
+                    ul = int(out[y - 1, i - ch]) if (y and i >= ch) else 0
+                    p = left + up[i] - ul
+                    pa, pb, pc = abs(p - left), abs(p - up[i]), abs(p - ul)
+                    pred = left if (pa <= pb and pa <= pc) else (up[i] if pb <= pc else ul)
+                    rec[i] = (cur[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG scanline filter {ft} invalid")
+        out[y] = rec
+    return w, h, ch, out
+
+
+def synthesize_png_payloads(
+    df: DataFrame, id_col: str, text_col: str, width: int = 16
+) -> DataFrame:
+    """Fixture synthesis: deterministically render a text column into REAL
+    8-bit grayscale PNG files (`_png_encode` — stdlib zlib, no native
+    deps). Pixel i is ``ord(text[i]) % 256`` raster-scanned into rows of
+    ``width``, zero-padded to a full final row; empty text renders one
+    all-zero row (PNG requires height ≥ 1). Char-level ``ord`` with a
+    non-negative modulo means Python and SQL agree on every codepoint —
+    CJK/emoji included — so the downstream REAL decoder stays under the
+    value-hash gate with no ASCII precondition (the r6 unicode sweep's
+    documented stub boundary is gone). NULL text maps to a NULL payload,
+    never a batch crash.
+
+    This stage exists because the container ships no image assets; a
+    deployment replaces it with the actual binary source and
+    ``extract_image_features`` — the real decoder — is unchanged."""
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        def render(text) -> bytes | None:
+            if text is None:
+                return None
+            vals = [ord(c) % 256 for c in text]
+            h = max(1, -(-len(vals) // width))
+            px = np.zeros(h * width, dtype=np.uint8)
+            px[: len(vals)] = vals
+            return _png_encode(px.reshape(h, width))
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [render(t) for t in pdf["text"]],
+                }
+            )
+
+    proj = df.select(
+        F.col(id_col).cast("long").alias("media_id"), F.col(text_col).alias("text")
+    )
+    schema = StructType(
+        [StructField("media_id", LongType()), StructField("payload", BinaryType())]
+    )
+    return proj.mapInPandas(run, schema=schema)
 
 
 def extract_image_features(media: DataFrame) -> DataFrame:
-    """Image decode + feature extraction over Arrow batches (mapInPandas).
-    One narrow stage: each batch is a pandas DataFrame of payload bytes;
-    output schema is fixed so Catalyst can prune/filter downstream."""
+    """REAL image decode + feature extraction over Arrow batches
+    (mapInPandas, round 7 — no longer a stub): each payload is parsed as
+    an actual PNG container (`_png_decode`: CRC-verified chunks, inflated
+    IDAT, unfiltered scanlines) and the features come from the decoded
+    pixels — true width/height from IHDR, channel count from the color
+    type, and mean intensity as one exact integer sum over every decoded
+    sample divided once (bit-reproducible for a SQL oracle). Malformed
+    payloads raise ``ValueError`` — same fail-fast contract as the WAV
+    decoder; wrap in try/except + dead-letter routing for quarantine
+    semantics at ingest scale."""
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        def feats(payload: bytes):
+            w, h, ch, px = _png_decode(payload if payload is not None else b"")
+            return w, h, ch, float(int(px.sum(dtype="int64"))) / (w * h * ch)
+
         for pdf in batches:
-            feats = [_decode_image_stub(p if p is not None else b"") for p in pdf["payload"]]
+            rows = [feats(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "width": [f[0] for f in feats],
-                    "height": [f[1] for f in feats],
-                    "n_channels": [f[2] for f in feats],
-                    "mean_intensity": [f[3] for f in feats],
+                    "width": [f[0] for f in rows],
+                    "height": [f[1] for f in rows],
+                    "n_channels": [f[2] for f in rows],
+                    "mean_intensity": [f[3] for f in rows],
                 }
             )
 
@@ -154,23 +339,30 @@ def extract_image_features(media: DataFrame) -> DataFrame:
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize stage. STUB transform: truncate/pad payload to width*height
-    bytes (a real deployment decodes, resamples, re-encodes). The Spark
-    shape — binary in, binary out, metadata recomputed — is the real
-    pattern."""
+    """REAL resize stage (round 7): decode PNG → nearest-neighbor resample
+    to (width, height) per channel → re-encode PNG. Binary in, binary out,
+    dimensions recomputed — the deployment pattern, now with the actual
+    pixel path. NULL payloads pass through as NULL rows (a missing asset
+    is not a decode error); malformed ones raise, like the decoder."""
 
     def run(batches: Iterator) -> Iterator:
+        import numpy as np
         import pandas as pd
 
-        target = width * height
+        def resample(p):
+            if p is None:
+                return None
+            w0, h0, ch, px = _png_decode(p)
+            img = px.reshape(h0, w0, ch)
+            yi = (np.arange(height) * h0) // height
+            xi = (np.arange(width) * w0) // width
+            return _png_encode(img[yi][:, xi])
+
         for pdf in batches:
-            out = [
-                (p or b"")[:target].ljust(target, b"\0") for p in pdf["payload"]
-            ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "payload": out,
+                    "payload": [resample(p) for p in pdf["payload"]],
                     "width": width,
                     "height": height,
                 }

@@ -663,45 +663,44 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _multimodal_features_oracle() -> str:
-    # the stub decoder derives fake dimensions from the payload sha256 and
-    # mean intensity from the first 256 payload bytes. FIXTURE PRECONDITION
-    # (kept by design after the r6 unicode sweep): this oracle's char
-    # arithmetic mirrors the stub's BYTE arithmetic only for ASCII text —
-    # real deployments feed real binary payloads, and the stub's byte math
-    # is the correct behavior to model; the driver corpus text is ASCII
-    # (verified) so DuckDB char arithmetic == byte arithmetic
-    byte0 = "('0x' || substr(sha256(text), 1, 2))::INT"
-    byte1 = "('0x' || substr(sha256(text), 3, 2))::INT"
-    byte2 = "('0x' || substr(sha256(text), 5, 2))::INT"
-    # empty-payload guard (r6, text-shape regime): the stub returns 0.0
-    # mean intensity for a zero-byte payload; list_reduce over an empty
-    # series is NULL, so state the rule explicitly
-    intensity = (
-        "CASE WHEN length(text) = 0 THEN 0.0 ELSE "
-        "CAST(list_reduce(list_transform(generate_series(1, least(length(text), 256)),"
-        " i -> ord(substr(text, i, 1))::BIGINT), (a,b) -> a + b) AS DOUBLE)"
-        " / least(length(text), 256) END"
+    # the oracle recomputes the DECODED raster's statistics from the text
+    # the fixture image was rendered from (r7 — real codec): pixel i =
+    # ord(text[i]) % 256, raster rows of 16, zero-padded final row, empty
+    # text = one all-zero row. Char-level ord + non-negative modulo means
+    # Python and SQL agree on every codepoint — the r6 unicode sweep's
+    # ASCII stub precondition is gone. list_sum of an empty list is NULL,
+    # so COALESCE states the empty-text rule (all-pad image, mean 0).
+    return """
+    WITH t AS (
+      SELECT doc_id, length(text) AS n,
+        list_transform(generate_series(1, length(text)),
+                       i -> CAST(ord(substr(text, i, 1)) % 256 AS BIGINT)) AS px
+      FROM documents WHERE text IS NOT NULL
     )
-    return f"""
     SELECT doc_id AS media_id,
-      64 + {byte0} % 192 AS width,
-      64 + {byte1} % 192 AS height,
-      1 + {byte2} % 4 AS n_channels,
-      {intensity} AS mean_intensity
-    FROM documents WHERE text IS NOT NULL ORDER BY media_id
+      CAST(16 AS INTEGER) AS width,
+      CAST(greatest(1, (n + 15) // 16) AS INTEGER) AS height,
+      CAST(1 AS INTEGER) AS n_channels,
+      CAST(COALESCE(list_sum(px), 0) AS DOUBLE)
+        / (16 * greatest(1, (n + 15) // 16)) AS mean_intensity
+    FROM t ORDER BY media_id
     """
 
 
 @query("multimodal_image_features", _multimodal_features_oracle(), "multimodal", "pipeline")
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image decode + feature extraction over opaque binary payloads via
-    Arrow-batched mapInPandas (operators/multimodal.py). The decoder is a
-    deterministic stub (no codecs in this container) — but the full Spark
-    pipeline (binary column → canonical media schema → mapInPandas batches
-    → typed feature rows) is real and oracle-checked end to end."""
+    """Image modality (§2.G) — REAL codec as of round 7: text renders to
+    genuine PNG containers (operators/multimodal.py `_png_encode`, stdlib
+    zlib — fixture stage standing in for real assets), then
+    `extract_image_features` PARSES the PNG (CRC-verified chunks, inflated
+    IDAT, unfiltered scanlines) and computes width/height/channels/mean
+    intensity from the decoded pixels, Arrow batch by Arrow batch. The
+    oracle replays the raster math from the source text, so the decoder's
+    output — not a digest proxy — is under the value-hash gate."""
     # a NULL body is a missing asset: dropped before decode (both sides)
     d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    media = mm.attach_media_columns(d, "doc_id", F.encode("text", "utf-8"))
+    png = mm.synthesize_png_payloads(d, "doc_id", "text")
+    media = mm.attach_media_columns(png, "media_id", "payload")
     return mm.extract_image_features(media).orderBy("media_id")
 
 

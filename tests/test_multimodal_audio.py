@@ -72,18 +72,26 @@ def test_zero_frame_file_decodes_to_silence(spark):
             r.peak_amplitude, r.zero_crossings) == (0, 0, 0.0, 0, 0)
 
 
-def test_resize_stage_shape_contract(spark):
+def test_resize_stage_real_resample_contract(spark):
     """resize_images is the one multimodal stage no registry query uses:
-    pin its binary-in/binary-out contract here so it can't rot — payload
-    truncates/pads to width*height bytes, metadata columns recomputed."""
+    pin its contract here so it can't rot. As of r7 it is a REAL pixel
+    path: decode PNG -> nearest-neighbor resample -> re-encode PNG; NULL
+    payloads pass through as NULL rows (missing asset != decode error)."""
+    import numpy as np
+
+    # 2x2 grayscale checkerboard -> upsample 4x4: each pixel becomes 2x2
+    src = mm._png_encode(np.array([[0, 255], [255, 0]], dtype=np.uint8))
     df = spark.createDataFrame(
-        [(1, bytearray(b"0123456789")), (2, bytearray(b""))], ["doc_id", "body"]
+        [(1, bytearray(src)), (2, None)], "doc_id long, body binary"
     )
     media = mm.attach_media_columns(df, "doc_id", "body")
-    out = {r.media_id: r for r in mm.resize_images(media, 2, 3).collect()}
-    assert bytes(out[1].payload) == b"012345"          # truncated to 6
-    assert bytes(out[2].payload) == b"\0" * 6          # padded to 6
-    assert (out[1].width, out[1].height) == (2, 3)
+    out = {r.media_id: r for r in mm.resize_images(media, 4, 4).collect()}
+    w, h, ch, px = mm._png_decode(bytes(out[1].payload))
+    assert (w, h, ch) == (4, 4, 1)
+    expect = np.kron(np.array([[0, 255], [255, 0]]), np.ones((2, 2))).astype(np.uint8)
+    assert (px.reshape(4, 4) == expect).all()
+    assert out[2].payload is None
+    assert (out[1].width, out[1].height) == (4, 4)
 
 
 def test_null_text_yields_null_payload_not_crash(spark):
