@@ -51,6 +51,9 @@ _FORCE_RECHECK: frozenset[str] = frozenset(
         # (synthesize -> CRC-verified decode -> pixel statistics); both the
         # query plan and the oracle changed
         "multimodal_image_features",
+        # r7: frame sampling graduated from byte-slice stub to a REAL
+        # Animated PNG container parse (per-frame decode + statistics)
+        "multimodal_frame_samples",
     }
 )
 

@@ -10,10 +10,13 @@ with stdlib ``wave`` — and the IMAGE path is now a REAL codec too:
 ``zlib``/``struct`` (chunk CRCs verified, IDAT inflated, all five scanline
 filters unfiltered), so `extract_image_features` computes dimensions and
 intensity from genuinely decoded pixels and `resize_images` is a true
-decode → nearest-neighbor resample → re-encode stage. Only VIDEO decode
-remains a stub (no ffmpeg in this container); it is deterministic
-(byte-slice digests) so tests can golden-check the full pipeline, and a
-deployment swaps it for ffmpeg keyframe seeks without touching Spark code.
+decode → nearest-neighbor resample → re-encode stage. The animation path
+is real as well: `_apng_encode`/`_apng_decode` implement the public
+Animated PNG extension (acTL/fcTL/fdAT chunks, shared sequence counter),
+so `sample_frames` emits statistics from genuinely decoded frames. True
+video codecs (H.264/VP9) still require ffmpeg — the one remaining
+documented boundary; a deployment swaps the APNG parse for ffmpeg
+keyframe seeks without touching any Spark code.
 
 Scale notes: payloads stay in executor memory one Arrow batch at a time
 (``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds batch bytes);
@@ -74,7 +77,8 @@ FRAME_SAMPLE_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
         StructField("frame_idx", IntegerType()),
-        StructField("frame_sha256", StringType()),
+        StructField("frame_mean", DoubleType()),
+        StructField("frame_peak", IntegerType()),
     ]
 )
 
@@ -216,17 +220,26 @@ def _png_decode(payload: bytes):
             f"depth={depth} color={ctype} interlace={inter}"
         )
     ch = _PNG_CHANNELS[ctype]
-    stride = w * ch
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error as e:
         raise ValueError(f"PNG IDAT inflate failed: {e}") from e
+    return w, h, ch, _png_unfilter(raw, w, h, ch)
+
+
+def _png_unfilter(raw: bytes, w: int, h: int, ch: int):
+    """Reconstruct (H, W*C) uint8 pixels from an inflated scanline stream
+    (each line: 1 filter byte + W*C filtered samples) — RFC 2083 filter
+    types 0–4 including Paeth. Shared by the still-PNG and APNG paths."""
+    import numpy as np
+
+    stride = w * ch
     if len(raw) != h * (1 + stride):
         raise ValueError("PNG pixel data length mismatch")
     rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
     filters, lines = rows[:, 0], rows[:, 1:]
     if not filters.any():
-        return w, h, ch, lines.copy()  # all filter 0: the encoder's own fast path
+        return lines.copy()  # all filter 0: the encoder's own fast path
     out = np.zeros((h, stride), dtype=np.uint8)
     for y in range(h):
         ft = int(filters[y])
@@ -253,7 +266,138 @@ def _png_decode(payload: bytes):
         else:
             raise ValueError(f"PNG scanline filter {ft} invalid")
         out[y] = rec
-    return w, h, ch, out
+    return out
+
+
+def _apng_encode(frames, delay=(1, 10)) -> bytes:
+    """Encode a list of same-shape (H, W) or (H, W, C) uint8 arrays as a
+    REAL Animated PNG (the public APNG extension: acTL frame-count chunk,
+    one fcTL per frame, frame 0 in IDAT, later frames in fdAT chunks with
+    a shared sequence counter). Browsers and PIL play the output; a plain
+    PNG reader shows frame 0 — exactly the spec's fallback behavior."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if not frames:
+        raise ValueError("APNG needs at least one frame")
+    norm = []
+    for fr in frames:
+        a = np.ascontiguousarray(fr, dtype=np.uint8)
+        if a.ndim == 2:
+            a = a[:, :, None]
+        norm.append(a)
+    h, w, ch = norm[0].shape
+    if any(a.shape != (h, w, ch) for a in norm) or ch not in _PNG_COLOR_TYPE:
+        raise ValueError("APNG frames must share one supported shape")
+
+    def scanlines(a) -> bytes:
+        return np.concatenate(
+            [np.zeros((h, 1), dtype=np.uint8), a.reshape(h, w * ch)], axis=1
+        ).tobytes()
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, _PNG_COLOR_TYPE[ch], 0, 0, 0)
+    out = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    out += _png_chunk(b"acTL", struct.pack(">II", len(norm), 0))  # loop forever
+    seq = 0
+    for idx, a in enumerate(norm):
+        fctl = struct.pack(
+            ">IIIIIHHBB", seq, w, h, 0, 0, delay[0], delay[1], 0, 0
+        )  # full-frame, no offset, dispose NONE, blend SOURCE
+        out += _png_chunk(b"fcTL", fctl)
+        seq += 1
+        data = zlib.compress(scanlines(a), 6)
+        if idx == 0:
+            out += _png_chunk(b"IDAT", data)
+        else:
+            out += _png_chunk(b"fdAT", struct.pack(">I", seq) + data)
+            seq += 1
+    return out + _png_chunk(b"IEND", b"")
+
+
+def _apng_decode(payload: bytes):
+    """Decode an APNG payload to ``(width, height, channels, [frames])``,
+    each frame a (H, W*C) uint8 array. A plain PNG (no acTL) decodes as a
+    one-frame animation — the spec's compatibility story. Honest subset,
+    enforced loudly: full-size frames at offset (0,0) with dispose NONE /
+    blend SOURCE (what the encoder emits); per-chunk CRCs verified and
+    the fcTL/fdAT shared sequence counter checked for gaps."""
+    import struct
+    import zlib
+
+    import numpy as np  # noqa: F401  (kept with its codec siblings)
+
+    if len(payload) < 8 or bytes(payload[:8]) != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos, ihdr, n_frames = 8, None, None
+    frames: list[list[bytes]] = []  # per-frame compressed data pieces
+    expect_seq = 0
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        tag = bytes(payload[pos + 4 : pos + 8])
+        data = bytes(payload[pos + 8 : pos + 8 + ln])
+        if len(data) != ln or pos + 12 + ln > len(payload):
+            raise ValueError(f"truncated PNG chunk {tag!r}")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + ln)
+        if crc != (zlib.crc32(tag + data) & 0xFFFFFFFF):
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = data
+        elif tag == b"acTL":
+            (n_frames, _plays) = struct.unpack(">II", data)
+        elif tag == b"fcTL":
+            seq, fw, fh, fx, fy = struct.unpack_from(">IIIII", data)
+            if seq != expect_seq:
+                raise ValueError(f"APNG sequence gap: fcTL {seq} != {expect_seq}")
+            expect_seq += 1
+            if ihdr is None:
+                raise ValueError("APNG fcTL before IHDR")
+            iw, ih = struct.unpack_from(">II", ihdr)
+            if (fw, fh, fx, fy) != (iw, ih, 0, 0):
+                raise ValueError(
+                    "decoder handles full-size frames at offset (0,0), got "
+                    f"{fw}x{fh}+{fx}+{fy}"
+                )
+            frames.append([])
+        elif tag == b"IDAT":
+            if not frames:
+                frames.append([])  # plain PNG: IDAT is the only frame
+            if len(frames) != 1:
+                raise ValueError("APNG IDAT after fdAT frames")
+            frames[0].append(data)
+        elif tag == b"fdAT":
+            (seq,) = struct.unpack_from(">I", data)
+            if seq != expect_seq:
+                raise ValueError(f"APNG sequence gap: fdAT {seq} != {expect_seq}")
+            expect_seq += 1
+            if len(frames) < 2:
+                raise ValueError("APNG fdAT before its fcTL")
+            frames[-1].append(data[4:])
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or len(ihdr) != 13:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype, comp, filt, inter = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8 or ctype not in _PNG_CHANNELS or comp or filt or inter:
+        raise ValueError(
+            f"decoder handles 8-bit non-interlaced color types 0/2/4/6, got "
+            f"depth={depth} color={ctype} interlace={inter}"
+        )
+    ch = _PNG_CHANNELS[ctype]
+    if n_frames is not None and n_frames != len(frames):
+        raise ValueError(f"acTL declares {n_frames} frames, found {len(frames)}")
+    if not frames or not frames[0]:
+        raise ValueError("PNG missing pixel data")
+    decoded = []
+    for pieces in frames:
+        try:
+            raw = zlib.decompress(b"".join(pieces))
+        except zlib.error as e:
+            raise ValueError(f"APNG frame inflate failed: {e}") from e
+        decoded.append(_png_unfilter(raw, w, h, ch))
+    return w, h, ch, decoded
 
 
 def synthesize_png_payloads(
@@ -497,25 +641,81 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
 
 
-def sample_frames(media: DataFrame, every_n_bytes: int = 4096, max_frames: int = 8) -> DataFrame:
-    """Video frame sampling as a one-to-many mapInPandas (UDTF shape): each
-    payload yields up to ``max_frames`` rows. STUB: a "frame" is a
-    byte-slice digest; a real deployment seeks keyframes via ffmpeg."""
+def synthesize_apng_payloads(
+    df: DataFrame, id_col: str, text_col: str, width: int = 16, max_frames: int = 8
+) -> DataFrame:
+    """Fixture synthesis: deterministically render a text column into REAL
+    Animated PNG files (`_apng_encode` — stdlib zlib, no native deps).
+    Frame f is the still-image raster (`ord(text[i]) % 256`, rows of
+    ``width``, zero-padded) brightness-shifted by f: pixel i of frame f is
+    ``(ord(text[i]) + f) % 256`` with pads at ``f % 256`` — so every frame
+    differs and a SQL oracle can replay any frame's statistics from the
+    text. Frame count is ``min(max_frames, max(1, ceil(len/width)))``, the
+    same geometry rule as the still image's height. NULL text maps to a
+    NULL payload. In a deployment the actual video source replaces this
+    stage; `sample_frames` — the real container parser — is unchanged."""
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        def render(text) -> bytes | None:
+            if text is None:
+                return None
+            vals = [ord(c) % 256 for c in text]
+            h = max(1, -(-len(vals) // width))
+            base = np.zeros(h * width, dtype=np.int32)
+            base[: len(vals)] = vals
+            n_frames = min(max_frames, h)
+            frames = [
+                ((base + f) % 256).astype(np.uint8).reshape(h, width)
+                for f in range(n_frames)
+            ]
+            return _apng_encode(frames)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [render(t) for t in pdf["text"]],
+                }
+            )
+
+    proj = df.select(
+        F.col(id_col).cast("long").alias("media_id"), F.col(text_col).alias("text")
+    )
+    schema = StructType(
+        [StructField("media_id", LongType()), StructField("payload", BinaryType())]
+    )
+    return proj.mapInPandas(run, schema=schema)
+
+
+def sample_frames(media: DataFrame, max_frames: int = 8) -> DataFrame:
+    """Frame sampling as a one-to-many mapInPandas (UDTF shape) — REAL
+    container parse as of round 7: each payload is decoded as an Animated
+    PNG (`_apng_decode`: CRC-verified acTL/fcTL/fdAT chunks, per-frame
+    inflate + unfilter; a plain PNG is a one-frame animation) and up to
+    ``max_frames`` frames emit one row each with statistics computed from
+    the DECODED pixels — exact integer mean and peak, bit-reproducible
+    for a SQL oracle. True video codecs (H.264/VP9) still need ffmpeg —
+    documented in dev-requirements.txt; the Spark shape (one-to-many
+    explode, Arrow-batched, no shuffle) is identical for both."""
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
-            ids, idxs, digests = [], [], []
+            ids, idxs, means, peaks = [], [], [], []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                p = p or b""
-                for i in range(min(max_frames, max(1, len(p) // every_n_bytes))):
-                    chunk = p[i * every_n_bytes : (i + 1) * every_n_bytes]
+                w, h, ch, frames = _apng_decode(p if p is not None else b"")
+                for i, fr in enumerate(frames[:max_frames]):
                     ids.append(mid)
                     idxs.append(i)
-                    digests.append(hashlib.sha256(chunk).hexdigest())
+                    means.append(float(int(fr.sum(dtype="int64"))) / (w * h * ch))
+                    peaks.append(int(fr.max()))
             yield pd.DataFrame(
-                {"media_id": ids, "frame_idx": idxs, "frame_sha256": digests}
+                {"media_id": ids, "frame_idx": idxs,
+                 "frame_mean": means, "frame_peak": peaks}
             )
 
     return media.mapInPandas(run, schema=FRAME_SAMPLE_SCHEMA)

@@ -751,38 +751,52 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_frame_samples",
-    # the oracle models the REAL frame contract (r6 — the text-shape
-    # regime's 60 KB docs broke the old one-frame shortcut): up to 8
-    # frames of 4096 payload bytes each, digest per slice. DuckDB cannot
-    # slice BLOBs, so the slice happens on the VARCHAR then encodes —
-    # byte-exact for ASCII payload text (multi-frame fixture docs are
-    # ASCII in every regime; frame COUNT still uses true byte length)
+    # the oracle replays the DECODED animation's per-frame statistics from
+    # the text the fixture was rendered from (r7 — real APNG codec):
+    # frame f pixel i = (ord(text[i]) + f) % 256, pads at f, geometry
+    # rows-of-16 like the still image, frame count = min(8, height).
+    # Char-level ord + non-negative modulo: every codepoint, both engines.
     """
-    WITH m AS (
-      SELECT doc_id, text, octet_length(encode(text)) AS nb
+    WITH t AS (
+      SELECT doc_id, length(text) AS n,
+        greatest(1, (length(text) + 15) // 16) AS h,
+        list_transform(generate_series(1, length(text)),
+                       i -> CAST(ord(substr(text, i, 1)) % 256 AS BIGINT)) AS px
       FROM documents WHERE text IS NOT NULL
     ), f AS (
-      SELECT doc_id, text,
-        unnest(generate_series(
-          0, least(8, greatest(1, nb // 4096)) - 1)) AS frame_idx
-      FROM m
+      SELECT doc_id, n, h, px,
+        unnest(generate_series(0, least(8, h) - 1)) AS frame_idx
+      FROM t
+    ), s AS (
+      SELECT doc_id, n, h, frame_idx,
+        list_transform(px, v -> (v + frame_idx) % 256) AS sp
+      FROM f
     )
     SELECT doc_id AS media_id, CAST(frame_idx AS INT) AS frame_idx,
-      sha256(substr(text, frame_idx * 4096 + 1, 4096)) AS frame_sha256
-    FROM f ORDER BY media_id, frame_idx
+      CAST(COALESCE(list_sum(sp), 0) + (h * 16 - n) * frame_idx AS DOUBLE)
+        / (h * 16) AS frame_mean,
+      CAST(CASE WHEN h * 16 > n
+                THEN greatest(COALESCE(list_max(sp), 0), frame_idx)
+                ELSE list_max(sp) END AS INTEGER) AS frame_peak
+    FROM s ORDER BY media_id, frame_idx
     """,
     "multimodal", "pipeline",
 )
 def multimodal_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame sampling as a one-to-many mapInPandas (UDTF shape): each
-    payload explodes into up to 8 frame rows of 4096 bytes each, one
-    digest per byte-slice. The oracle replays the slicing byte-for-byte
-    (blob substring), so multi-frame payloads — which the text-shape
-    regime's 60 KB docs produce — are under the hash gate, not just the
-    single-frame small-doc case."""
+    """Animation/video modality (§2.G) — REAL container parse as of round
+    7: text renders to genuine Animated PNGs (operators/multimodal.py
+    `_apng_encode` — acTL/fcTL/fdAT chunks per the public APNG spec; a
+    browser plays these), then `sample_frames` PARSES the container
+    (CRC-verified chunks, sequence-counter validation, per-frame inflate
+    + unfilter) and emits one row per decoded frame with exact pixel
+    statistics. One-to-many mapInPandas explode, no shuffle. The oracle
+    replays every frame's raster math from the source text, so the
+    decoder's output is under the value-hash gate. True video codecs
+    (H.264/VP9) still require ffmpeg — documented boundary."""
     # a NULL body is a missing asset: dropped before decode (both sides)
     d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    media = mm.attach_media_columns(d, "doc_id", F.encode("text", "utf-8"))
+    apng = mm.synthesize_apng_payloads(d, "doc_id", "text")
+    media = mm.attach_media_columns(apng, "media_id", "payload")
     return mm.sample_frames(media).orderBy("media_id", "frame_idx")
 
 

@@ -178,6 +178,64 @@ def test_multi_idat_payloads_decode():
     assert (got == px).all()
 
 
+def test_apng_roundtrip_multi_frame():
+    """The APNG encoder's output must decode back to the exact frames,
+    including the fcTL/fdAT shared sequence counter and per-frame zlib
+    streams."""
+    rng = np.random.default_rng(7)
+    frames = [rng.integers(0, 256, size=(3, 4), dtype=np.uint8) for _ in range(5)]
+    payload = mm._apng_encode(frames)
+    # acTL chunk present and declares 5 frames
+    i = payload.index(b"acTL")
+    assert struct.unpack(">I", payload[i + 4 : i + 8])[0] == 5
+    w, h, ch, got = mm._apng_decode(payload)
+    assert (w, h, ch, len(got)) == (4, 3, 1, 5)
+    for a, b in zip(frames, got):
+        assert (b == a).all()
+
+
+def test_plain_png_decodes_as_one_frame_animation():
+    px = np.arange(32, dtype=np.uint8).reshape(2, 16)
+    w, h, ch, frames = mm._apng_decode(mm._png_encode(px))
+    assert (w, h, ch, len(frames)) == (16, 2, 1, 1)
+    assert (frames[0] == px).all()
+
+
+def test_apng_sequence_gap_raises():
+    frames = [np.zeros((2, 2), dtype=np.uint8), np.ones((2, 2), dtype=np.uint8)]
+    payload = bytearray(mm._apng_encode(frames))
+    # corrupt the fdAT sequence number (chunk data starts 8 bytes after tag)
+    i = payload.index(b"fdAT")
+    old = payload[i + 4 : i + 8]
+    payload[i + 4 : i + 8] = struct.pack(">I", struct.unpack(">I", old)[0] + 7)
+    # re-CRC so the tamper isn't caught by the CRC check first
+    ln = struct.unpack(">I", payload[i - 4 : i])[0]
+    data = bytes(payload[i : i + 4 + ln])
+    payload[i + 4 + ln : i + 8 + ln] = struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF)
+    with pytest.raises(ValueError, match="sequence gap"):
+        mm._apng_decode(bytes(payload))
+
+
+def test_frame_sampler_hand_computed(spark):
+    # 'abc': h=1, 1 frame only (min(8, h)); frame 0 = still raster
+    df = spark.createDataFrame([(1, "abc"), (2, "x" * 40)], ["doc_id", "text"])
+    media = mm.attach_media_columns(
+        mm.synthesize_apng_payloads(df, "doc_id", "text"), "media_id", "payload"
+    )
+    rows = mm.sample_frames(media).orderBy("media_id", "frame_idx").collect()
+    by_key = {(r.media_id, r.frame_idx): r for r in rows}
+    assert len([k for k in by_key if k[0] == 1]) == 1
+    r = by_key[(1, 0)]
+    assert r.frame_mean == pytest.approx((97 + 98 + 99) / 16, abs=0)
+    assert r.frame_peak == 99
+    # 'x'*40: h=3 -> 3 frames; frame f: 40 px of (120+f), 8 pads of f
+    assert len([k for k in by_key if k[0] == 2]) == 3
+    for f in range(3):
+        r = by_key[(2, f)]
+        assert r.frame_mean == pytest.approx((40 * (120 + f) + 8 * f) / 48, abs=0)
+        assert r.frame_peak == 120 + f
+
+
 def test_randomized_roundtrip_matches_text_derivation(spark):
     """Seeded randomized-reference gate (mirrors the WAV codec's): random
     unicode-ish text -> synthesize -> REAL decode must reproduce the
