@@ -54,6 +54,9 @@ _FORCE_RECHECK: frozenset[str] = frozenset(
         # r7: frame sampling graduated from byte-slice stub to a REAL
         # Animated PNG container parse (per-frame decode + statistics)
         "multimodal_frame_samples",
+        # r7: payload embeddings graduated from digest stub to a real
+        # decoded-pixel intensity histogram
+        "multimodal_payload_embeddings",
     }
 )
 

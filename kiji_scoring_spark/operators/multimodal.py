@@ -27,7 +27,6 @@ no shuffle. Repartition upstream by size if payloads are skewed (a few
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
@@ -723,16 +722,31 @@ def sample_frames(media: DataFrame, max_frames: int = 8) -> DataFrame:
 
 def embed_payloads(media: DataFrame, dim: int = 8) -> DataFrame:
     """Payload → embedding vector (the feature-extract step of a multimodal
-    training pipeline). STUB: bytes of the sha256 digest scaled to [-1, 1);
-    deterministic, fixed-dim, unit-testable. Output column types match the
-    embeddings table (`array<float>`) so similarity operators compose."""
+    training pipeline) — REAL features as of round 7: each payload is
+    decoded as a PNG (`_png_decode`) and the embedding is the normalized
+    ``dim``-bin intensity histogram of the decoded pixels (bin width
+    256/dim; exact integer counts, one double division per component —
+    bit-reproducible for a SQL oracle). A classic pre-neural image
+    descriptor: near-duplicate rasters land near each other in cosine
+    space, so the similarity operators compose meaningfully. NULL payloads
+    map to NULL embeddings; malformed ones raise, like the decoder. In a
+    deployment the histogram is swapped for a model forward pass — same
+    mapInPandas shape, same output column type as the embeddings table."""
+    if 256 % dim:
+        raise ValueError(f"dim must divide 256, got {dim}")
+    bin_width = 256 // dim
 
     def run(batches: Iterator) -> Iterator:
+        import numpy as np
         import pandas as pd
 
-        def emb(p: bytes) -> list[float]:
-            h = hashlib.sha256(p or b"").digest()
-            return [(h[i] - 128) / 128.0 for i in range(dim)]
+        def emb(p) -> list[float] | None:
+            if p is None:
+                return None
+            w, h, ch, px = _png_decode(p)
+            counts = np.bincount(px.reshape(-1) // bin_width, minlength=dim)
+            total = w * h * ch
+            return [float(int(c)) / total for c in counts]
 
         for pdf in batches:
             yield pd.DataFrame(

@@ -561,29 +561,46 @@ def session_window_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _embed_oracle() -> str:
+    # r7 (real codec): the embedding is the normalized 8-bin intensity
+    # histogram of the DECODED raster — pixel i = ord(text[i]) % 256, pads
+    # of 0 filling the final row of 16 (pads land in bin 0). Exact integer
+    # counts with one double division per component: bit-identical on both
+    # engines at any corpus size, every codepoint (char-level ord).
+    pad = " + (total - n)"  # zero pads contribute to bin 0 only
     dims = ",\n      ".join(
-        f"((('0x' || substr(sha256(text), {2 * i + 1}, 2))::INT - 128) / 128.0) AS e{i}"
+        f"CAST(len(list_filter(b, v -> v = {i})){pad if i == 0 else ''} AS DOUBLE)"
+        f" / total AS e{i}"
         for i in range(8)
     )
     return f"""
+    WITH t AS (
+      SELECT doc_id, length(text) AS n,
+        16 * greatest(1, (length(text) + 15) // 16) AS total,
+        list_transform(generate_series(1, length(text)),
+                       i -> (ord(substr(text, i, 1)) % 256) // 32) AS b
+      FROM documents WHERE text IS NOT NULL
+    )
     SELECT doc_id AS media_id,
       {dims}
-    FROM documents WHERE text IS NOT NULL ORDER BY media_id
+    FROM t ORDER BY media_id
     """
 
 
 @query("multimodal_payload_embeddings", _embed_oracle(), "multimodal", "pipeline")
 def multimodal_payload_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Payload → embedding feature-extraction stage (multimodal training
-    pipelines): Arrow-batched mapInPandas over binary payloads producing a
-    fixed-dim vector per item (operators/multimodal.embed_payloads; stub
-    digest-based embedder, deterministic). Exploded to one column per
-    dimension so the oracle checks every component exactly."""
+    pipelines) — REAL features as of round 7: payloads are genuine PNGs
+    (synthesized from text by the fixture stage) and the embedding is the
+    normalized intensity histogram of the DECODED pixels
+    (operators/multimodal.embed_payloads — a classic pre-neural image
+    descriptor). Exploded to one column per dimension so the oracle checks
+    every component exactly against the raster math replayed from text."""
     from .operators import multimodal as mm
 
     # a NULL body is a missing asset: dropped before embedding (both sides)
     d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    media = mm.attach_media_columns(d, "doc_id", F.encode("text", "utf-8"))
+    png = mm.synthesize_png_payloads(d, "doc_id", "text")
+    media = mm.attach_media_columns(png, "media_id", "payload")
     emb = mm.embed_payloads(media, dim=8)
     return emb.select(
         "media_id", *[F.col("embedding")[i].alias(f"e{i}") for i in range(8)]

@@ -236,6 +236,18 @@ def test_frame_sampler_hand_computed(spark):
         assert r.frame_peak == 120 + f
 
 
+def test_embed_payloads_histogram_hand_computed(spark):
+    """r7: embed_payloads is a real decoded-pixel intensity histogram.
+    'abc' raster: 3 px in bin 3 (97..99 // 32), 13 zero pads in bin 0."""
+    df = spark.createDataFrame([(1, "abc"), (2, None)], ["doc_id", "text"])
+    png = mm.synthesize_png_payloads(df.filter("text IS NOT NULL"), "doc_id", "text")
+    media = mm.attach_media_columns(png, "media_id", "payload")
+    r = mm.embed_payloads(media, dim=8).collect()[0]
+    assert r.embedding == [13 / 16, 0.0, 0.0, 3 / 16, 0.0, 0.0, 0.0, 0.0]
+    with pytest.raises(ValueError, match="divide 256"):
+        mm.embed_payloads(media, dim=7)
+
+
 def test_randomized_roundtrip_matches_text_derivation(spark):
     """Seeded randomized-reference gate (mirrors the WAV codec's): random
     unicode-ish text -> synthesize -> REAL decode must reproduce the
