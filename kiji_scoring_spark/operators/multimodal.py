@@ -111,14 +111,33 @@ WAV_HEADER_BYTES = 44
 
 def attach_media_columns(df: DataFrame, id_col: str, payload_col) -> DataFrame:
     """Normalize any (id, binary) pair into the canonical MEDIA_SCHEMA shape.
-    Metadata is computed JVM-side (octet_length/sha2) — no Python in this
-    stage."""
+    Metadata is computed JVM-side (octet_length/sha2, magic-byte mime
+    sniff) — no Python in this stage. The mime field is genuinely sniffed
+    (r7): PNG signature (with an acTL scan distinguishing animated PNG),
+    RIFF/WAVE audio; anything unrecognized — including a NULL payload —
+    falls back to application/octet-stream, while a NULL payload's
+    n_bytes/sha256 stay NULL (missing asset, not a digest of nothing)."""
     payload = payload_col if not isinstance(payload_col, str) else F.col(payload_col)
+    sig8 = F.substring(payload, 1, 8)
+    mime = (
+        F.when(
+            sig8 == F.lit(b"\x89PNG\r\n\x1a\n"),
+            F.when(F.contains(payload, F.lit(b"acTL")), F.lit("image/apng")).otherwise(
+                F.lit("image/png")
+            ),
+        )
+        .when(
+            (F.substring(payload, 1, 4) == F.lit(b"RIFF"))
+            & (F.substring(payload, 9, 4) == F.lit(b"WAVE")),
+            F.lit("audio/wav"),
+        )
+        .otherwise(F.lit("application/octet-stream"))
+    )
     return df.select(
         F.col(id_col).cast("long").alias("media_id"),
         payload.alias("payload"),
         F.struct(
-            F.lit("application/octet-stream").alias("mime"),
+            mime.alias("mime"),
             F.octet_length(payload).cast("long").alias("n_bytes"),
             F.lower(F.sha2(payload, 256)).alias("sha256"),
         ).alias("meta"),

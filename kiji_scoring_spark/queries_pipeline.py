@@ -489,9 +489,10 @@ def text_fingerprint_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame
 )
 def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque-binary-column pattern (§2.G multimodal): payload as BINARY +
-    typed metadata. Here the payload is the utf-8 encoding of text (the
-    container has no image libs — see operators/multimodal.py for the
-    decode stub); length/digest/header extraction are the real plumbing."""
+    typed metadata. Here the payload is the utf-8 encoding of text
+    (standing in for arbitrary binary assets; the PNG/WAV/APNG codec
+    queries exercise real containers); length/digest/header extraction
+    are the real plumbing."""
     d = load_table(spark, sf_dir, "documents")
     payload = F.encode("text", "utf-8")
     return d.select(

@@ -248,6 +248,31 @@ def test_embed_payloads_histogram_hand_computed(spark):
         mm.embed_payloads(media, dim=7)
 
 
+def test_mime_sniffing_magic_bytes(spark):
+    """r7: attach_media_columns sniffs the mime from magic bytes JVM-side
+    — real PNG/APNG/WAV containers are recognized, anything else stays
+    application/octet-stream, NULL payloads keep NULL metadata."""
+    import io
+    import wave
+
+    png = mm._png_encode(np.zeros((1, 1), dtype=np.uint8))
+    apng = mm._apng_encode([np.zeros((1, 1), dtype=np.uint8)] * 2)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16_000)
+        w.writeframes(b"\x00\x01")
+    rows = [(1, bytearray(png)), (2, bytearray(apng)),
+            (3, bytearray(buf.getvalue())), (4, bytearray(b"plain bytes")),
+            (5, None)]
+    df = spark.createDataFrame(rows, "doc_id long, body binary")
+    got = {r.media_id: r.meta.mime
+           for r in mm.attach_media_columns(df, "doc_id", "body").collect()}
+    assert got == {1: "image/png", 2: "image/apng", 3: "audio/wav",
+                   4: "application/octet-stream", 5: "application/octet-stream"}
+
+
 def test_randomized_roundtrip_matches_text_derivation(spark):
     """Seeded randomized-reference gate (mirrors the WAV codec's): random
     unicode-ish text -> synthesize -> REAL decode must reproduce the
