@@ -422,3 +422,25 @@ def test_aqe_splits_skewed_join_partition(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+#: r7: the multimodal codec pipelines must stay NARROW — synthesize,
+#: metadata, and decode are all mapInPandas/project stages over the same
+#: partitioning, so the only exchange in the plan is the final
+#: presentation orderBy (rangepartitioning). A hashpartitioning exchange
+#: appearing here would mean a shuffle crept between codec stages — at
+#: 100 TB that is moving every payload byte across the cluster for
+#: nothing.
+MULTIMODAL_NARROW_QUERIES = [
+    "multimodal_image_features",
+    "multimodal_audio_features",
+    "multimodal_frame_samples",
+    "multimodal_payload_embeddings",
+]
+
+
+@pytest.mark.parametrize("name", MULTIMODAL_NARROW_QUERIES)
+def test_multimodal_codec_pipelines_are_narrow(spark, sf_dir, name):
+    plan = executed_plan(spark, sf_dir, name)
+    n = plan.count("Exchange hashpartitioning")
+    assert n == 0, f"{name}: codec pipeline grew a hash shuffle:\n{plan}"
