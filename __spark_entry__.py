@@ -57,6 +57,13 @@ _FORCE_RECHECK: frozenset[str] = frozenset(
         # r7: payload embeddings graduated from digest stub to a real
         # decoded-pixel intensity histogram
         "multimodal_payload_embeddings",
+        # r7: the sf10 spot-sweep caught gini's Σ(i·rev) past 2^53 unscaled
+        # diverging one ulp between the engines' decimal→double casts; these
+        # three now cross to double via an exact string bridge (decimal→
+        # string→double is correctly rounded on both engines)
+        "stats_gini_revenue",
+        "window_ratio_to_report",
+        "pareto_cumulative_revenue_share",
     }
 )
 

@@ -607,9 +607,10 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
     fail-fast contract. Fail-fast
     is the right default for a decode stage; a 100 TB ingest wanting
     quarantine instead wraps the decode in try/except and routes failures
-    to a dead-letter column, same mapInPandas shape. Only the WAV/PCM
-    codec is native here; image/video decode stay deterministic stubs
-    (no PIL/ffmpeg in this container — honestly documented above)."""
+    to a dead-letter column, same mapInPandas shape. The image and
+    animation paths have native codecs of their own since round 7
+    (`_png_decode`/`_apng_decode` above); only H.264/VP9 video decode
+    remains ffmpeg-gated — honestly documented in the module header."""
 
     def run(batches: Iterator) -> Iterator:
         import io

@@ -881,9 +881,10 @@ def stats_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY r_name, n_name
     )
     SELECT r_name, n_name,
-      CAST(total_dec AS DOUBLE) AS total,
-      CAST(total_dec AS DOUBLE)
-        / CAST(SUM(total_dec) OVER (PARTITION BY r_name) AS DOUBLE) AS share
+      CAST(CAST(total_dec AS VARCHAR) AS DOUBLE) AS total,
+      CAST(CAST(total_dec AS VARCHAR) AS DOUBLE)
+        / CAST(CAST(SUM(total_dec) OVER (PARTITION BY r_name) AS VARCHAR)
+               AS DOUBLE) AS share
     FROM nat
     ORDER BY r_name, n_name
     """,
@@ -922,10 +923,14 @@ def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nat.select(
         "r_name",
         "n_name",
-        F.col("total_dec").cast("double").alias("total"),
+        # string-bridged decimal→double (r7, sf10 spot-sweep lesson): a
+        # region's total passes 2^53 unscaled cents at ~sf10, where the
+        # engines' direct decimal→double casts can disagree by one ulp;
+        # decimal→string→double is correctly rounded on both
+        F.col("total_dec").cast("string").cast("double").alias("total"),
         (
-            F.col("total_dec").cast("double")
-            / F.sum("total_dec").over(w).cast("double")
+            F.col("total_dec").cast("string").cast("double")
+            / F.sum("total_dec").over(w).cast("string").cast("double")
         ).alias("share"),
     ).orderBy("r_name", "n_name")
 
@@ -993,8 +998,9 @@ def trend_mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM c
     )
     SELECT rnk, o_custkey,
-      CAST(rev_dec AS DOUBLE) AS revenue,
-      CAST(cum_dec AS DOUBLE) / CAST(total_dec AS DOUBLE) AS cum_share,
+      CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE) AS revenue,
+      CAST(CAST(cum_dec AS VARCHAR) AS DOUBLE)
+        / CAST(CAST(total_dec AS VARCHAR) AS DOUBLE) AS cum_share,
       CAST(rnk AS DOUBLE) / n_cust AS cust_frac
     FROM ranked
     WHERE rnk <= 100
@@ -1035,10 +1041,14 @@ def pareto_cumulative_revenue_share(spark: SparkSession, sf_dir: str) -> DataFra
         .select(
             "rnk",
             "o_custkey",
-            F.col("rev_dec").cast("double").alias("revenue"),
-            (F.col("cum_dec").cast("double") / F.col("total_dec").cast("double")).alias(
-                "cum_share"
-            ),
+            # string-bridged decimal→double (r7): the grand total and the
+            # deep cumulative sums pass 2^53 unscaled cents by ~sf10;
+            # see stats_gini_revenue for the full rationale
+            F.col("rev_dec").cast("string").cast("double").alias("revenue"),
+            (
+                F.col("cum_dec").cast("string").cast("double")
+                / F.col("total_dec").cast("string").cast("double")
+            ).alias("cum_share"),
             (F.col("rnk").cast("double") / F.col("n_cust")).alias("cust_frac"),
         )
         .orderBy("rnk")
@@ -1270,8 +1280,8 @@ def stats_categorical_entropy_per_user(spark: SparkSession, sf_dir: str) -> Data
       FROM c WHERE rev IS NOT NULL
     )
     SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
-      2.0 * CAST(SUM(i * rev) AS DOUBLE)
-        / (MAX(n) * CAST(SUM(rev) AS DOUBLE))
+      2.0 * CAST(CAST(SUM(i * rev) AS VARCHAR) AS DOUBLE)
+        / (MAX(n) * CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE))
         - (MAX(n) + 1.0) / MAX(n) AS gini
     FROM ranked
     """,
@@ -1284,7 +1294,15 @@ def stats_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     and EXACT until the last step: revenues are DECIMAL, ranks are
     integers, so Σ(i·x_i) and Σx_i are exact decimal sums under a total
     order (rev, custkey); the two casts and three float ops happen once
-    on identical operands. Scale: customer-grain aggregation then one
+    on identical operands. The decimal→double casts go through a STRING
+    BRIDGE (cast to string, then to double): at sf10 the sf10 spot-sweep
+    caught Σ(i·x_i) past 2^53 unscaled diverging by one ulp between the
+    engines' direct decimal→double casts (the r6 bug class — and here
+    the integer part alone exceeds 2^53, so the r6 round-first fix can't
+    apply). Decimal→string is exact and string→double is correctly
+    rounded on BOTH engines (Java parseDouble / C strtod), so the bridge
+    yields the bit-identical correctly-rounded double of the exact sum
+    at any magnitude. Scale: customer-grain aggregation then one
     global window — same envelope as the Pareto query, one scalar out.
 
     Customers with NO observed revenue (every order price NULL) are
@@ -1307,8 +1325,8 @@ def stats_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").cast("bigint").alias("n_customers"),
         (
             F.lit(2.0)
-            * F.sum(F.col("i") * F.col("rev")).cast("double")
-            / (F.max("n") * F.sum("rev").cast("double"))
+            * F.sum(F.col("i") * F.col("rev")).cast("string").cast("double")
+            / (F.max("n") * F.sum("rev").cast("string").cast("double"))
             - (F.max("n") + F.lit(1.0)) / F.max("n")
         ).alias("gini"),
     )
