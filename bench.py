@@ -181,6 +181,14 @@ def main() -> None:
     subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
     if subset:
         wanted = {s.strip() for s in subset.split(",") if s.strip()}
+        unknown = wanted - set(QUERIES)
+        if unknown:
+            # a typo silently shrinking the subset would record a
+            # misleadingly fast run — fail before timing anything
+            raise SystemExit(
+                f"SPARK_GRAFT_BENCH_QUERIES names not in the registry: "
+                f"{sorted(unknown)}"
+            )
         names = [n for n in QUERIES if n in wanted]
     # Warm-up runs IMMEDIATELY before each timed run (not one batch pass
     # over all queries first): Spark's whole-stage-codegen compilation
@@ -261,7 +269,17 @@ def main() -> None:
             "detail_md5": hashlib.md5(detail_json.encode()).hexdigest(),
         }
     )
-    assert len(line) <= 1000, f"bench line {len(line)} chars breaks the tail contract"
+    if len(line) > 1000:
+        # explicit raise, not assert (stripped under python -O — and THIS
+        # guard existing is the whole point: the driver captures only a
+        # 2000-char stdout tail, so an oversized line gets truncated into
+        # unparseable JSON, the exact r05/r06 failure the compact line
+        # fixed). The full per-query map is already safe in detail_file.
+        raise RuntimeError(
+            f"bench line {len(line)} chars breaks the 1000-char tail "
+            f"contract; shrink the compact summary (full map is in "
+            f"{detail_name})"
+        )
     spark.stop()
     # sole stdout write, after spark.stop() so no executor shutdown noise
     # can land after it; flush guarantees it survives an abrupt exit

@@ -65,6 +65,14 @@ def asof_join(
     multiset answer as per-row semantics, deterministic under any retry,
     at the cost of one extra left-side exchange — pass ``left_id`` on
     wide schemas to avoid it.
+
+    Fallback preconditions (the groupBy makes left columns GROUPING
+    keys): MapType columns are not groupable — such a left side raises
+    ``TypeError`` here with instructions to pass ``left_id`` (loud and
+    immediate, instead of Spark's AnalysisException at plan time); and
+    Spark normalizes ``-0.0`` to ``0.0`` and collapses NaN payload
+    duplicates in grouping keys, so a left side relying on the
+    ``-0.0``/``0.0`` distinction should also pass ``left_id``.
     """
     if left_id is not None:
         # caller-supplied unique key: deterministic under retry, pushdown-safe
@@ -72,6 +80,14 @@ def asof_join(
         part_cols = [F.col("__l__.__lid__")]
         dup_expand = False
     else:
+        from pyspark.sql.types import MapType
+
+        maps = [f.name for f in left.schema.fields if isinstance(f.dataType, MapType)]
+        if maps:
+            raise TypeError(
+                f"asof_join without left_id cannot group left MapType "
+                f"column(s) {maps}; pass left_id=<unique key column>"
+            )
         lalias = (
             left.groupBy(*left.columns)
             .agg(F.count(F.lit(1)).alias("__dupk__"))

@@ -122,9 +122,15 @@ def attach_media_columns(df: DataFrame, id_col: str, payload_col) -> DataFrame:
     mime = (
         F.when(
             sig8 == F.lit(b"\x89PNG\r\n\x1a\n"),
-            F.when(F.contains(payload, F.lit(b"acTL")), F.lit("image/apng")).otherwise(
-                F.lit("image/png")
-            ),
+            # acTL must precede the first IDAT (APNG spec) and in practice
+            # directly follows IHDR; scanning only the first 256 bytes
+            # avoids false apng hits from 'acTL' occurring by chance inside
+            # a large compressed IDAT stream (a miss on an exotic
+            # chunk-stuffed APNG downgrades it to image/png — benign)
+            F.when(
+                F.contains(F.substring(payload, 1, 256), F.lit(b"acTL")),
+                F.lit("image/apng"),
+            ).otherwise(F.lit("image/png")),
         )
         .when(
             (F.substring(payload, 1, 4) == F.lit(b"RIFF"))
@@ -168,6 +174,17 @@ def _png_chunk(tag: bytes, data: bytes) -> bytes:
     )
 
 
+def _filter0_scanlines(a) -> bytes:
+    """Serialize a (H, W, C) uint8 array as PNG scanlines with filter
+    byte 0 prefixed to every line — shared by both encoders."""
+    import numpy as np
+
+    h = a.shape[0]
+    return np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8), a.reshape(h, -1)], axis=1
+    ).tobytes()
+
+
 def _png_encode(img) -> bytes:
     """Encode a (H, W) or (H, W, C) uint8 numpy array as a REAL PNG file:
     8-bit, color type from channel count (1→gray, 2→gray+alpha, 3→RGB,
@@ -185,64 +202,25 @@ def _png_encode(img) -> bytes:
     if h < 1 or w < 1 or ch not in _PNG_COLOR_TYPE:
         raise ValueError(f"unencodable image shape {a.shape}")
     ihdr = struct.pack(">IIBBBBB", w, h, 8, _PNG_COLOR_TYPE[ch], 0, 0, 0)
-    # filter byte 0 prefixes every scanline: insert a zero column, flatten
-    raw = np.concatenate(
-        [np.zeros((h, 1), dtype=np.uint8), a.reshape(h, w * ch)], axis=1
-    ).tobytes()
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IDAT", zlib.compress(_filter0_scanlines(a), 6))
         + _png_chunk(b"IEND", b"")
     )
 
 
 def _png_decode(payload: bytes):
     """Decode a PNG payload to ``(width, height, channels, pixels)`` with
-    ``pixels`` a (H, W*C) uint8 numpy array. Genuine container parse:
-    signature check, per-chunk CRC32 verification, multi-IDAT inflate,
-    and full unfiltering (filter types 0–4 incl. Paeth). Supported pixel
-    formats: bit depth 8, color types 0/2/4/6, no interlace — the formats
-    the encoder above emits plus plain PIL/libpng output. Malformed
-    payloads raise ``ValueError`` (fail-fast, like the WAV path)."""
-    import struct
-    import zlib
-
-    import numpy as np
-
-    if len(payload) < 8 or bytes(payload[:8]) != _PNG_SIG:
-        raise ValueError("not a PNG: bad signature")
-    pos, ihdr, idat = 8, None, []
-    while pos + 8 <= len(payload):
-        (ln,) = struct.unpack_from(">I", payload, pos)
-        tag = bytes(payload[pos + 4 : pos + 8])
-        data = bytes(payload[pos + 8 : pos + 8 + ln])
-        if len(data) != ln or pos + 12 + ln > len(payload):
-            raise ValueError(f"truncated PNG chunk {tag!r}")
-        (crc,) = struct.unpack_from(">I", payload, pos + 8 + ln)
-        if crc != (zlib.crc32(tag + data) & 0xFFFFFFFF):
-            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
-        if tag == b"IHDR":
-            ihdr = data
-        elif tag == b"IDAT":
-            idat.append(data)
-        elif tag == b"IEND":
-            break
-        pos += 12 + ln
-    if ihdr is None or len(ihdr) != 13:
-        raise ValueError("PNG missing IHDR")
-    w, h, depth, ctype, comp, filt, inter = struct.unpack(">IIBBBBB", ihdr)
-    if depth != 8 or ctype not in _PNG_CHANNELS or comp or filt or inter:
-        raise ValueError(
-            f"decoder handles 8-bit non-interlaced color types 0/2/4/6, got "
-            f"depth={depth} color={ctype} interlace={inter}"
-        )
-    ch = _PNG_CHANNELS[ctype]
-    try:
-        raw = zlib.decompress(b"".join(idat))
-    except zlib.error as e:
-        raise ValueError(f"PNG IDAT inflate failed: {e}") from e
-    return w, h, ch, _png_unfilter(raw, w, h, ch)
+    ``pixels`` a (H, W*C) uint8 numpy array — the STILL-image view. For an
+    Animated PNG payload this is frame 0, which is exactly the APNG spec's
+    fallback for still readers. Implemented as the one-frame view of
+    `_apng_decode`, so the container-parsing invariants (signature, CRC,
+    truncation and chunk-length guards, sequence counter, inflate bomb
+    cap) live in ONE place. Malformed payloads raise ``ValueError``
+    (fail-fast, like the WAV path)."""
+    w, h, ch, frames = _apng_decode(payload)
+    return w, h, ch, frames[0]
 
 
 def _png_unfilter(raw: bytes, w: int, h: int, ch: int):
@@ -309,12 +287,6 @@ def _apng_encode(frames, delay=(1, 10)) -> bytes:
     h, w, ch = norm[0].shape
     if any(a.shape != (h, w, ch) for a in norm) or ch not in _PNG_COLOR_TYPE:
         raise ValueError("APNG frames must share one supported shape")
-
-    def scanlines(a) -> bytes:
-        return np.concatenate(
-            [np.zeros((h, 1), dtype=np.uint8), a.reshape(h, w * ch)], axis=1
-        ).tobytes()
-
     ihdr = struct.pack(">IIBBBBB", w, h, 8, _PNG_COLOR_TYPE[ch], 0, 0, 0)
     out = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
     out += _png_chunk(b"acTL", struct.pack(">II", len(norm), 0))  # loop forever
@@ -325,7 +297,7 @@ def _apng_encode(frames, delay=(1, 10)) -> bytes:
         )  # full-frame, no offset, dispose NONE, blend SOURCE
         out += _png_chunk(b"fcTL", fctl)
         seq += 1
-        data = zlib.compress(scanlines(a), 6)
+        data = zlib.compress(_filter0_scanlines(a), 6)
         if idx == 0:
             out += _png_chunk(b"IDAT", data)
         else:
@@ -337,14 +309,17 @@ def _apng_encode(frames, delay=(1, 10)) -> bytes:
 def _apng_decode(payload: bytes):
     """Decode an APNG payload to ``(width, height, channels, [frames])``,
     each frame a (H, W*C) uint8 array. A plain PNG (no acTL) decodes as a
-    one-frame animation — the spec's compatibility story. Honest subset,
+    one-frame animation — the spec's compatibility story. This is THE
+    container walk (``_png_decode`` is its one-frame view). Honest subset,
     enforced loudly: full-size frames at offset (0,0) with dispose NONE /
-    blend SOURCE (what the encoder emits); per-chunk CRCs verified and
-    the fcTL/fdAT shared sequence counter checked for gaps."""
+    blend SOURCE (what the encoder emits); per-chunk CRCs verified;
+    animation chunk LENGTHS validated before unpack (a short-but-CRC-valid
+    acTL/fcTL/fdAT raises ValueError, not struct.error — the dead-letter
+    try/except contract); the fcTL/fdAT shared sequence counter checked
+    for gaps; and the inflate capped at the IHDR-implied pixel size, so a
+    decompression-bomb payload raises instead of materializing GBs."""
     import struct
     import zlib
-
-    import numpy as np  # noqa: F401  (kept with its codec siblings)
 
     if len(payload) < 8 or bytes(payload[:8]) != _PNG_SIG:
         raise ValueError("not a PNG: bad signature")
@@ -361,10 +336,16 @@ def _apng_decode(payload: bytes):
         if crc != (zlib.crc32(tag + data) & 0xFFFFFFFF):
             raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
         if tag == b"IHDR":
+            if len(data) != 13:
+                raise ValueError(f"PNG IHDR must be 13 bytes, got {len(data)}")
             ihdr = data
         elif tag == b"acTL":
+            if len(data) != 8:
+                raise ValueError(f"APNG acTL must be 8 bytes, got {len(data)}")
             (n_frames, _plays) = struct.unpack(">II", data)
         elif tag == b"fcTL":
+            if len(data) != 26:
+                raise ValueError(f"APNG fcTL must be 26 bytes, got {len(data)}")
             seq, fw, fh, fx, fy = struct.unpack_from(">IIIII", data)
             if seq != expect_seq:
                 raise ValueError(f"APNG sequence gap: fcTL {seq} != {expect_seq}")
@@ -385,6 +366,8 @@ def _apng_decode(payload: bytes):
                 raise ValueError("APNG IDAT after fdAT frames")
             frames[0].append(data)
         elif tag == b"fdAT":
+            if len(data) < 4:
+                raise ValueError("APNG fdAT shorter than its sequence number")
             (seq,) = struct.unpack_from(">I", data)
             if seq != expect_seq:
                 raise ValueError(f"APNG sequence gap: fdAT {seq} != {expect_seq}")
@@ -395,7 +378,7 @@ def _apng_decode(payload: bytes):
         elif tag == b"IEND":
             break
         pos += 12 + ln
-    if ihdr is None or len(ihdr) != 13:
+    if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, ctype, comp, filt, inter = struct.unpack(">IIBBBBB", ihdr)
     if depth != 8 or ctype not in _PNG_CHANNELS or comp or filt or inter:
@@ -408,12 +391,20 @@ def _apng_decode(payload: bytes):
         raise ValueError(f"acTL declares {n_frames} frames, found {len(frames)}")
     if not frames or not frames[0]:
         raise ValueError("PNG missing pixel data")
+    expected = h * (1 + w * ch)
     decoded = []
     for pieces in frames:
+        # bomb guard: cap the inflate at the IHDR-implied scanline size +1.
+        # One extra byte of output (or leftover compressed input) proves
+        # the payload lies about its geometry — raise BEFORE materializing
+        # whatever a crafted stream would expand to.
+        d = zlib.decompressobj()
         try:
-            raw = zlib.decompress(b"".join(pieces))
+            raw = d.decompress(b"".join(pieces), expected + 1)
         except zlib.error as e:
-            raise ValueError(f"APNG frame inflate failed: {e}") from e
+            raise ValueError(f"PNG frame inflate failed: {e}") from e
+        if len(raw) != expected or d.unconsumed_tail:
+            raise ValueError("PNG pixel data length mismatch")
         decoded.append(_png_unfilter(raw, w, h, ch))
     return w, h, ch, decoded
 
@@ -473,7 +464,11 @@ def extract_image_features(media: DataFrame) -> DataFrame:
     IDAT, unfiltered scanlines) and the features come from the decoded
     pixels — true width/height from IHDR, channel count from the color
     type, and mean intensity as one exact integer sum over every decoded
-    sample divided once (bit-reproducible for a SQL oracle). Malformed
+    sample divided once (bit-reproducible for a SQL oracle). A NULL
+    payload is a MISSING ASSET, not a decode error: it yields a row with
+    NULL features (id preserved for audit) — the module-wide contract
+    shared by synthesize/attach/resize/embed, so composing the stages
+    never turns an upstream NULL into a batch crash. Malformed (non-NULL)
     payloads raise ``ValueError`` — same fail-fast contract as the WAV
     decoder; wrap in try/except + dead-letter routing for quarantine
     semantics at ingest scale."""
@@ -481,19 +476,32 @@ def extract_image_features(media: DataFrame) -> DataFrame:
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        def feats(payload: bytes):
-            w, h, ch, px = _png_decode(payload if payload is not None else b"")
+        def feats(payload):
+            if payload is None:
+                return None
+            w, h, ch, px = _png_decode(payload)
             return w, h, ch, float(int(px.sum(dtype="int64"))) / (w * h * ch)
 
         for pdf in batches:
             rows = [feats(p) for p in pdf["payload"]]
+            # nullable extension dtypes: pd.NA -> true SQL NULL through
+            # Arrow (the r6 keynull lesson — plain int columns can't hold
+            # missing values and plain float turns them into NaN, not NULL)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "width": [f[0] for f in rows],
-                    "height": [f[1] for f in rows],
-                    "n_channels": [f[2] for f in rows],
-                    "mean_intensity": [f[3] for f in rows],
+                    "width": pd.array(
+                        [f[0] if f else None for f in rows], dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [f[1] if f else None for f in rows], dtype="Int32"
+                    ),
+                    "n_channels": pd.array(
+                        [f[2] if f else None for f in rows], dtype="Int32"
+                    ),
+                    "mean_intensity": pd.array(
+                        [f[3] if f else None for f in rows], dtype="Float64"
+                    ),
                 }
             )
 
@@ -601,7 +609,9 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
     the int16 samples (numpy over the Arrow batch; the mean divides an
     exact integer sum once, so it is bit-reproducible for an oracle).
 
-    Malformed payloads fail the task fast: a non-RIFF or wrong-format
+    A NULL payload is a MISSING ASSET (module-wide contract): it yields a
+    row with NULL features, id preserved — never a batch crash. Malformed
+    (non-NULL) payloads fail the task fast: a non-RIFF or wrong-format
     payload raises ``wave.Error``; an EMPTY or truncated payload raises
     ``EOFError`` from the stdlib chunk parser — both are part of the
     fail-fast contract. Fail-fast
@@ -647,13 +657,22 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
                 int(((x[1:] * x[:-1]) < 0).sum()) if n > 1 else 0,
             )
 
-        cols = [
-            "n_bytes", "sample_rate", "n_frames", "duration_ms",
-            "mean_abs_amplitude", "peak_amplitude", "zero_crossings",
+        spec = [  # column -> nullable extension dtype (pd.NA -> SQL NULL)
+            ("n_bytes", "Int64"), ("sample_rate", "Int32"),
+            ("n_frames", "Int64"), ("duration_ms", "Int64"),
+            ("mean_abs_amplitude", "Float64"), ("peak_amplitude", "Int32"),
+            ("zero_crossings", "Int64"),
         ]
         for pdf in batches:
-            rows = [feats(p if p is not None else b"") for p in pdf["payload"]]
-            out = pd.DataFrame(rows, columns=cols)
+            rows = [feats(p) if p is not None else None for p in pdf["payload"]]
+            out = pd.DataFrame(
+                {
+                    name: pd.array(
+                        [r[i] if r else None for r in rows], dtype=dtype
+                    )
+                    for i, (name, dtype) in enumerate(spec)
+                }
+            )
             out.insert(0, "media_id", pdf["media_id"].values)
             yield out
 
@@ -716,9 +735,12 @@ def sample_frames(media: DataFrame, max_frames: int = 8) -> DataFrame:
     inflate + unfilter; a plain PNG is a one-frame animation) and up to
     ``max_frames`` frames emit one row each with statistics computed from
     the DECODED pixels — exact integer mean and peak, bit-reproducible
-    for a SQL oracle. True video codecs (H.264/VP9) still need ffmpeg —
-    documented in dev-requirements.txt; the Spark shape (one-to-many
-    explode, Arrow-batched, no shuffle) is identical for both."""
+    for a SQL oracle. A NULL payload is a missing asset and yields ZERO
+    rows — exactly `explode(NULL)` semantics for a one-to-many stage;
+    malformed (non-NULL) payloads raise ``ValueError``. True video codecs
+    (H.264/VP9) still need ffmpeg — documented in dev-requirements.txt;
+    the Spark shape (one-to-many explode, Arrow-batched, no shuffle) is
+    identical for both."""
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -726,7 +748,9 @@ def sample_frames(media: DataFrame, max_frames: int = 8) -> DataFrame:
         for pdf in batches:
             ids, idxs, means, peaks = [], [], [], []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                w, h, ch, frames = _apng_decode(p if p is not None else b"")
+                if p is None:
+                    continue
+                w, h, ch, frames = _apng_decode(p)
                 for i, fr in enumerate(frames[:max_frames]):
                     ids.append(mid)
                     idxs.append(i)

@@ -104,6 +104,18 @@ def test_null_text_yields_null_payload_not_crash(spark):
     assert out[1] is not None and bytes(out[1])[:4] == b"RIFF"
 
 
+def test_null_payload_yields_null_feature_row(spark):
+    """r7 (review): NULL payload = missing asset (module-wide contract) —
+    a NULL-features row with the id preserved, not an EOFError crash.
+    EMPTY (b'') payloads still fail fast below."""
+    df = spark.createDataFrame([(9, None)], "media_id long, payload binary")
+    r = mm.extract_audio_features(df).collect()[0]
+    assert r.media_id == 9
+    assert (r.n_bytes, r.sample_rate, r.n_frames, r.duration_ms,
+            r.mean_abs_amplitude, r.peak_amplitude, r.zero_crossings
+            ) == (None,) * 7
+
+
 def test_non_mono16_wav_raises_explicitly(spark):
     """r7 (advice): the sampwidth/channels precondition was a bare assert
     (stripped under python -O → silently wrong stats on stereo/8-bit WAVs);

@@ -248,6 +248,57 @@ def test_embed_payloads_histogram_hand_computed(spark):
         mm.embed_payloads(media, dim=7)
 
 
+def test_null_payload_is_missing_asset_not_crash(spark):
+    """r7 (review): the module-wide NULL contract must hold through the
+    DECODERS too — a NULL payload yields a NULL-features row (image), zero
+    rows (frames — explode semantics), and never kills the Arrow batch."""
+    png = mm._png_encode(np.array([[97, 98]], dtype=np.uint8))
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, None)], "media_id long, payload binary"
+    )
+    rows = {r.media_id: r for r in mm.extract_image_features(df).collect()}
+    assert rows[1].width == 2
+    assert (rows[2].width, rows[2].height, rows[2].n_channels,
+            rows[2].mean_intensity) == (None, None, None, None)
+    apng = mm._apng_encode([np.zeros((1, 2), dtype=np.uint8)] * 2)
+    df2 = spark.createDataFrame(
+        [(1, bytearray(apng)), (2, None)], "media_id long, payload binary"
+    )
+    out = mm.sample_frames(df2).collect()
+    assert sorted((r.media_id, r.frame_idx) for r in out) == [(1, 0), (1, 1)]
+
+
+def test_malformed_animation_chunks_raise_valueerror_not_structerror():
+    """r7 (review): short-but-CRC-valid acTL/fcTL/fdAT must raise the
+    documented ValueError (dead-letter contract), never struct.error."""
+    base = mm._png_encode(np.zeros((1, 1), dtype=np.uint8))
+    # splice a 4-byte acTL (spec: 8) right after IHDR (ends at offset 33)
+    bad = base[:33] + mm._png_chunk(b"acTL", b"\x00\x00\x00\x01") + base[33:]
+    with pytest.raises(ValueError, match="acTL must be 8 bytes"):
+        mm._apng_decode(bad)
+    bad2 = base[:33] + mm._png_chunk(b"fcTL", b"\x00" * 20) + base[33:]
+    with pytest.raises(ValueError, match="fcTL must be 26 bytes"):
+        mm._apng_decode(bad2)
+
+
+def test_decompression_bomb_rejected_before_materializing():
+    """r7 (review): an IDAT that inflates past the IHDR-implied pixel size
+    must raise, capped — not allocate whatever the stream expands to."""
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)  # claims 1x1 gray
+    bomb = zlib.compress(b"\x00" * (64 * 1024 * 1024), 9)  # 64 MB of zeros
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + mm._png_chunk(b"IHDR", ihdr)
+        + mm._png_chunk(b"IDAT", bomb)
+        + mm._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="length mismatch"):
+        mm._png_decode(payload)
+
+
 def test_mime_sniffing_magic_bytes(spark):
     """r7: attach_media_columns sniffs the mime from magic bytes JVM-side
     — real PNG/APNG/WAV containers are recognized, anything else stays
