@@ -32,38 +32,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #: CORRECTNESS file lands with them green.
 _FORCE_RECHECK: frozenset[str] = frozenset(
     {
-        # r7: snapshot commits write mode('append') into the claimed dir
-        # (overwrite deleted the claim marker mid-write) — same data, new
-        # write path, so the green rows predate the current code
-        "snapshot_time_travel_orders",
-        "snapshot_compaction_roundtrip",
-        "snapshot_cdc_upsert_history",
-        "fresh_scoring_snapshot_pipeline",
-        # r7: WAV codec precondition is an explicit raise; synthesize maps
-        # NULL text to NULL payload instead of crashing the Arrow batch
-        "multimodal_audio_features",
-        # r7: pre-epoch shim — event time shifted at ingest, reversed at
-        # emit (normal-corpus output bit-identical, but the plan changed)
-        "streaming_stream_stream_join",
-        "streaming_stream_stream_left_outer",
-        "streaming_stream_stream_full_outer",
-        # r7: image path graduated from digest stub to a REAL PNG codec
-        # (synthesize -> CRC-verified decode -> pixel statistics); both the
-        # query plan and the oracle changed
-        "multimodal_image_features",
-        # r7: frame sampling graduated from byte-slice stub to a REAL
-        # Animated PNG container parse (per-frame decode + statistics)
-        "multimodal_frame_samples",
-        # r7: payload embeddings graduated from digest stub to a real
-        # decoded-pixel intensity histogram
-        "multimodal_payload_embeddings",
-        # r7: the sf10 spot-sweep caught gini's Σ(i·rev) past 2^53 unscaled
-        # diverging one ulp between the engines' decimal→double casts; these
-        # three now cross to double via an exact string bridge (decimal→
-        # string→double is correctly rounded on both engines)
-        "stats_gini_revenue",
-        "window_ratio_to_report",
-        "pareto_cumulative_revenue_share",
+        # r8 entries are added as code changes this round; every r7 entry
+        # earned a fresh green row in CORRECTNESS_r07 and was cleared per
+        # protocol. Round 8 is the staleness-drain round: the LRU tier must
+        # spend its slots on the 42-query r03 tail, so r8 keeps this set
+        # minimal (only genuinely changed decode paths).
     }
 )
 

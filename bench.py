@@ -232,12 +232,26 @@ def main() -> None:
     here = os.path.dirname(os.path.abspath(__file__))
     round_no = os.environ.get("SPARK_GRAFT_ROUND")
     if round_no is None:
-        prior = [
+        # Infer from BOTH the driver-recorded BENCH_r*.json AND our own
+        # BENCH_DETAIL_r*.json: if the driver lands BENCH_r{N}.json between
+        # two full runs of the same round, a BENCH_r*-only max would shift
+        # the second run's detail file to round N+1, desynchronizing
+        # detail_file from the recorded round. A detail file for round N
+        # means round N is (still) in progress, so the max of both globs
+        # is the current round either way.
+        prior_driver = [
             int(m.group(1))
             for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
             if (m := re.search(r"BENCH_r(\d+)\.json$", p))
         ]
-        round_no = str(max(prior, default=0) + 1)
+        prior_detail = [
+            int(m.group(1))
+            for p in glob.glob(os.path.join(here, "BENCH_DETAIL_r*.json"))
+            if (m := re.search(r"BENCH_DETAIL_r(\d+)\.json$", p))
+        ]
+        round_no = str(
+            max(max(prior_driver, default=0) + 1, max(prior_detail, default=0))
+        )
     detail = {
         "metric": "headline_queries_total_sec",
         "value": total,

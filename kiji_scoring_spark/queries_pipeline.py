@@ -131,10 +131,6 @@ def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_oracle_sql() -> str:
-    votes = " + ".join(
-        f"(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END)::BIGINT * 0"  # placeholder
-        for i in range(1)
-    )
     bit_terms = []
     for i in range(32):
         bit_terms.append(
