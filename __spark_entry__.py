@@ -37,6 +37,16 @@ _FORCE_RECHECK: frozenset[str] = frozenset(
         # protocol. Round 8 is the staleness-drain round: the LRU tier must
         # spend its slots on the 42-query r03 tail, so r8 keeps this set
         # minimal (only genuinely changed decode paths).
+        #
+        # r8: the APNG mime sniff moved from a 256-byte content scan to the
+        # fixed post-IHDR chunk-tag offset (attach_media_columns) — every
+        # pipeline that routes through the sniff re-verifies. (New queries
+        # like multimodal_video_motion land in the never-checked tier
+        # automatically and need no entry here.)
+        "multimodal_image_features",
+        "multimodal_frame_samples",
+        "multimodal_payload_embeddings",
+        "multimodal_audio_features",
     }
 )
 

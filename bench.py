@@ -123,6 +123,10 @@ HEADLINE = [
     # attach-meta → decode, three Arrow stages) — benched so the heavier
     # pipeline can't regress silently
     "multimodal_audio_features",
+    # round 8: the video path became a REAL YUV4MPEG2 container walk
+    # (synthesize → attach-meta → per-frame decode + temporal-difference
+    # motion, three Arrow stages) — benched like the audio/image paths
+    "multimodal_video_motion",
 ]
 
 #: round-over-round regression reference (sum over that round's HEADLINE):

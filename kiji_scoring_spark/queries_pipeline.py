@@ -798,6 +798,72 @@ def multimodal_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_video_motion",
+    # the oracle replays the DECODED video's per-frame luma statistics AND
+    # the temporal-difference motion signal from the text the fixture was
+    # rendered from (r8 — real YUV4MPEG2 container): frame f pixel i =
+    # (ord(text[i]) + f) % 256, pads at f, rows of 16, min(8, h) frames.
+    # Motion |luma(f) − luma(f−1)| is 1 per pixel except where the +1
+    # step wraps 255→0, i.e. (v + f) % 256 = 0, where it is 255; pads
+    # (v = 0) never wrap for f in 1..7, so they contribute 1 each.
+    """
+    WITH t AS (
+      SELECT doc_id, length(text) AS n,
+        greatest(1, (length(text) + 15) // 16) AS h,
+        list_transform(generate_series(1, length(text)),
+                       i -> CAST(ord(substr(text, i, 1)) % 256 AS BIGINT)) AS px
+      FROM documents WHERE text IS NOT NULL
+    ), f AS (
+      SELECT doc_id, n, h, px,
+        unnest(generate_series(0, least(8, h) - 1)) AS frame_idx
+      FROM t
+    ), s AS (
+      SELECT doc_id, n, h, frame_idx,
+        list_transform(px, v -> (v + frame_idx) % 256) AS sp,
+        CASE WHEN frame_idx = 0 THEN NULL
+             ELSE COALESCE(list_sum(list_transform(px,
+                    v -> CASE WHEN (v + frame_idx) % 256 = 0
+                              THEN CAST(255 AS BIGINT)
+                              ELSE CAST(1 AS BIGINT) END)), 0)
+                  + (h * 16 - n) END AS motion_sum
+      FROM f
+    )
+    SELECT doc_id AS media_id, CAST(frame_idx AS INT) AS frame_idx,
+      CAST(COALESCE(list_sum(sp), 0) + (h * 16 - n) * frame_idx AS DOUBLE)
+        / (h * 16) AS frame_mean,
+      CAST(CASE WHEN h * 16 > n
+                THEN greatest(COALESCE(list_max(sp), 0), frame_idx)
+                ELSE list_max(sp) END AS INTEGER) AS frame_peak,
+      CAST(motion_sum AS DOUBLE) / (h * 16) AS motion_mean
+    FROM s ORDER BY media_id, frame_idx
+    """,
+    "multimodal", "pipeline",
+)
+def multimodal_video_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video modality (§2.G) — REAL container parse as of round 8: text
+    renders to genuine YUV4MPEG2 streams (operators/multimodal.py
+    `_y4m_encode` — the uncompressed interchange container ffmpeg / mpv /
+    x264 read and write; `ffmpeg -i` plays these), then
+    `sample_video_frames` PARSES the container (header grammar, FRAME
+    markers, exact per-frame plane walk with truncation guards) and emits
+    one row per decoded frame with exact luma statistics PLUS
+    ``motion_mean`` — mean absolute temporal difference vs the previous
+    frame, the signal scene-cut detection and keyframe selection build
+    on (NULL for frame 0). One-to-many mapInPandas explode, no shuffle;
+    all sums exact integers with one double division. The oracle replays
+    every frame's raster and motion math from the source text, so the
+    decoder's output is under the value-hash gate. COMPRESSED codecs
+    (H.264/VP9, MJPEG) still require ffmpeg — the documented boundary;
+    a deployment swaps the y4m walk for ffmpeg decode, Spark shape
+    unchanged."""
+    # a NULL body is a missing asset: dropped before decode (both sides)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    y4m = mm.synthesize_y4m_payloads(d, "doc_id", "text")
+    media = mm.attach_media_columns(y4m, "media_id", "payload")
+    return mm.sample_video_frames(media).orderBy("media_id", "frame_idx")
+
+
+@query(
     "chunk_documents_token_windows",
     """
     WITH t AS (

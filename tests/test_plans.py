@@ -53,6 +53,7 @@ def test_filters_reach_parquet_scan(spark, sf_dir, name):
 ARROW_QUERIES = {
     "multimodal_image_features",
     "multimodal_frame_samples",
+    "multimodal_video_motion",
     "multimodal_payload_embeddings",
     "multimodal_audio_features",
     "udaf_trimmed_mean_acctbal",
@@ -435,6 +436,7 @@ MULTIMODAL_NARROW_QUERIES = [
     "multimodal_image_features",
     "multimodal_audio_features",
     "multimodal_frame_samples",
+    "multimodal_video_motion",
     "multimodal_payload_embeddings",
 ]
 
