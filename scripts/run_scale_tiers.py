@@ -1,0 +1,213 @@
+#!/usr/bin/env python
+"""Reproducible scale-decade gate (round 8).
+
+Round 7's sf10/sf100 evidence — 63 queries green at 60 M lineitem
+(including all 22 TPC-H shapes), 16 at 600 M — was gathered as ad-hoc
+pytest invocations recorded in prose (REGIMES.md "Scale-decade"). This
+runner captures those exact batch lists as NAMED TIERS so any later
+round re-verifies the same program with one command and zero
+archaeology:
+
+    python scripts/build_sf1.py /tmp/sf1
+    SPARK_GRAFT_SCALE_SRC=/tmp/sf1  python scripts/build_sf1.py /tmp/sf10
+    SPARK_GRAFT_SCALE_SRC=/tmp/sf10 python scripts/build_sf1.py /tmp/sf100
+
+    python scripts/run_scale_tiers.py sf10            # all 5 sf10 batches
+    python scripts/run_scale_tiers.py sf10-batch1     # one batch
+    python scripts/run_scale_tiers.py sf100 --dir /data/sf100
+    python scripts/run_scale_tiers.py --list
+
+Each tier shells out to the SAME oracle-parity machinery the driver
+gate uses (tests/test_oracle_parity.py: Spark vs DuckDB row counts +
+schema + sorted values on identical parquet), pointed at the scale
+dataset via SPARK_GRAFT_SF_DIR_TEST. Exit code is pytest's, so this
+nests in CI. The full 226-query registry is NOT swept at sf10+ by
+design: the heavy list-lambda DuckDB oracles (not the engine) dominate
+past 60 M rows — the mass-sensitive families below are the intended
+program (REGIMES.md measured ~1-3 min per batch at sf10 on local[32],
+~35 min for sf100-batch2, which carries two global-order medians).
+"""
+
+import argparse
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+#: tier -> (default dataset dir, ordered query list). Lists are the
+#: round-7 spot program verbatim (REGIMES.md "Scale-decade²/³"); keep
+#: appends at the END of a batch so recorded timings stay comparable.
+TIERS = {
+    # batch 1: the 11 most mass-sensitive operators — exact decimal sums,
+    # global ranks/cumulatives (the string-bridge trio), bitmap/HLL
+    # distinct machinery, exact dedup. This batch CAUGHT the r7 gini
+    # past-2^53 decimal->double ulp bug.
+    "sf10-batch1": ("/tmp/sf10", [
+        "q1_pricing_summary",
+        "q18_large_volume_customers",
+        "scalar_try_functions_battery",
+        "stats_gini_revenue",
+        "stats_weighted_median",
+        "window_moving_median_order_value",
+        "pareto_cumulative_revenue_share",
+        "bitmap_exact_distinct_shards",
+        "sketch_hll_shard_union",
+        "dedup_exact_documents",
+        "window_ratio_to_report",
+    ]),
+    # batch 2: global/partitioned windows, running totals, monthly trend,
+    # sorted-fold entropy, sessionization, gap-fill, checksums,
+    # incremental agg merge, rolling bitmap DAU, q3/q9 join-mass controls
+    "sf10-batch2": ("/tmp/sf10", [
+        "window_running_order_total",
+        "trend_mom_revenue_growth",
+        "stats_categorical_entropy_per_user",
+        "sessionize_events_gap",
+        "gapfill_linear_interpolation",
+        "table_checksum_by_nation",
+        "incremental_agg_partial_merge",
+        "most_recent_event_per_user",
+        "bitmap_rolling_distinct_users",
+        "q3_shipping_priority",
+        "q9_product_type_profit",
+        "window_moving_median_order_value",
+    ]),
+    # batch 3: subqueries, cohort/funnel, both as-of joins, both
+    # versioned reads, Avro roundtrip, token counts, SCD2, a real
+    # streaming replay over the 10 M-event corpus
+    "sf10-batch3": ("/tmp/sf10", [
+        "subquery_exists_urgent_customers",
+        "subquery_scalar_above_nation_avg",
+        "cohort_retention_weekly",
+        "funnel_view_click_purchase",
+        "funnel_time_to_convert_percentiles",
+        "asof_join_user_value_at_checkpoints",
+        "asof_join_pairwise_event_probes",
+        "versioned_most_recent_read",
+        "versioned_time_range_read",
+        "avro_cell_roundtrip_nation_stats",
+        "text_token_counts",
+        "scd2_event_type_history",
+        "streaming_hourly_event_stats",
+    ]),
+    # batch 4: six heavy TPC-H shapes, BFS + triangle counting over the
+    # 60 M-row copurchase graph, both salted operators, Z-order tiling,
+    # domain caps, mixture rebalance
+    "sf10-batch4": ("/tmp/sf10", [
+        "q5_local_supplier_volume",
+        "q7_nation_volume_shipping",
+        "q8_market_share",
+        "q12_late_shipment_priority_split",
+        "q17_small_quantity_revenue",
+        "q21_waiting_suppliers",
+        "graph_bfs_copurchase_hops",
+        "graph_triangle_count_copurchase",
+        "salted_agg_event_type_stats",
+        "salted_join_event_labels",
+        "zorder_layout_event_tiles",
+        "domain_cap_sample_documents",
+        "mixture_rebalance_sources",
+    ]),
+    # batch 5: the remaining 12 TPC-H shapes (completes all 22 at 60 M
+    # rows), CDC apply-changes, checksum-bucketed diff, funnel patterns
+    "sf10-batch5": ("/tmp/sf10", [
+        "q2_min_cost_supplier",
+        "q4_late_ship_priority",
+        "q6_forecast_revenue",
+        "q10_returned_items",
+        "q11_important_parts",
+        "q13_customer_distribution",
+        "q14_promo_revenue",
+        "q15_top_supplier",
+        "q16_supplier_part_counts",
+        "q19_discounted_revenue",
+        "q20_excess_share_suppliers",
+        "q22_global_sales_opportunity",
+        "cdc_apply_changes_ordered",
+        "table_diff_checksum_buckets",
+        "funnel_pattern_no_error_between",
+    ]),
+    # sf100 batch 1: flagship exact-decimal pipelines + the string-bridge
+    # trio at ~10^21 unscaled — magnitude-invariance of the correctly-
+    # rounded bridge, measured (6/6 in 2:17 at r7)
+    "sf100-batch1": ("/tmp/sf100", [
+        "q1_pricing_summary",
+        "q6_forecast_revenue",
+        "stats_gini_revenue",
+        "window_ratio_to_report",
+        "pareto_cumulative_revenue_share",
+        "scalar_try_functions_battery",
+    ]),
+    # sf100 batch 2: joins at 600 M x 150 M, global-order medians (the
+    # wall-clock dominators, expected cost shape), per-user windows over
+    # the 100 M-event corpus, distinct machinery, exact dedup at 5 M docs
+    "sf100-batch2": ("/tmp/sf100", [
+        "q3_shipping_priority",
+        "q9_product_type_profit",
+        "q18_large_volume_customers",
+        "window_moving_median_order_value",
+        "stats_weighted_median",
+        "most_recent_event_per_user",
+        "sessionize_events_gap",
+        "bitmap_exact_distinct_shards",
+        "sketch_hll_shard_union",
+        "dedup_exact_documents",
+    ]),
+}
+#: aggregate tiers run every batch of a decade in order
+GROUPS = {
+    "sf10": [f"sf10-batch{i}" for i in range(1, 6)],
+    "sf100": ["sf100-batch1", "sf100-batch2"],
+}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("tier", nargs="?", help="tier or group name (see --list)")
+    ap.add_argument("--dir", help="dataset dir (default: the tier's, e.g. /tmp/sf10)")
+    ap.add_argument("--list", action="store_true", help="list tiers and exit")
+    ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    args = ap.parse_args()
+
+    if args.list or not args.tier:
+        for g, parts in GROUPS.items():
+            n = sum(len(TIERS[p][1]) for p in parts)
+            print(f"{g:14s} {n:3d} queries  ({', '.join(parts)})")
+        for t, (d, qs) in TIERS.items():
+            print(f"{t:14s} {len(qs):3d} queries  (default dir {d})")
+        return 0
+
+    batches = GROUPS.get(args.tier) or ([args.tier] if args.tier in TIERS else None)
+    if not batches:
+        sys.exit(f"unknown tier {args.tier!r} — try --list")
+
+    sf_dir = args.dir or TIERS[batches[0]][0]
+    if not os.path.isdir(sf_dir):
+        sys.exit(
+            f"dataset dir {sf_dir} missing. Build the chain first:\n"
+            "  python scripts/build_sf1.py /tmp/sf1\n"
+            "  SPARK_GRAFT_SCALE_SRC=/tmp/sf1  python scripts/build_sf1.py /tmp/sf10\n"
+            "  SPARK_GRAFT_SCALE_SRC=/tmp/sf10 python scripts/build_sf1.py /tmp/sf100"
+        )
+
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR_TEST=sf_dir,
+        SPARK_GRAFT_CPUS=str(args.cpus),
+        SPARK_GRAFT_SHUFFLE=os.environ.get("SPARK_GRAFT_SHUFFLE", str(args.cpus)),
+    )
+    rc = 0
+    for b in batches:
+        nodes = [
+            f"tests/test_oracle_parity.py::test_query_matches_oracle[{q}]"
+            for q in TIERS[b][1]
+        ]
+        print(f"== {b}: {len(nodes)} queries at {sf_dir} ==", flush=True)
+        r = subprocess.run([sys.executable, "-m", "pytest", "-q", *nodes], cwd=REPO, env=env)
+        rc = rc or r.returncode
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())
