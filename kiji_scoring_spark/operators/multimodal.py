@@ -264,24 +264,32 @@ def _png_unfilter(raw: bytes, w: int, h: int, ch: int):
     if not filters.any():
         return lines.copy()  # all filter 0: the encoder's own fast path
     out = np.zeros((h, stride), dtype=np.uint8)
+    up = np.zeros(stride, dtype=np.int32)  # previous reconstructed row
     for y in range(h):
         ft = int(filters[y])
         cur = lines[y].astype(np.int32)
-        up = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
         if ft == 0:
             rec = cur
-        elif ft == 2:  # Up
+        elif ft == 2:  # Up: whole-row vector add
             rec = (cur + up) & 0xFF
-        elif ft in (1, 3, 4):  # Sub / Average / Paeth: left-recurrences
+        elif ft == 1:  # Sub: rec[i] = cur[i] + rec[i-ch] is a per-channel
+            # prefix sum, and mod-256 distributes over addition — one
+            # int64 cumsum per channel lane replaces the per-pixel loop
+            # (libpng/PIL output leans on Sub heavily; this was the
+            # interpreted-loop cliff flagged in the r7 advice).
+            rec = np.cumsum(cur.reshape(-1, ch), axis=0, dtype=np.int64).ravel() & 0xFF
+        elif ft in (3, 4):  # Average / Paeth: the predictor mixes the left
+            # NEIGHBOR'S RECONSTRUCTION with floor-div / branchy selection,
+            # so the left recurrence doesn't reduce to a prefix sum —
+            # per-pixel Python is the honest cost here (documented
+            # boundary; real decode farms hand this to libpng).
             rec = np.zeros(stride, np.int32)
             for i in range(stride):
                 left = rec[i - ch] if i >= ch else 0
-                if ft == 1:
-                    rec[i] = (cur[i] + left) & 0xFF
-                elif ft == 3:
+                if ft == 3:
                     rec[i] = (cur[i] + (left + up[i]) // 2) & 0xFF
                 else:
-                    ul = int(out[y - 1, i - ch]) if (y and i >= ch) else 0
+                    ul = int(up[i - ch]) if i >= ch else 0
                     p = left + up[i] - ul
                     pa, pb, pc = abs(p - left), abs(p - up[i]), abs(p - ul)
                     pred = left if (pa <= pb and pa <= pc) else (up[i] if pb <= pc else ul)
@@ -289,6 +297,7 @@ def _png_unfilter(raw: bytes, w: int, h: int, ch: int):
         else:
             raise ValueError(f"PNG scanline filter {ft} invalid")
         out[y] = rec
+        up = out[y].astype(np.int32)
     return out
 
 
@@ -344,14 +353,22 @@ def _apng_decode(payload: bytes):
     acTL/fcTL/fdAT raises ValueError, not struct.error — the dead-letter
     try/except contract); the fcTL/fdAT shared sequence counter checked
     for gaps; and the inflate capped at the IHDR-implied pixel size, so a
-    decompression-bomb payload raises instead of materializing GBs."""
+    decompression-bomb payload raises instead of materializing GBs.
+
+    Spec-valid APNGs whose DEFAULT IMAGE is not part of the animation
+    (acTL present, IDAT with no preceding fcTL) decode to the animation
+    frames only, per the spec's "default image is for still readers"
+    story — the IDAT is parsed (CRC, truncation) and skipped, not
+    mis-counted against acTL (the r7-advice fix)."""
     import struct
     import zlib
 
     if len(payload) < 8 or bytes(payload[:8]) != _PNG_SIG:
         raise ValueError("not a PNG: bad signature")
     pos, ihdr, n_frames = 8, None, None
-    frames: list[list[bytes]] = []  # per-frame compressed data pieces
+    anim: list[list[bytes]] = []  # fcTL-opened frames' compressed pieces
+    default_pieces: list[bytes] = []  # IDAT with no preceding fcTL
+    fdat_seen = False
     expect_seq = 0
     while pos + 8 <= len(payload):
         (ln,) = struct.unpack_from(">I", payload, pos)
@@ -385,13 +402,16 @@ def _apng_decode(payload: bytes):
                     "decoder handles full-size frames at offset (0,0), got "
                     f"{fw}x{fh}+{fx}+{fy}"
                 )
-            frames.append([])
+            anim.append([])
         elif tag == b"IDAT":
-            if not frames:
-                frames.append([])  # plain PNG: IDAT is the only frame
-            if len(frames) != 1:
+            if fdat_seen:
                 raise ValueError("APNG IDAT after fdAT frames")
-            frames[0].append(data)
+            if len(anim) > 1:
+                raise ValueError("APNG IDAT after a non-first fcTL")
+            # fcTL before IDAT → the IDAT is animation frame 0; otherwise
+            # it's the default image (plain PNG, or APNG keeping its
+            # default image out of the animation).
+            (anim[0] if anim else default_pieces).append(data)
         elif tag == b"fdAT":
             if len(data) < 4:
                 raise ValueError("APNG fdAT shorter than its sequence number")
@@ -399,9 +419,10 @@ def _apng_decode(payload: bytes):
             if seq != expect_seq:
                 raise ValueError(f"APNG sequence gap: fdAT {seq} != {expect_seq}")
             expect_seq += 1
-            if len(frames) < 2:
+            if not anim:
                 raise ValueError("APNG fdAT before its fcTL")
-            frames[-1].append(data[4:])
+            fdat_seen = True
+            anim[-1].append(data[4:])
         elif tag == b"IEND":
             break
         pos += 12 + ln
@@ -414,8 +435,16 @@ def _apng_decode(payload: bytes):
             f"depth={depth} color={ctype} interlace={inter}"
         )
     ch = _PNG_CHANNELS[ctype]
-    if n_frames is not None and n_frames != len(frames):
-        raise ValueError(f"acTL declares {n_frames} frames, found {len(frames)}")
+    if n_frames is None:
+        if anim:
+            raise ValueError("APNG fcTL without acTL")
+        frames = [default_pieces]  # plain PNG: IDAT is the only frame
+    else:
+        if n_frames != len(anim):
+            raise ValueError(f"acTL declares {n_frames} frames, found {len(anim)}")
+        # a default image outside the animation (IDAT, no fcTL first) is
+        # parsed for integrity above but not a frame — skip it.
+        frames = anim
     if not frames or not frames[0]:
         raise ValueError("PNG missing pixel data")
     expected = h * (1 + w * ch)

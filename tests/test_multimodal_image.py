@@ -201,6 +201,62 @@ def test_plain_png_decodes_as_one_frame_animation():
     assert (frames[0] == px).all()
 
 
+def test_apng_default_image_outside_animation_decodes():
+    """Spec-valid layout the r7 advice flagged: acTL present but IDAT has
+    no preceding fcTL — the default image exists for still readers only
+    and is NOT an animation frame. The decoder must return exactly the
+    acTL-declared fdAT frames (default image parsed + skipped), not a
+    misleading 'acTL declares N, found N+1'."""
+    w, h = 4, 2
+    default = np.full((h, w, 1), 200, dtype=np.uint8)
+    f0 = np.arange(8, dtype=np.uint8).reshape(h, w, 1)
+    f1 = (f0 + 100).astype(np.uint8)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+
+    def fctl(seq):
+        return struct.pack(">IIIIIHHBB", seq, w, h, 0, 0, 1, 10, 0, 0)
+
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + mm._png_chunk(b"IHDR", ihdr)
+        + mm._png_chunk(b"acTL", struct.pack(">II", 2, 0))
+        + mm._png_chunk(b"IDAT", zlib.compress(mm._filter0_scanlines(default)))
+        + mm._png_chunk(b"fcTL", fctl(0))
+        + mm._png_chunk(b"fdAT", struct.pack(">I", 1) + zlib.compress(mm._filter0_scanlines(f0)))
+        + mm._png_chunk(b"fcTL", fctl(2))
+        + mm._png_chunk(b"fdAT", struct.pack(">I", 3) + zlib.compress(mm._filter0_scanlines(f1)))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    gw, gh, ch, frames = mm._apng_decode(payload)
+    assert (gw, gh, ch, len(frames)) == (w, h, 1, 2)
+    assert (frames[0] == f0.reshape(h, w)).all()
+    assert (frames[1] == f1.reshape(h, w)).all()
+
+
+def test_fctl_without_actl_raises():
+    """An fcTL in a payload that never declared acTL is malformed — the
+    walk must say so rather than silently treating it as animated."""
+    px = np.arange(8, dtype=np.uint8).reshape(2, 4)
+    base = mm._png_encode(px)
+    fctl = struct.pack(">IIIIIHHBB", 0, 4, 2, 0, 0, 1, 10, 0, 0)
+    # splice an fcTL right after IHDR (8 sig + 25 IHDR chunk = 33)
+    bad = base[:33] + mm._png_chunk(b"fcTL", fctl) + base[33:]
+    with pytest.raises(ValueError, match="fcTL without acTL"):
+        mm._apng_decode(bad)
+
+
+def test_sub_filter_vectorized_multichannel():
+    """The cumsum lane vectorization of filter 1 must reproduce the
+    per-pixel left recurrence across channel widths and row shapes."""
+    rng = np.random.default_rng(4242)
+    for ch in (1, 3, 4):
+        px = rng.integers(0, 256, size=(8, 32 * ch), dtype=np.uint8)
+        payload = _filtered_png(px, filters=[1] * 8, ch=ch)
+        w, h, got_ch, got = mm._png_decode(payload)
+        assert (w, h, got_ch) == (32, 8, ch)
+        assert (got == px).all()
+
+
 def test_apng_sequence_gap_raises():
     frames = [np.zeros((2, 2), dtype=np.uint8), np.ones((2, 2), dtype=np.uint8)]
     payload = bytearray(mm._apng_encode(frames))
