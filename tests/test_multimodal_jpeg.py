@@ -1,0 +1,218 @@
+"""Round-9 gate for the REAL compressed-video codec
+(operators/multimodal.py): `_jpeg_encode` must emit genuine baseline
+JFIF JPEGs (marker framing, Annex K tables, byte-stuffed Huffman
+bitstream), `_jpeg_decode_at` must be an honest full-baseline decoder
+(Huffman + dequantize + IDCT, interleaved MCUs, restart markers, loud
+subset errors), `_mjpeg_decode` must split raw Motion-JPEG streams, and
+`sample_mjpeg_frames` must compute per-frame statistics from the DECODED
+pixels — hand-checked here independent of the SQL oracle that guards the
+same math at the registry level (`multimodal_mjpeg_motion`).
+
+The two keystone properties:
+
+1. FLAT 8x8 blocks round-trip EXACTLY (DC-only spectrum, step-1 DC
+   quantizer) — the property the fixture-oracle grammar stands on.
+2. For ARBITRARY images the decoder's output equals an independent
+   numpy quantize-dequantize-IDCT expectation BIT-FOR-BIT — which pins
+   the entire entropy layer (categories, run-lengths, ZRL/EOB, byte
+   stuffing, padding) as lossless, the part of a JPEG codec that can
+   actually be wrong in subtle ways.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from kiji_scoring_spark.operators import multimodal as mm
+
+
+def _flat_img(bvals):
+    return np.kron(np.asarray(bvals, np.uint8), np.ones((8, 8), np.uint8))
+
+
+def _expected_reconstruction(img):
+    """Independent float-math expectation: pad-to-8, orthonormal DCT,
+    round(coef/Q)*Q, IDCT, +128, round, clamp, crop."""
+    h, w = img.shape
+    a = np.pad(img, ((0, -h % 8), (0, -w % 8)), mode="edge").astype(float) - 128
+    k = np.arange(8.0)
+    c = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16) * 0.5
+    c[0, :] = 0.5 / np.sqrt(2.0)
+    q = np.asarray(mm._JPEG_QT, float).reshape(8, 8)
+    bh, bw = a.shape[0] // 8, a.shape[1] // 8
+    blocks = a.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    qc = np.rint(np.einsum("ij,njk,lk->nil", c, blocks, c) / q) * q
+    rec = np.einsum("ji,njk,kl->nil", c, qc, c)
+    rec = np.clip(np.rint(rec + 128), 0, 255).astype(np.uint8)
+    return (
+        rec.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+    )[:h, :w]
+
+
+def test_encode_emits_real_baseline_jfif():
+    p = mm._jpeg_encode(np.zeros((8, 8), np.uint8))
+    # independent marker walk (not via our decoder)
+    assert p[:2] == b"\xff\xd8" and p[-2:] == b"\xff\xd9"
+    markers, pos = [], 2
+    while pos < len(p) - 2:
+        assert p[pos] == 0xFF
+        m = p[pos + 1]
+        markers.append(m)
+        ln = struct.unpack(">H", p[pos + 2 : pos + 4])[0]
+        if m == 0xDA:  # entropy data follows the SOS header
+            break
+        pos += 2 + ln
+    assert markers[:2] == [0xE0, 0xDB]  # JFIF APP0, then DQT
+    assert 0xC0 in markers and markers.count(0xC4) == 2  # SOF0 + 2 DHTs
+    sof = p.index(b"\xff\xc0")
+    prec, h, w, nc = struct.unpack(">BHHB", p[sof + 4 : sof + 10])
+    assert (prec, h, w, nc) == (8, 8, 8, 1)
+
+
+def test_flat_blocks_roundtrip_exactly():
+    rng = np.random.RandomState(11)
+    bvals = rng.randint(0, 256, size=(7, 3))
+    img = _flat_img(bvals)
+    w, h, planes = mm._jpeg_decode(mm._jpeg_encode(img))
+    assert (w, h) == (24, 56) and len(planes) == 1
+    assert (planes[0] == img).all()
+
+
+def test_arbitrary_image_matches_float_expectation_bitwise():
+    # non-multiple-of-8 dims exercise edge padding + crop; random pixels
+    # exercise every AC path (runs, ZRL, byte stuffing, both signs)
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(21, 13)).astype(np.uint8)
+    w, h, planes = mm._jpeg_decode(mm._jpeg_encode(img))
+    assert (w, h) == (13, 21) and planes[0].shape == (21, 13)
+    assert (planes[0] == _expected_reconstruction(img)).all()
+    # and it is genuinely lossy on noise (this is a real DCT codec, not
+    # a disguised identity transform)
+    assert (planes[0] != img).any()
+
+
+def test_byte_stuffing_survives():
+    # a high-contrast checkerboard produces dense large coefficients and
+    # with the step-1 DC quantizer reliably lands 0xFF bytes in the
+    # entropy stream; the decode must still be exact vs expectation
+    img = np.indices((16, 16)).sum(0) % 2 * 255
+    img = img.astype(np.uint8)
+    enc = mm._jpeg_encode(img)
+    assert b"\xff\x00" in enc[2:-2]  # stuffing actually happened
+    _, _, planes = mm._jpeg_decode(enc)
+    assert (planes[0] == _expected_reconstruction(img)).all()
+
+
+def test_restart_markers_and_dri():
+    # hand-build a 2-MCU image encoded as two independent entropy runs
+    # separated by RST0, with DRI=1: decoder must byte-align, consume the
+    # marker, and reset the DC predictor (block 2's DC is absolute again)
+    img = _flat_img([[10, 200]])
+    base = mm._jpeg_encode(img)
+    # re-encode manually: encode each block as its own 8x8 JPEG, then
+    # splice block 2's entropy bits after a RST0 into a DRI-carrying file
+    one = mm._jpeg_encode(_flat_img([[10]]))
+    two = mm._jpeg_encode(_flat_img([[200]]))
+
+    def entropy(p):
+        sos = p.index(b"\xff\xda")
+        ln = struct.unpack(">H", p[sos + 2 : sos + 4])[0]
+        return p[sos + 2 + ln : -2]
+
+    sos = base.index(b"\xff\xda")
+    dri = b"\xff\xdd\x00\x04\x00\x01"
+    ln = struct.unpack(">H", base[sos + 2 : sos + 4])[0]
+    spliced = (
+        base[: sos]
+        + dri
+        + base[sos : sos + 2 + ln]
+        + entropy(one)
+        + b"\xff\xd0"
+        + entropy(two)
+        + b"\xff\xd9"
+    )
+    w, h, planes = mm._jpeg_decode(spliced)
+    assert (planes[0] == img).all()
+
+
+def test_honest_subset_errors_are_loud():
+    good = mm._jpeg_encode(np.zeros((8, 8), np.uint8))
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError, match="baseline"):
+        mm._jpeg_decode(prog)
+    twelve = bytearray(good)
+    twelve[good.index(b"\xff\xc0") + 4] = 12  # precision byte
+    with pytest.raises(ValueError, match="8-bit"):
+        mm._jpeg_decode(bytes(twelve))
+    with pytest.raises(ValueError, match="SOI"):
+        mm._jpeg_decode(b"\x00" + good)
+    with pytest.raises(ValueError, match="truncated|marker"):
+        mm._jpeg_decode(good[:-4])
+    with pytest.raises(ValueError, match="trailing"):
+        mm._jpeg_decode(good + b"zz")
+
+
+def test_dimension_bomb_guard():
+    good = bytearray(mm._jpeg_encode(np.zeros((8, 8), np.uint8)))
+    sof = good.index(b"\xff\xc0")
+    good[sof + 5 : sof + 9] = struct.pack(">HH", 65535, 65535)
+    with pytest.raises(ValueError, match="guard"):
+        mm._jpeg_decode(bytes(good))
+
+
+def test_mjpeg_split_and_cap():
+    frames = [_flat_img([[f, f + 100]]) for f in (0, 50, 100)]
+    stream = mm._mjpeg_encode(frames)
+    w, h, lumas = mm._mjpeg_decode(stream)
+    assert (w, h, len(lumas)) == (16, 8, 3)
+    assert all((l == f).all() for l, f in zip(lumas, frames))
+    _, _, capped = mm._mjpeg_decode(stream, max_frames=2)
+    assert len(capped) == 2
+    with pytest.raises(ValueError, match="size changed"):
+        mm._mjpeg_decode(stream + mm._jpeg_encode(np.zeros((8, 24), np.uint8)))
+    with pytest.raises(ValueError, match="no frames"):
+        mm._mjpeg_decode(b"")
+
+
+def test_mime_sniff_tags_jpeg(spark):
+    df = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
+    media = mm.attach_media_columns(
+        mm.synthesize_mjpeg_payloads(df, "doc_id", "text"), "media_id", "payload"
+    )
+    assert media.collect()[0].meta.mime == "image/jpeg"
+
+
+def test_frame_stats_hand_computed(spark):
+    # 'abc' -> blocks [97,98 / 99,0] -> h=2 -> 2 frames of 16x16 px
+    df = spark.createDataFrame([(7, "abc")], ["doc_id", "text"])
+    media = mm.attach_media_columns(
+        mm.synthesize_mjpeg_payloads(df, "doc_id", "text"), "media_id", "payload"
+    )
+    rows = sorted(mm.sample_mjpeg_frames(media).collect(), key=lambda r: r.frame_idx)
+    assert len(rows) == 2
+    assert rows[0].frame_peak == 99
+    assert rows[0].frame_mean == pytest.approx((97 + 98 + 99 + 0) / 4, abs=0)
+    assert rows[0].motion_mean is None
+    # frame 1: every block steps +1, no wrap -> motion exactly 1.0
+    assert rows[1].frame_peak == 100 and rows[1].motion_mean == 1.0
+
+
+def test_motion_wrap_counts_255(spark):
+    # chr(255) block wraps 255->0 at frame 1: |0-255| = 255; the space
+    # block and 0 pads step +1 -> motion = (255 + 3) / 4 per pixel
+    df = spark.createDataFrame([(9, chr(255) + " " * 2)], ["doc_id", "text"])
+    media = mm.attach_media_columns(
+        mm.synthesize_mjpeg_payloads(df, "doc_id", "text"), "media_id", "payload"
+    )
+    rows = {r.frame_idx: r for r in mm.sample_mjpeg_frames(media).collect()}
+    assert rows[1].motion_mean == pytest.approx((255 + 3) / 4, abs=0)
+
+
+def test_null_payload_yields_zero_rows(spark):
+    df = spark.createDataFrame([(1, "abc"), (2, None)], ["doc_id", "text"])
+    media = mm.attach_media_columns(
+        mm.synthesize_mjpeg_payloads(df, "doc_id", "text"), "media_id", "payload"
+    )
+    rows = mm.sample_mjpeg_frames(media).collect()
+    assert {r.media_id for r in rows} == {1}

@@ -54,6 +54,7 @@ ARROW_QUERIES = {
     "multimodal_image_features",
     "multimodal_frame_samples",
     "multimodal_video_motion",
+    "multimodal_mjpeg_motion",
     "multimodal_payload_embeddings",
     "multimodal_audio_features",
     "udaf_trimmed_mean_acctbal",
@@ -437,6 +438,7 @@ MULTIMODAL_NARROW_QUERIES = [
     "multimodal_audio_features",
     "multimodal_frame_samples",
     "multimodal_video_motion",
+    "multimodal_mjpeg_motion",
     "multimodal_payload_embeddings",
 ]
 
