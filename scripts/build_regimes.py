@@ -182,8 +182,63 @@ SKEW_MODS = {
     ),
 }
 
+def _wide_extras(table: str) -> str:
+    """Round-9 addition: WIDE SCHEMAS — the regime 100 TB warehouse tables
+    actually have. lineitem grows to ~500 columns (ints, doubles,
+    varchars, dates derived deterministically from the base row), orders
+    to ~120, and events gains the nested shapes that stress readers and
+    codegen: a 10-level-deep struct, a 48-field wide struct, a list of
+    structs, and a map. Every registry query names its columns
+    explicitly, so results must be IDENTICAL to the narrow tables —
+    what the sweep checks is that scan pruning, vectorized parquet
+    reading, and whole-stage codegen survive the width (Janino's 64 KB
+    method limit and reader column-batch sizing are the classic failure
+    modes), not that values moved. tests/test_wide_schema.py adds the
+    paths no pruned query exercises: project-ALL aggregation, wide
+    shuffles, deep-struct leaf access."""
+    if table == "lineitem":
+        cols = []
+        for i in range(121):
+            cols.append(f"l_orderkey * 7 + {i} AS wl_int_{i:03d}")
+        for i in range(121):
+            cols.append(f"l_extendedprice + {i} AS wl_dbl_{i:03d}")
+        for i in range(121):
+            cols.append(f"l_returnflag || '_{i}_' || l_linestatus AS wl_str_{i:03d}")
+        for i in range(121):
+            cols.append(f"l_shipdate + INTERVAL {i} DAY AS wl_ts_{i:03d}")
+        return "SELECT *, " + ", ".join(cols)
+    if table == "orders":
+        cols = [f"o_orderkey * 3 + {i} AS wo_int_{i:03d}" for i in range(52)]
+        cols += [f"o_totalprice + {i} AS wo_dbl_{i:03d}" for i in range(52)]
+        return "SELECT *, " + ", ".join(cols)
+    if table == "events":
+        deep = "user_id + 41"
+        for lvl in range(10, 0, -1):
+            deep = f"struct_pack(l{lvl} := {deep})"
+        wide_fields = ", ".join(
+            f"f{i:02d} := event_id * {i + 1}" for i in range(48)
+        )
+        return (
+            "SELECT *, "
+            f"{deep} AS w_deep, "
+            f"struct_pack({wide_fields}) AS w_wide, "
+            "[struct_pack(k := event_type, v := user_id), "
+            " struct_pack(k := event_type || '_x', v := user_id + 1)] AS w_list, "
+            "MAP {event_type: user_id, 'const': event_id} AS w_map"
+        )
+    if table == "documents":
+        cols = [f"doc_id * 11 + {i} AS wd_int_{i:03d}" for i in range(24)]
+        return "SELECT *, " + ", ".join(cols)
+    return "SELECT *"
+
+
+WIDE_MODS = {
+    t: _wide_extras(t) for t in ("lineitem", "orders", "events", "documents")
+}
+
 REGIMES = {
     "null": lambda t, rp: f"{NULL_MODS.get(t, 'SELECT *')} FROM {rp}",
+    "wide": lambda t, rp: f"{WIDE_MODS.get(t, 'SELECT *')} FROM {rp}",
     "skew": lambda t, rp: f"{SKEW_MODS.get(t, 'SELECT *')} FROM {rp}",
     "keynull": lambda t, rp: f"{KEYNULL_MODS.get(t, 'SELECT *')} FROM {rp}",
     "unicode": lambda t, rp: f"{UNICODE_MODS.get(t, 'SELECT *')} FROM {rp}",

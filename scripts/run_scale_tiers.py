@@ -154,11 +154,42 @@ TIERS = {
         "sketch_hll_shard_union",
         "dedup_exact_documents",
     ]),
+    # sf100 batch 3 (round 9 — broadens the 600 M tier from 16 to 35
+    # queries per the r8 verdict): six TPC-H join shapes already green at
+    # sf10 plus semi/anti joins, the as-of join, and the salted agg —
+    # all cheap-oracle (no global sorts, no list lambdas), so the DuckDB
+    # side stays minutes at 600 M rows
+    "sf100-batch3": ("/tmp/sf100", [
+        "q4_late_ship_priority",
+        "q5_local_supplier_volume",
+        "q10_returned_items",
+        "q12_late_shipment_priority_split",
+        "q14_promo_revenue",
+        "q19_discounted_revenue",
+        "join_semi_customers_with_urgent_orders",
+        "join_anti_customers_without_orders",
+        "asof_join_user_value_at_checkpoints",
+        "salted_agg_event_type_stats",
+    ]),
+    # sf100 batch 4 (round 9): partitioned windows, monthly trend,
+    # per-brand top-k, set ops over 150 M order priorities, correlated
+    # subqueries, weekly cohorts, and the per-nation checksum
+    "sf100-batch4": ("/tmp/sf100", [
+        "window_running_order_total",
+        "trend_mom_revenue_growth",
+        "topk_parts_per_brand",
+        "setop_intersect_all_priorities",
+        "setop_except_all_priorities",
+        "subquery_exists_urgent_customers",
+        "subquery_scalar_above_nation_avg",
+        "cohort_retention_weekly",
+        "table_checksum_by_nation",
+    ]),
 }
 #: aggregate tiers run every batch of a decade in order
 GROUPS = {
     "sf10": [f"sf10-batch{i}" for i in range(1, 6)],
-    "sf100": ["sf100-batch1", "sf100-batch2"],
+    "sf100": [f"sf100-batch{i}" for i in range(1, 5)],
 }
 
 
