@@ -1187,23 +1187,15 @@ class _JpegBitWriter:
         return bytes(self.buf)
 
 
-def _jpeg_encode(img) -> bytes:
-    """Encode an (H, W) uint8 grayscale raster as a REAL baseline JFIF
-    JPEG: level shift, 8x8 orthonormal DCT (vectorized einsum over all
-    blocks), Annex-K quantization with DC step 1, zigzag, differential-DC
-    + run-length-AC Huffman coding with the Annex K luminance tables,
-    byte-stuffed entropy stream, SOI/APP0/DQT/SOF0/DHT/SOS/EOI framing.
-    Edges pad by replication (the usual encoder choice). Any baseline
-    JPEG reader decodes the output."""
-    import struct
-
+def _jpeg_qblocks(plane, mcu_h: int = 8, mcu_w: int = 8):
+    """Pad a uint8 plane by edge replication to a multiple of the MCU
+    footprint, DCT all 8x8 blocks at once (vectorized einsum), quantize
+    with `_JPEG_QT`, and return the zigzagged int coefficients as a
+    (block_rows, block_cols, 64) array."""
     import numpy as np
 
-    a = np.asarray(img, dtype=np.uint8)
-    if a.ndim != 2 or a.shape[0] < 1 or a.shape[1] < 1:
-        raise ValueError("JPEG encoder takes one (H, W) uint8 luma plane")
-    h, w = a.shape
-    ph, pw = -h % 8, -w % 8
+    a = np.asarray(plane, dtype=np.uint8)
+    ph, pw = -a.shape[0] % mcu_h, -a.shape[1] % mcu_w
     if ph or pw:
         a = np.pad(a, ((0, ph), (0, pw)), mode="edge")
     bh, bw = a.shape[0] // 8, a.shape[1] // 8
@@ -1216,57 +1208,161 @@ def _jpeg_encode(img) -> bytes:
     coef = np.einsum("ij,njk,lk->nil", c, blocks, c)
     q = np.asarray(_JPEG_QT, dtype=np.float64).reshape(8, 8)
     zz = np.rint(coef / q).astype(np.int64).reshape(-1, 64)[:, list(_JPEG_ZIGZAG)]
+    return zz.reshape(bh, bw, 64)
 
-    dc_codes = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
-    ac_codes = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
-    out = _JpegBitWriter()
-    pred = 0
-    for blk in zz:
-        diff = int(blk[0]) - pred
-        pred = int(blk[0])
-        size = int(diff).bit_length() if diff else 0
-        code, ln = dc_codes[size]
+
+def _jpeg_emit_block(out: _JpegBitWriter, blk, pred: int, dc_codes, ac_codes) -> int:
+    """Huffman-encode one zigzagged quantized block (differential DC +
+    run-length AC with ZRL/EOB); returns the new DC predictor."""
+    dc = int(blk[0])
+    diff = dc - pred
+    size = abs(diff).bit_length()
+    code, ln = dc_codes[size]
+    out.put(code, ln)
+    if size:
+        out.put(diff if diff > 0 else diff + (1 << size) - 1, size)
+    run = 0
+    for kk in range(1, 64):
+        v = int(blk[kk])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            out.put(code, ln)
+            run -= 16
+        size = abs(v).bit_length()
+        if size > 10:
+            raise ValueError("AC coefficient out of baseline range")
+        code, ln = ac_codes[(run << 4) | size]
         out.put(code, ln)
-        if size:
-            out.put(diff if diff > 0 else diff + (1 << size) - 1, size)
+        out.put(v if v > 0 else v + (1 << size) - 1, size)
         run = 0
-        for kk in range(1, 64):
-            v = int(blk[kk])
-            if v == 0:
-                run += 1
-                continue
-            while run > 15:
-                code, ln = ac_codes[0xF0]  # ZRL
-                out.put(code, ln)
-                run -= 16
-            size = abs(v).bit_length()
-            if size > 10:
-                raise ValueError("AC coefficient out of baseline range")
-            code, ln = ac_codes[(run << 4) | size]
-            out.put(code, ln)
-            out.put(v if v > 0 else v + (1 << size) - 1, size)
-            run = 0
-        if run:
-            code, ln = ac_codes[0x00]  # EOB
-            out.put(code, ln)
-    entropy = out.flush()
+    if run:
+        code, ln = ac_codes[0x00]  # EOB
+        out.put(code, ln)
+    return dc
+
+
+def _jpeg_frame(h: int, w: int, comps, entropy: bytes) -> bytes:
+    """Assemble SOI..EOI around an entropy-coded scan. ``comps`` is a list
+    of (component_id, Hi, Vi); all components share quant table 0 and
+    Huffman tables 0/0 (legal — table assignment is per-component and
+    nothing requires distinct chroma tables)."""
+    import struct
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
 
     qt_zz = bytes(_JPEG_QT[i] for i in _JPEG_ZIGZAG)
-    parts = [
-        b"\xff\xd8",  # SOI
-        seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"),
-        seg(0xDB, b"\x00" + qt_zz),  # DQT: Pq=0 Tq=0
-        seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00"),  # SOF0
-        seg(0xC4, b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)),
-        seg(0xC4, b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)),
-        seg(0xDA, b"\x01\x01\x00\x00\x3f\x00"),  # SOS: comp 1, tables 0/0
-        entropy,
-        b"\xff\xd9",  # EOI
-    ]
-    return b"".join(parts)
+    sof = struct.pack(">BHHB", 8, h, w, len(comps)) + b"".join(
+        bytes((cid, (hi << 4) | vi, 0)) for cid, hi, vi in comps
+    )
+    sos = bytes((len(comps),)) + b"".join(
+        bytes((cid, 0x00)) for cid, _, _ in comps
+    ) + b"\x00\x3f\x00"
+    return b"".join(
+        [
+            b"\xff\xd8",  # SOI
+            seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"),
+            seg(0xDB, b"\x00" + qt_zz),  # DQT: Pq=0 Tq=0
+            seg(0xC0, sof),  # SOF0
+            seg(0xC4, b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)),
+            seg(0xC4, b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)),
+            seg(0xDA, sos),
+            entropy,
+            b"\xff\xd9",  # EOI
+        ]
+    )
+
+
+def _jpeg_encode(img) -> bytes:
+    """Encode an (H, W) uint8 grayscale raster as a REAL baseline JFIF
+    JPEG: level shift, 8x8 orthonormal DCT (vectorized einsum over all
+    blocks), Annex-K quantization with DC step 1, zigzag, differential-DC
+    + run-length-AC Huffman coding with the Annex K luminance tables,
+    byte-stuffed entropy stream, SOI/APP0/DQT/SOF0/DHT/SOS/EOI framing.
+    Edges pad by replication (the usual encoder choice). Any baseline
+    JPEG reader decodes the output."""
+    import numpy as np
+
+    a = np.asarray(img, dtype=np.uint8)
+    if a.ndim != 2 or a.shape[0] < 1 or a.shape[1] < 1:
+        raise ValueError("JPEG encoder takes one (H, W) uint8 luma plane")
+    h, w = a.shape
+    zz = _jpeg_qblocks(a)
+    dc_codes = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    out = _JpegBitWriter()
+    pred = 0
+    for blk in zz.reshape(-1, 64):
+        pred = _jpeg_emit_block(out, blk, pred, dc_codes, ac_codes)
+    return _jpeg_frame(h, w, [(1, 1, 1)], out.flush())
+
+
+def _jpeg_encode_color(ycbcr, subsample: str = "420") -> bytes:
+    """Encode an (H, W, 3) uint8 YCbCr raster as a 3-component baseline
+    JFIF JPEG — the INTERLEAVED-MCU form real camera output takes.
+    ``"420"`` downsamples chroma 2x2 (box average, Y at Hi=Vi=2, MCUs of
+    four Y blocks + one Cb + one Cr); ``"444"`` keeps full-resolution
+    chroma (three blocks per MCU). Input is YCbCr directly: the RGB
+    transform is a separate well-defined stage (JFIF Rec. 601) and
+    keeping it out of the codec keeps the codec exactly testable. Exists
+    chiefly so the decoder's generic interleave/subsampling path is
+    exercised by a real encoder rather than trusted on faith."""
+    import numpy as np
+
+    a = np.asarray(ycbcr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3 or a.shape[0] < 1 or a.shape[1] < 1:
+        raise ValueError("color JPEG encoder takes (H, W, 3) uint8 YCbCr")
+    if subsample not in ("420", "444"):
+        raise ValueError("subsample must be '420' or '444'")
+    h, w = a.shape[:2]
+    y = a[:, :, 0]
+    if subsample == "420":
+        # pad to even dims, then 2x2 box-average each chroma plane
+        ev = np.pad(a, ((0, h % 2), (0, w % 2), (0, 0)), mode="edge").astype(
+            np.uint16
+        )
+        eh, ew = ev.shape[:2]
+        cb, cr = (
+            (
+                ev[0::2, 0::2, ch]
+                + ev[0::2, 1::2, ch]
+                + ev[1::2, 0::2, ch]
+                + ev[1::2, 1::2, ch]
+                + 2
+            )
+            // 4
+            for ch in (1, 2)
+        )
+        comps = [(1, 2, 2), (2, 1, 1), (3, 1, 1)]
+        planes = [
+            _jpeg_qblocks(y, 16, 16),
+            _jpeg_qblocks(cb.astype(np.uint8)),
+            _jpeg_qblocks(cr.astype(np.uint8)),
+        ]
+    else:
+        comps = [(1, 1, 1), (2, 1, 1), (3, 1, 1)]
+        planes = [_jpeg_qblocks(a[:, :, ch]) for ch in range(3)]
+
+    dc_codes = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    out = _JpegBitWriter()
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcuy, mcux = -(-h // (8 * vmax)), -(-w // (8 * hmax))
+    preds = [0, 0, 0]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for si, (_, hi, vi) in enumerate(comps):
+                for by in range(vi):
+                    for bx in range(hi):
+                        blk = planes[si][my * vi + by, mx * hi + bx]
+                        preds[si] = _jpeg_emit_block(
+                            out, blk, preds[si], dc_codes, ac_codes
+                        )
+    return _jpeg_frame(h, w, comps, out.flush())
 
 
 class _JpegBitReader:

@@ -216,3 +216,47 @@ def test_null_payload_yields_zero_rows(spark):
     )
     rows = mm.sample_mjpeg_frames(media).collect()
     assert {r.media_id for r in rows} == {1}
+
+
+def test_color_444_interleaved_mcus_roundtrip():
+    # three-component interleave: flat 8x8 macro-blocks must round-trip
+    # exactly on all three planes through the generic MCU decode path
+    rng = np.random.RandomState(21)
+    mb = rng.randint(0, 256, size=(3, 2, 3)).astype(np.uint8)
+    col = np.kron(mb, np.ones((8, 8, 1), np.uint8))
+    w, h, planes = mm._jpeg_decode(mm._jpeg_encode_color(col, "444"))
+    assert (w, h) == (16, 24) and len(planes) == 3
+    assert all((planes[c] == col[:, :, c]).all() for c in range(3))
+
+
+def test_color_420_subsampled_roundtrip():
+    # 4:2:0: MCUs of four Y blocks + Cb + Cr; flat 16x16 macro-blocks are
+    # flat through the 2x2 box-average, so luma AND the half-resolution
+    # chroma planes round-trip exactly
+    rng = np.random.RandomState(22)
+    mb = rng.randint(0, 256, size=(2, 3, 3)).astype(np.uint8)
+    col = np.kron(mb, np.ones((16, 16, 1), np.uint8))
+    w, h, planes = mm._jpeg_decode(mm._jpeg_encode_color(col, "420"))
+    assert (w, h) == (48, 32)
+    assert planes[0].shape == (32, 48) and planes[1].shape == (16, 24)
+    assert (planes[0] == col[:, :, 0]).all()
+    assert (planes[1] == np.kron(mb[:, :, 1], np.ones((8, 8), np.uint8))).all()
+    assert (planes[2] == np.kron(mb[:, :, 2], np.ones((8, 8), np.uint8))).all()
+
+
+def test_color_420_odd_dimensions_crop():
+    # non-multiple-of-16 dims: luma crops to (H, W), chroma to the
+    # ceil-half sizes — the component-resolution contract of T.81 A.1.1
+    rng = np.random.RandomState(23)
+    odd = rng.randint(0, 256, size=(19, 27, 3)).astype(np.uint8)
+    w, h, planes = mm._jpeg_decode(mm._jpeg_encode_color(odd, "420"))
+    assert (w, h) == (27, 19)
+    assert planes[0].shape == (19, 27)
+    assert planes[1].shape == (10, 14) and planes[2].shape == (10, 14)
+
+
+def test_color_encoder_rejects_bad_input():
+    with pytest.raises(ValueError, match="YCbCr"):
+        mm._jpeg_encode_color(np.zeros((8, 8), np.uint8))
+    with pytest.raises(ValueError, match="subsample"):
+        mm._jpeg_encode_color(np.zeros((8, 8, 3), np.uint8), "422")
