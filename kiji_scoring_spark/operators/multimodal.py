@@ -534,18 +534,23 @@ def synthesize_png_payloads(
 def extract_image_features(media: DataFrame) -> DataFrame:
     """REAL image decode + feature extraction over Arrow batches
     (mapInPandas, round 7 — no longer a stub): each payload is parsed as
-    an actual PNG container (`_png_decode`: CRC-verified chunks, inflated
-    IDAT, unfiltered scanlines) and the features come from the decoded
-    pixels — true width/height from IHDR, channel count from the color
-    type, and mean intensity as one exact integer sum over every decoded
-    sample divided once (bit-reproducible for a SQL oracle). A NULL
-    payload is a MISSING ASSET, not a decode error: it yields a row with
-    NULL features (id preserved for audit) — the module-wide contract
-    shared by synthesize/attach/resize/embed, so composing the stages
-    never turns an upstream NULL into a batch crash. Malformed (non-NULL)
-    payloads raise ``ValueError`` — same fail-fast contract as the WAV
-    decoder; wrap in try/except + dead-letter routing for quarantine
-    semantics at ingest scale."""
+    an actual image container and the features come from the decoded
+    pixels — true width/height from the header, channel/component count,
+    and mean intensity as one exact integer sum over every decoded
+    sample divided once (bit-reproducible for a SQL oracle). As of round
+    9 the stage dispatches on magic bytes the way a real mixed-corpus
+    ingest must: PNG (`_png_decode`: CRC-verified chunks, inflated IDAT,
+    unfiltered scanlines) and baseline JPEG (`_jpeg_decode`: Huffman +
+    dequantize + IDCT; n_channels = component count, the mean taken over
+    every decoded sample of every component plane at its own
+    resolution). A NULL payload is a MISSING ASSET, not a decode error:
+    it yields a row with NULL features (id preserved for audit) — the
+    module-wide contract shared by synthesize/attach/resize/embed, so
+    composing the stages never turns an upstream NULL into a batch
+    crash. Malformed or unrecognized (non-NULL) payloads raise
+    ``ValueError`` — same fail-fast contract as the WAV decoder; wrap in
+    try/except + dead-letter routing for quarantine semantics at ingest
+    scale."""
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -553,7 +558,13 @@ def extract_image_features(media: DataFrame) -> DataFrame:
         def feats(payload):
             if payload is None:
                 return None
-            w, h, ch, px = _png_decode(payload)
+            b = bytes(payload)
+            if b[:3] == b"\xff\xd8\xff":
+                w, h, planes = _jpeg_decode(b)
+                tot = sum(int(pl.sum(dtype="int64")) for pl in planes)
+                cnt = sum(pl.size for pl in planes)
+                return w, h, len(planes), float(tot) / cnt
+            w, h, ch, px = _png_decode(b)
             return w, h, ch, float(int(px.sum(dtype="int64"))) / (w * h * ch)
 
         for pdf in batches:

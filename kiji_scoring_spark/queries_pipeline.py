@@ -702,6 +702,59 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_mixed_codec_features",
+    # The oracle replays BOTH codecs' decoded-raster math from the source
+    # text (r9): even doc_ids render as grayscale PNGs (pixel-per-char,
+    # rows of 16, zero-padded — the multimodal_image_features grammar),
+    # odd doc_ids as single-frame baseline JPEGs (flat 8x8 block per
+    # char, 2 blocks per row — the multimodal_mjpeg_motion grammar at
+    # frame 0, where pads are 0). JPEG pixel mean over 64-pixel flat
+    # blocks reduces to block-sum / block-count: sum*64/(1024*hb) is the
+    # same correctly-rounded double as sum/(2*hb).
+    """
+    WITH t AS (
+      SELECT doc_id, length(text) AS n,
+        list_transform(generate_series(1, length(text)),
+                       i -> CAST(ord(substr(text, i, 1)) % 256 AS BIGINT)) AS px
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id AS media_id,
+      CAST(16 AS INTEGER) AS width,
+      CAST(CASE WHEN doc_id % 2 = 0 THEN greatest(1, (n + 15) // 16)
+                ELSE 8 * greatest(1, (n + 1) // 2) END AS INTEGER) AS height,
+      CAST(1 AS INTEGER) AS n_channels,
+      CAST(COALESCE(list_sum(px), 0) AS DOUBLE)
+        / (CASE WHEN doc_id % 2 = 0 THEN 16 * greatest(1, (n + 15) // 16)
+                ELSE 2 * greatest(1, (n + 1) // 2) END) AS mean_intensity
+    FROM t ORDER BY media_id
+    """,
+    "multimodal", "pipeline",
+)
+def multimodal_mixed_codec_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIXED-FORMAT image corpus (§2.G) — what a real 100 TB ingest looks
+    like: no format monoculture. Even doc_ids arrive as PNGs, odd ones as
+    baseline JPEGs, one binary column; `extract_image_features` (r9)
+    dispatches per payload on MAGIC BYTES — no side-channel format
+    column, because at ingest scale the bytes are the only trustworthy
+    format signal — and decodes each with the matching REAL codec
+    (zlib+unfilter for PNG, Huffman+IDCT for JPEG). Both fixtures derive
+    from the same text grammar, so one oracle replays both decoders'
+    outputs exactly. Plan shape: two filtered scans of documents, each
+    through its narrow synthesize mapInPandas, unioned (still narrow —
+    no shuffle before the presentation orderBy), one attach + one decode
+    stage over the union."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    png = mm.synthesize_png_payloads(
+        d.filter(F.col("doc_id") % 2 == 0), "doc_id", "text"
+    )
+    jpg = mm.synthesize_mjpeg_payloads(
+        d.filter(F.col("doc_id") % 2 == 1), "doc_id", "text", max_frames=1
+    )
+    media = mm.attach_media_columns(png.unionByName(jpg), "media_id", "payload")
+    return mm.extract_image_features(media).orderBy("media_id")
+
+
+@query(
     "multimodal_audio_features",
     # the oracle recomputes the DECODED signal's statistics from the text
     # the fixture waveform was rendered from: sample i =

@@ -260,3 +260,43 @@ def test_color_encoder_rejects_bad_input():
         mm._jpeg_encode_color(np.zeros((8, 8), np.uint8))
     with pytest.raises(ValueError, match="subsample"):
         mm._jpeg_encode_color(np.zeros((8, 8, 3), np.uint8), "422")
+
+
+def test_image_features_dispatch_mixed_formats(spark):
+    # one binary column carrying BOTH formats: magic-byte dispatch must
+    # route each payload to its real decoder inside one Arrow batch
+    df = spark.createDataFrame([(2, "ab"), (3, "ab"), (4, None)], ["doc_id", "text"])
+    png = mm.synthesize_png_payloads(
+        df.filter("doc_id % 2 = 0"), "doc_id", "text"
+    )
+    jpg = mm.synthesize_mjpeg_payloads(
+        df.filter("doc_id % 2 = 1"), "doc_id", "text", max_frames=1
+    )
+    media = mm.attach_media_columns(png.unionByName(jpg), "media_id", "payload")
+    rows = {r.media_id: r for r in mm.extract_image_features(media).collect()}
+    # PNG doc 2: 'ab' -> one 16-px row [97,98,0*14]
+    assert (rows[2].width, rows[2].height, rows[2].n_channels) == (16, 1, 1)
+    assert rows[2].mean_intensity == pytest.approx((97 + 98) / 16, abs=0)
+    # JPEG doc 3: 'ab' -> one block row [97,98] -> 16x8 px, same mean of
+    # block values
+    assert (rows[3].width, rows[3].height, rows[3].n_channels) == (16, 8, 1)
+    assert rows[3].mean_intensity == pytest.approx((97 + 98) / 2, abs=0)
+    # NULL asset -> NULL-feature row, id preserved
+    assert rows[4].width is None and rows[4].mean_intensity is None
+
+
+def test_image_features_color_jpeg_component_mean():
+    # 3-component JPEG through the same dispatch: n_channels = 3 and the
+    # mean spans every decoded sample of every plane at its own size
+    col = np.full((16, 16, 3), 100, np.uint8)
+    col[:, :, 1] = 40
+    col[:, :, 2] = 220
+    w, h, planes = mm._jpeg_decode(mm._jpeg_encode_color(col, "420"))
+    assert [pl.shape for pl in planes] == [(16, 16), (8, 8), (8, 8)]
+    # flat planes -> exact decode; mean = (256*100 + 64*40 + 64*220)/384,
+    # computed the way the dispatch does: every sample of every plane
+    tot = 256 * 100 + 64 * 40 + 64 * 220
+    got = sum(int(p.sum(dtype="int64")) for p in planes) / sum(
+        p.size for p in planes
+    )
+    assert got == pytest.approx(tot / 384, abs=0)

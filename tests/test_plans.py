@@ -55,6 +55,7 @@ ARROW_QUERIES = {
     "multimodal_frame_samples",
     "multimodal_video_motion",
     "multimodal_mjpeg_motion",
+    "multimodal_mixed_codec_features",
     "multimodal_payload_embeddings",
     "multimodal_audio_features",
     "udaf_trimmed_mean_acctbal",
@@ -439,6 +440,7 @@ MULTIMODAL_NARROW_QUERIES = [
     "multimodal_frame_samples",
     "multimodal_video_motion",
     "multimodal_mjpeg_motion",
+    "multimodal_mixed_codec_features",
     "multimodal_payload_embeddings",
 ]
 
