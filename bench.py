@@ -171,6 +171,24 @@ HEADLINE = [
 #: environment drift, not a code regression, now closed with the
 #: same-session two-commit control the caveat below prescribes.
 #:
+#: ROUND-9 SESSION REFERENCE: headline 50.27 s over 71 queries (batch
+#: 38.0 s / replays 12.2 s) vs r8's 52.23 s — 0.96x. Drift control run
+#: per protocol: the 10 most-drifted queries between BENCH_DETAIL_r08
+#: and _r09 (all sub-second, ±15-25%) re-run back-to-back in THIS
+#: session on the unchanged r8 final commit (git worktree at f61d935)
+#: and r9 HEAD:
+#:     r8-code 4.07 s  vs  r9-code 4.42 s   (subset of 10, sf0.1)
+#: Every per-query delta is within ±0.05 s except bulk_get (0.37/0.42)
+#: — run noise, no code regression in either direction. (The subset
+#: numbers sit above BOTH rounds' recorded values because a cold
+#: 10-query session lacks the 71-query run's accumulated JVM warmth —
+#: expected, and why the control compares the two commits against each
+#: other, not against the recorded rounds.) Separately, round 9 MEASURED
+#: the replay group's cost structure — 99% fixed micro-batch machinery,
+#: flat in data (REGIMES.md "Streaming-replay overhead decomposition",
+#: scripts/measure_replay_overhead.py) — which is why batch_sec is the
+#: plan-quality signal and streaming_replays_sec is reported separately.
+#:
 #: CROSS-ROUND CAVEAT (measured, round 5): the container's ambient speed
 #: drifts between rounds. Re-running the UNCHANGED round-4 code in the
 #: round-5 session gave multimodal_image_features 1.37 s (recorded 0.74 s
