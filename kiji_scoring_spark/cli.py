@@ -32,10 +32,22 @@ from .registry import (
 
 
 def _layout_from_parquet(path: str) -> TableLayout:
-    """Table layout from the parquet footer only (no SparkSession)."""
+    """Table layout from the parquet footer only (no SparkSession). A
+    table may be one file or a DIRECTORY of part files (the fragmented /
+    real-lake layout — r9); for a directory the footer of the first part
+    carries the shared schema."""
+    import os
+
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import from_arrow_schema
 
+    if os.path.isdir(path):
+        parts = sorted(
+            f for f in os.listdir(path) if f.endswith(".parquet")
+        )
+        if not parts:
+            raise FileNotFoundError(f"no parquet part files under {path}")
+        path = os.path.join(path, parts[0])
     return TableLayout(from_arrow_schema(pq.read_schema(path)))
 
 

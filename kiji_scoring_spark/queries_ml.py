@@ -456,6 +456,31 @@ def text_neighbors_fixed_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream source over the events table, robust to BOTH on-disk
+    layouts a lake really has. A single file ``events.parquet`` (the
+    testdata shape) streams via the parent dir + a ``pathGlobFilter``,
+    since the file source wants a directory to list; a DIRECTORY
+    ``events.parquet/`` of part files (the fragmented regime — and every
+    real warehouse table at 100 TB) streams directly, because
+    ``pathGlobFilter`` matches LEAF file names and would see zero files
+    inside the directory. Round 9's fragmented sweep caught exactly
+    that: eight streaming queries returned empty results on a
+    directory-layout table before this helper existed. Returns the raw
+    stream; callers apply their own ts normalization (the nanos-vs-
+    micros cast differs per query)."""
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        return spark.readStream.schema(raw_schema).parquet(path)
+    return (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+
+
 @query(
     "streaming_hourly_event_stats",
     """
@@ -478,12 +503,7 @@ def streaming_hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     you'd add ``withWatermark`` to expire windows (see
     streaming.with_watermark and tests/test_streaming.py)."""
     ev_schema = load_table(spark, sf_dir, "events").schema
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = _stream_events(spark, sf_dir)
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn(
             "ts", F.expr("CAST(timestamp_micros(ts DIV 1000) AS timestamp_ntz)")
@@ -632,12 +652,7 @@ def streaming_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFra
     Scale: state is one row per open window; slide/width only change the
     per-event fan-out (2 here), not the state shape."""
     ev_schema = load_table(spark, sf_dir, "events").schema
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = _stream_events(spark, sf_dir)
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn(
             "ts", F.expr("CAST(timestamp_micros(ts DIV 1000) AS timestamp_ntz)")
@@ -688,12 +703,7 @@ def streaming_static_join_segments(spark: SparkSession, sf_dir: str) -> DataFram
     Scale: the static side broadcasts once per batch; stream state is one
     row per segment."""
     ev_schema = load_table(spark, sf_dir, "events").schema
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = _stream_events(spark, sf_dir)
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn(
             "ts", F.expr("CAST(timestamp_micros(ts DIV 1000) AS timestamp_ntz)")
@@ -740,12 +750,7 @@ def streaming_dedup_event_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     __init__.py) so expired keys leave the store; the bounded replay here
     needs no watermark because AvailableNow drains and terminates."""
     load_table(spark, sf_dir, "events")  # sets the nanos-parquet conf
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = _stream_events(spark, sf_dir)
     deduped = stream.select("user_id", "event_type").dropDuplicates(
         ["user_id", "event_type"]
     )
@@ -1146,14 +1151,8 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     is bit-identical while pre-epoch rows survive. Verified on the
     tsedge regime (tests/test_regimes.py::test_tsedge_stream_stream)."""
     load_table(spark, sf_dir, "events")  # sets the nanos-parquet conf
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-
     def side(alias_type: str):
-        s = (
-            spark.readStream.schema(raw_schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
+        s = _stream_events(spark, sf_dir)
         if dict(s.dtypes).get("ts") == "bigint":
             s = s.withColumn(
                 "ts", F.expr("CAST(timestamp_micros(ts DIV 1000) AS timestamp)")
@@ -1257,12 +1256,7 @@ def streaming_parquet_sink_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     ev_schema = load_table(spark, sf_dir, "events").schema
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = _stream_events(spark, sf_dir)
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn(
             "ts", F.expr("CAST(timestamp_micros(ts DIV 1000) AS timestamp)")
@@ -1352,14 +1346,8 @@ def streaming_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> Data
     state, only eviction-time emission. The availableNow drain plus the
     no-data final batch is what flushes the last evictions."""
     load_table(spark, sf_dir, "events")  # sets the nanos-parquet conf
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-
     def side(alias_type: str):
-        s = (
-            spark.readStream.schema(raw_schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
+        s = _stream_events(spark, sf_dir)
         if dict(s.dtypes).get("ts") == "bigint":
             s = s.withColumn(
                 "ts", F.expr("CAST(timestamp_micros(ts DIV 1000) AS timestamp)")
@@ -1649,14 +1637,8 @@ def streaming_stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> Data
     stream length; full-outer adds only eviction-time emission on both
     sides, no extra state."""
     load_table(spark, sf_dir, "events")  # sets the nanos-parquet conf
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-
     def side(alias_type: str):
-        s = (
-            spark.readStream.schema(raw_schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
+        s = _stream_events(spark, sf_dir)
         if dict(s.dtypes).get("ts") == "bigint":
             s = s.withColumn(
                 "ts", F.expr("CAST(timestamp_micros(ts DIV 1000) AS timestamp)")

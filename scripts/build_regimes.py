@@ -250,6 +250,42 @@ REGIMES = {
 }
 
 
+#: round-9 addition: FRAGMENTED tables — each `{t}.parquet` becomes a
+#: DIRECTORY of this many part files with rows round-robin-interleaved
+#: across parts and REVERSED within each part. This is the small-files
+#: lake pathology at 100 TB (a table is never one file there), and the
+#: adversarial row placement attacks the bug class the round-5 sweeps
+#: kept finding: any operator whose answer silently depends on scan /
+#: partition / file order (asof tie-breaks, first-seen flags,
+#: deterministic sampling) diverges from the oracle the moment file
+#: layout changes. Spark reads the directory natively; the DuckDB view
+#: uses the glob form (tests/test_oracle_parity.py::duck_con).
+FRAGMENT_PARTS = 16
+
+
+def build_fragmented(out_root: str, src: str) -> str:
+    import duckdb
+
+    d = os.path.join(out_root, "fragmented")
+    con = duckdb.connect()
+    for t in TABLES:
+        td = os.path.join(d, f"{t}.parquet")
+        os.makedirs(td, exist_ok=True)
+        con.execute(
+            f"CREATE OR REPLACE TEMP TABLE tt AS "
+            f"SELECT *, row_number() OVER () AS _rn "
+            f"FROM read_parquet('{src}/{t}.parquet')"
+        )
+        for i in range(FRAGMENT_PARTS):
+            con.execute(
+                f"COPY (SELECT * EXCLUDE (_rn) FROM tt "
+                f"WHERE _rn % {FRAGMENT_PARTS} = {i} ORDER BY _rn DESC) "
+                f"TO '{td}/part-{i:02d}.parquet' (FORMAT parquet)"
+            )
+    con.close()
+    return d
+
+
 def main() -> None:
     import duckdb
 
@@ -264,6 +300,7 @@ def main() -> None:
             con.execute(f"COPY ({stmt}) TO '{d}/{t}.parquet' (FORMAT parquet)")
         con.close()
         print(f"built {name}: {d}")
+    print(f"built fragmented: {build_fragmented(out_root, src)}")
 
 
 if __name__ == "__main__":

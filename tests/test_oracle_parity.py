@@ -2,6 +2,8 @@
 on Spark and its oracle SQL on DuckDB over the same parquet; results must
 match row-for-row (order-insensitive), like CORRECTNESS_r{N}.json does."""
 
+import os
+
 import duckdb
 import pandas as pd
 import pytest
@@ -17,9 +19,12 @@ def duck_con(sf_dir):
     # host zone — every wall-clock column would shift on non-UTC machines.
     con.execute("SET TimeZone='UTC'")
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+        # a table may be a single file OR a directory of part files (the
+        # fragmented regime — Spark reads both natively, DuckDB needs the
+        # glob form for directories)
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet({src})")
     return con
 
 

@@ -342,3 +342,51 @@ SKEW_REGIME = [
 @pytest.mark.parametrize("name", SKEW_REGIME)
 def test_skew_regime(spark, skew_dir, name):
     _check(spark, skew_dir, name)
+
+
+@pytest.fixture(scope="session")
+def fragmented_dir(tmp_path_factory):
+    """FRAGMENTED tables (round 9): every `{t}.parquet` is a DIRECTORY of
+    16 part files, rows round-robin-interleaved across parts and reversed
+    within each — the small-files lake layout plus adversarial row
+    placement. The first full sweep found 9 real bugs: the eight
+    streaming queries sourcing events via `pathGlobFilter` matched zero
+    LEAF files inside a directory table (empty streams, empty results —
+    exactly the silent-wrong-answer class), and the CLI's
+    footer-only schema read crashed on a directory. Fixed by
+    queries_ml._stream_events + cli._layout_from_parquet; this gate pins
+    both, plus the order-sensitive operator families the layout
+    scrambles."""
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"
+        ),
+    )
+    from build_regimes import build_fragmented
+
+    src = os.environ.get("SPARK_GRAFT_SCALE_SRC_SMALL", "/root/testdata/sf0.001")
+    d = tmp_path_factory.mktemp("fragsf")
+    build_fragmented(str(d), src)
+    return os.path.join(str(d), "fragmented")
+
+
+FRAGMENTED_REGIME = [
+    # the two bug classes this regime caught on its first sweep
+    "streaming_hourly_event_stats",
+    "streaming_stream_stream_join",
+    "cli_freshtool_six_modes",
+    # order-sensitive operators: file layout must never change answers
+    "asof_join_user_value_at_checkpoints",
+    "most_recent_event_per_user",
+    "sample_deterministic_documents",
+    "dedup_exact_documents",
+]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", FRAGMENTED_REGIME)
+def test_fragmented_regime(spark, fragmented_dir, name):
+    _check(spark, fragmented_dir, name)
