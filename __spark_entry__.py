@@ -36,7 +36,18 @@ _FORCE_RECHECK: frozenset[str] = frozenset(
         # earned a fresh green row in CORRECTNESS_r08 and was cleared per
         # protocol.
         #
-        # r9 is deliberately EMPTY; three shared-path changes, each
+        # r9: the sf0.01-sourced FRAGMENTED regime caught an
+        # order-dependent float mean in stats_summary_profile (raw
+        # double avg + round(_, 6) on a value sitting exactly at the
+        # rounding boundary — different file splits flip the last ulp);
+        # fixed with the exact-decimal-sum pattern. The same latent
+        # class in quality_unigram_logprob was hardened with the
+        # sorted-array left fold. Both queries' code AND oracles changed
+        # — their old green rows no longer certify.
+        "stats_summary_profile",
+        "quality_unigram_logprob",
+        #
+        # No other entries; three further shared-path changes, each
         # provably output-preserving at the driver's single-file layout:
         # (1) ADDITIVE mime-sniff branch in attach_media_columns (a new
         # WHEN for JPEG's 0xFFD8FF prefix appended after the PNG/WAV/y4m
@@ -51,9 +62,9 @@ _FORCE_RECHECK: frozenset[str] = frozenset(
         # green at sf0.01 (229/229) and on the fragmented regime
         # (229/229). New queries (multimodal_mjpeg_motion,
         # multimodal_mixed_codec_features) land in the never-checked tier
-        # automatically. Keeping this set empty leaves 48 LRU slots — the
-        # 43-query r4 tier plus the head of the r5 tier, completing the
-        # no-query-older-than-5-rounds cadence.
+        # automatically. Slot math: 2 new + 2 forced (one already inside
+        # the 43-query r4 LRU tier) + the full r4 tier + 4 of r5 = 50 —
+        # the no-query-older-than-5-rounds cadence completes this round.
     }
 )
 

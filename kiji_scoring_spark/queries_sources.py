@@ -193,12 +193,15 @@ def stats_corr_covar_quantity_price(spark: SparkSession, sf_dir: str) -> DataFra
     """
     SELECT 'l_quantity' AS column_name,
       count(l_quantity) AS n,
-      round(avg(l_quantity), 6) AS mean,
+      round(CAST(SUM(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE)
+            / NULLIF(count(l_quantity), 0), 6) AS mean,
       round(min(l_quantity), 6) AS min_v,
       round(max(l_quantity), 6) AS max_v
     FROM lineitem
     UNION ALL
-    SELECT 'l_discount', count(l_discount), round(avg(l_discount), 6),
+    SELECT 'l_discount', count(l_discount),
+      round(CAST(SUM(CAST(l_discount AS DECIMAL(24,6))) AS DOUBLE)
+            / NULLIF(count(l_discount), 0), 6),
       round(min(l_discount), 6), round(max(l_discount), 6)
     FROM lineitem
     ORDER BY column_name
@@ -216,10 +219,21 @@ def stats_summary_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
 
     def profile(col: str) -> DataFrame:
+        # mean via EXACT decimal sum + one double division, not avg():
+        # a raw double avg sums in scan order, and the sf0.01-sourced
+        # FRAGMENTED regime caught l_discount's true mean sitting on a
+        # round(_, 6) boundary — the two engines' different file splits
+        # flipped the last ulp and the rounded values diverged. The
+        # decimal sum is order-independent at any layout; values are
+        # exact at source precision so the cast loses nothing.
         return li.agg(
             F.lit(col).alias("column_name"),
             F.count(col).alias("n"),
-            F.round(F.avg(col), 6).alias("mean"),
+            F.round(
+                F.sum(F.col(col).cast("decimal(24,6)")).cast("double")
+                / F.nullif(F.count(col), F.lit(0)),
+                6,
+            ).alias("mean"),
             F.round(F.min(col), 6).alias("min_v"),
             F.round(F.max(col), 6).alias("max_v"),
         )

@@ -772,14 +772,22 @@ def quality_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     corpus AS (
       SELECT SUM(cnt) AS total FROM freqs
+    ),
+    packed AS (
+      SELECT t.doc_id,
+        CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        list_sort(list(f.cnt)) AS cs,
+        MAX(c.total) AS total
+      FROM toks t JOIN freqs f ON t.tok = f.tok CROSS JOIN corpus c
+      GROUP BY t.doc_id
+      HAVING COUNT(*) >= 5
     )
-    SELECT t.doc_id,
-      CAST(COUNT(*) AS BIGINT) AS n_tokens,
-      ROUND(AVG(-log2(f.cnt / c.total)), 6) AS avg_neg_logprob
-    FROM toks t JOIN freqs f ON t.tok = f.tok CROSS JOIN corpus c
-    GROUP BY t.doc_id
-    HAVING COUNT(*) >= 5
-    ORDER BY t.doc_id
+    SELECT doc_id, n_tokens,
+      ROUND(list_reduce(
+        list_transform(cs, x -> -log2(CAST(x AS DOUBLE) / total)),
+        (p, q) -> p + q) / n_tokens, 6) AS avg_neg_logprob
+    FROM packed
+    ORDER BY doc_id
     """,
     "pipeline", "text", "quality",
 )
@@ -794,8 +802,9 @@ def quality_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: tokenize is a narrow flatMap; the unigram table is
     vocab-sized (Zipf-bounded, orders of magnitude smaller than the
     corpus) so the score join broadcasts it; one shuffle builds the
-    vocab, one aggregates per doc. AVG of -log2 over a doc's tokens is
-    rounded to 6 so accumulation order can't flip a bit."""
+    vocab, one aggregates per doc. The per-doc float sum is a left fold
+    over a SORTED count array (not AVG), so accumulation order is pinned
+    on both engines at any file layout."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
@@ -805,18 +814,40 @@ def quality_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("tok", F.lower("tok"))
     freqs = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     total = freqs.agg(F.sum("cnt").alias("total"))
+    # DETERMINISTIC float summation (r9, hardened after the fragmented
+    # regime caught the same class in stats_summary_profile): a raw
+    # AVG(-log2 p) sums floats in scan order, which varies with file
+    # layout/partitioning. The counts are packed into a SORTED array and
+    # the sum runs as a left fold both engines execute identically
+    # (Spark aggregate == DuckDB list_reduce); only the bounded per-doc
+    # fold runs in floats, and the single division happens once on
+    # identical operands.
     scored = (
         toks.join(F.broadcast(freqs), "tok")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.avg(-F.log2(F.col("cnt") / F.col("total"))), 6).alias(
-                "avg_neg_logprob"
-            ),
+            F.array_sort(F.collect_list("cnt")).alias("cs"),
+            F.max("total").alias("total"),
         )
         .filter(F.col("n_tokens") >= 5)
-        .select("doc_id", "n_tokens", "avg_neg_logprob")
+        .withColumn(
+            "s",
+            F.aggregate(
+                F.transform(
+                    "cs",
+                    lambda x: -F.log2(x.cast("double") / F.col("total")),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("s") / F.col("n_tokens"), 6).alias("avg_neg_logprob"),
+        )
         .orderBy("doc_id")
     )
     return scored
