@@ -61,10 +61,13 @@ _FORCE_RECHECK: frozenset[str] = frozenset(
         # Post-change certification in-session: the FULL registry re-swept
         # green at sf0.01 (229/229) and on the fragmented regime
         # (229/229). New queries (multimodal_mjpeg_motion,
-        # multimodal_mixed_codec_features) land in the never-checked tier
-        # automatically. Slot math: 2 new + 2 forced (one already inside
-        # the 43-query r4 LRU tier) + the full r4 tier + 4 of r5 = 50 —
-        # the no-query-older-than-5-rounds cadence completes this round.
+        # multimodal_mixed_codec_features, and the late-round BPE pair
+        # text_bpe_merge_mining / text_bpe_tokenize_corpus — parity-checked
+        # at sf0.001 + sf0.01 and across all 11 regimes in-session) land
+        # in the never-checked tier automatically. Slot math: 4 new +
+        # 2 forced (one already inside the 43-query r4 LRU tier) + the
+        # full r4 tier + 2 of r5 = 50 — the no-query-older-than-5-rounds
+        # cadence still completes this round.
     }
 )
 

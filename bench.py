@@ -127,6 +127,13 @@ HEADLINE = [
     # (synthesize → attach-meta → per-frame decode + temporal-difference
     # motion, three Arrow stages) — benched like the audio/image paths
     "multimodal_video_motion",
+    # round 9: distributed BPE tokenizer training — a new plan shape
+    # (iterative one-row-argmax-broadcast over the distinct-word vocab,
+    # 6 merge rounds, localCheckpoint per round); benched so the
+    # per-round fixed cost can't regress silently. Its apply twin
+    # (text_bpe_tokenize_corpus) shares the same lineage and is covered
+    # by this entry.
+    "text_bpe_merge_mining",
 ]
 
 #: round-over-round regression reference (sum over that round's HEADLINE):
@@ -188,6 +195,9 @@ HEADLINE = [
 #: flat in data (REGIMES.md "Streaming-replay overhead decomposition",
 #: scripts/measure_replay_overhead.py) — which is why batch_sec is the
 #: plan-quality signal and streaming_replays_sec is reported separately.
+#: LATE-ROUND-9 ADDITION: text_bpe_merge_mining joined the headline
+#: (72 queries now) at a measured 2.56 s warm-median — round-10 totals
+#: carry that as a known +2.6 s vs the 71-query reference above.
 #:
 #: CROSS-ROUND CAVEAT (measured, round 5): the container's ambient speed
 #: drifts between rounds. Re-running the UNCHANGED round-4 code in the

@@ -1016,3 +1016,229 @@ def split_leakage_safe_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("split")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (SURVEY §2.G tail: the step AFTER corpus hygiene)
+# ---------------------------------------------------------------------------
+
+#: number of BPE merge rounds mined by the queries below. Fixed so the
+#: DuckDB oracle can unroll the identical iteration count.
+_BPE_MERGES = 6
+
+#: the merge fold, shared semantics with the oracle: the accumulator is
+#: the '|'-delimited output sequence; at each symbol, if the sequence's
+#: LAST symbol equals the winning pair's left and the incoming symbol its
+#: right, replace the last symbol with the concatenation, else append.
+#: This is exactly byte-pair-encoding's left-to-right non-overlapping
+#: merge scan ('a a a' + pair (a,a) -> 'aa|a', never 'aa|aa' overlap),
+#: expressed as a pure string fold both engines evaluate identically.
+_BPE_FOLD = """
+  aggregate(
+    slice(syms, 2, size(syms) - 1),
+    syms[0],
+    (acc, x) -> CASE
+      WHEN regexp_extract(acc, '([^|]*)$', 1) = __a AND x = __b
+      THEN concat(regexp_replace(acc, '([^|]*)$', ''), __a, __b)
+      ELSE concat(acc, '|', x) END)
+"""
+
+
+def _bpe_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus pass: lowercase ASCII-letter tokens -> (char-sequence, freq).
+
+    The alphabet is deliberately restricted to [a-z]: real BPE is
+    byte-level, and per-CHARACTER splitting of astral-plane text is the
+    one primitive Spark (UTF-16 code units) and an independent engine
+    (code points) disagree on — ASCII tokens make the mined merges
+    engine-portable. The sequence is stored as a '|'-joined string so the
+    whole iterative state is one flat VARCHAR column (vectorized reads,
+    no nested shuffles)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    words = d.select(
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("word")
+    )
+    chars = F.expr("filter(split(word, ''), ch -> ch <> '')")
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(F.array_join(chars, "|").alias("s"), "freq")
+    )
+
+
+def _bpe_learn(spark: SparkSession, sf_dir: str):
+    """Mine `_BPE_MERGES` byte-pair merges over the corpus vocabulary.
+
+    Returns (merges DataFrame, final vocab-state DataFrame). Fully
+    distributed — NO driver-side collect anywhere: each round's winning
+    pair is a ONE-ROW `min_by` aggregate (count DESC, then left/right
+    ASC tie-break via a lexicographic struct) that is cross-broadcast
+    back into the vocab state for the merge fold, so the "control
+    decision" stays inside the plan. An empty corpus (or a fully merged
+    vocabulary) yields a NULL winner row; the fold is guarded on NULL so
+    the state passes through unchanged and the merge table just gains no
+    row for that rank.
+
+    Scale: the corpus is read ONCE (word-freq aggregation — the standard
+    scalable-BPE reduction: merges operate on the distinct-word table,
+    never the corpus). Each round is then (a) one shuffle over pair
+    counts of the VOCAB-sized table with map-side partial aggregation,
+    (b) a broadcast of one row, (c) a narrow per-row fold, checkpointed
+    (`localCheckpoint`) so round k's plan does not recompute rounds
+    1..k-1. At 100 TB the vocab table is millions of rows, not the
+    corpus — every per-round cost is bounded by |vocab|."""
+    state = _bpe_word_freq(spark, sf_dir).localCheckpoint()
+    merge_rows = []
+    for k in range(1, _BPE_MERGES + 1):
+        st = state.withColumn("syms", F.split("s", "[|]"))
+        pc = (
+            st.filter(F.size("syms") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1), "
+                        "i -> struct(syms[i-1] AS l, syms[i] AS r))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = pc.agg(
+            F.min_by(
+                F.struct("l", "r", "cnt"),
+                F.struct(
+                    (-F.col("cnt")).alias("nc"),
+                    F.col("l").alias("tl"),
+                    F.col("r").alias("tr"),
+                ),
+            ).alias("w")
+        ).select(
+            F.col("w.l").alias("__a"),
+            F.col("w.r").alias("__b"),
+            F.col("w.cnt").alias("__cnt"),
+        ).localCheckpoint()
+        merge_rows.append(
+            best.filter(F.col("__a").isNotNull()).select(
+                F.lit(k).cast("bigint").alias("merge_rank"),
+                F.col("__a").alias("left_sym"),
+                F.col("__b").alias("right_sym"),
+                F.concat("__a", "__b").alias("merged"),
+                F.col("__cnt").alias("pair_count"),
+            )
+        )
+        merged = F.when(F.col("__a").isNull(), F.col("s")).otherwise(
+            F.expr(_BPE_FOLD)
+        )
+        state = (
+            st.crossJoin(F.broadcast(best))
+            .select(merged.alias("s"), "freq")
+            .localCheckpoint()
+        )
+    merges = merge_rows[0]
+    for m in merge_rows[1:]:
+        merges = merges.unionByName(m)
+    return merges, state
+
+
+def _bpe_oracle_prefix() -> str:
+    """Unrolled CTE chain replaying `_bpe_learn` exactly: per round, pair
+    counts from the previous state, a LIMIT-1 argmax with the same
+    (count DESC, left, right) tie-break, a scalar-subquery wrapper so an
+    empty argmax becomes a NULL row instead of annihilating the state
+    cross join, and the identical merge fold via `list_reduce`."""
+    parts = [
+        """
+    WITH state0 AS (
+      SELECT array_to_string(
+               list_transform(range(1, len(word) + 1), i -> word[i:i]), '|'
+             ) AS s,
+             CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+            FROM documents WHERE text IS NOT NULL) tw
+      GROUP BY word
+    )"""
+    ]
+    for k in range(1, _BPE_MERGES + 1):
+        parts.append(f"""
+    , pairs{k} AS (
+      SELECT syms[i] AS l, syms[i + 1] AS r, freq
+      FROM (SELECT string_split(s, '|') AS syms, freq FROM state{k - 1}) tp,
+           unnest(range(1, len(syms))) AS u(i)
+    ), best{k} AS (
+      SELECT l, r, CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM pairs{k} GROUP BY l, r ORDER BY cnt DESC, l, r LIMIT 1
+    ), bestx{k} AS (
+      SELECT (SELECT l FROM best{k}) AS a, (SELECT r FROM best{k}) AS b
+    ), state{k} AS (
+      SELECT CASE WHEN a IS NULL THEN s ELSE list_reduce(
+          string_split(s, '|'),
+          (acc, x) -> CASE
+            WHEN regexp_extract(acc, '([^|]*)$', 1) = a AND x = b
+            THEN regexp_replace(acc, '([^|]*)$', '') || a || b
+            ELSE acc || '|' || x END) END AS s, freq
+      FROM state{k - 1}, bestx{k}
+    )""")
+    return "".join(parts)
+
+
+def _bpe_merges_oracle() -> str:
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS merge_rank, l AS left_sym, "
+        f"r AS right_sym, l || r AS merged, cnt AS pair_count FROM best{k}"
+        for k in range(1, _BPE_MERGES + 1)
+    )
+    return f"{_bpe_oracle_prefix()} SELECT * FROM ({selects}) ORDER BY merge_rank"
+
+
+@query(
+    "text_bpe_merge_mining",
+    _bpe_merges_oracle(),
+    "pipeline", "text", "tokenizer", "iterative",
+)
+def text_bpe_merge_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding tokenizer TRAINING (§2.G: the step a pretraining
+    pipeline runs after corpus hygiene): mine the top `_BPE_MERGES` merge
+    rules from the documents corpus. Output is the learned merge table —
+    (rank, left, right, merged, weighted pair count) — integer counts and
+    string symbols only, so the lossy-float trap of iterative training is
+    structurally absent and the unrolled SQL replay hash-matches exactly.
+    See `_bpe_learn` for the distributed shape and 100 TB cost argument."""
+    merges, _ = _bpe_learn(spark, sf_dir)
+    return merges.orderBy("merge_rank")
+
+
+def _bpe_tokens_oracle() -> str:
+    return f"""{_bpe_oracle_prefix()}
+    SELECT token, CAST(SUM(freq) AS BIGINT) AS n_occurrences
+    FROM (SELECT unnest(string_split(s, '|')) AS token, freq
+          FROM state{_BPE_MERGES}) tt
+    GROUP BY token ORDER BY token
+    """
+
+
+@query(
+    "text_bpe_tokenize_corpus",
+    _bpe_tokens_oracle(),
+    "pipeline", "text", "tokenizer", "iterative",
+)
+def text_bpe_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the mined BPE merges back to the corpus: the final vocabulary
+    state after `_BPE_MERGES` rounds, exploded to (token, total
+    occurrences). This is the APPLY path — at 100 TB the hot one: encode
+    is a narrow per-row fold over broadcast merge rules; here it falls
+    out of the training state directly because training already holds
+    every distinct word's fully merged form, weighted by frequency (the
+    corpus-pass-once reduction — see `_bpe_learn`)."""
+    _, state = _bpe_learn(spark, sf_dir)
+    return (
+        state.select(
+            F.explode(F.split("s", "[|]")).alias("token"), "freq"
+        )
+        .groupBy("token")
+        .agg(F.sum("freq").alias("n_occurrences"))
+        .orderBy("token")
+    )
