@@ -34,8 +34,12 @@ from .registry import (
 def _layout_from_parquet(path: str) -> TableLayout:
     """Table layout from the parquet footer only (no SparkSession). A
     table may be one file or a DIRECTORY of part files (the fragmented /
-    real-lake layout — r9); for a directory the footer of the first part
-    carries the shared schema."""
+    real-lake layout — r9); a directory's schema is the NAME-UNION of
+    every part's footer, because a lake table carries schema evolution:
+    a column added after the first parts were written exists only in
+    later footers, and a first-part-only read would hide it from the
+    attachment validator (footer reads only — no data scan, same
+    contract as sources.load_table's mergeSchema)."""
     import os
 
     import pyarrow.parquet as pq
@@ -47,7 +51,12 @@ def _layout_from_parquet(path: str) -> TableLayout:
         )
         if not parts:
             raise FileNotFoundError(f"no parquet part files under {path}")
-        path = os.path.join(path, parts[0])
+        merged = pq.read_schema(os.path.join(path, parts[0]))
+        for p in parts[1:]:
+            for field in pq.read_schema(os.path.join(path, p)):
+                if merged.get_field_index(field.name) == -1:
+                    merged = merged.append(field)
+        return TableLayout(from_arrow_schema(merged))
     return TableLayout(from_arrow_schema(pq.read_schema(path)))
 
 

@@ -471,7 +471,10 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream; callers apply their own ts normalization (the nanos-vs-
     micros cast differs per query)."""
     path = os.path.join(sf_dir, "events.parquet")
-    raw_schema = spark.read.parquet(path).schema
+    # mergeSchema: the schema probe must see columns that exist only in
+    # later part files (schema evolution — see sources.load_table); the
+    # stream's per-file reads then null-fill them for pre-evolution parts.
+    raw_schema = spark.read.option("mergeSchema", "true").parquet(path).schema
     if os.path.isdir(path):
         return spark.readStream.schema(raw_schema).parquet(path)
     return (

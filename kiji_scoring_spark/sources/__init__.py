@@ -44,9 +44,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     ``events.ts`` (TIMESTAMP(NANOS)) → ``timestamp_ntz`` at microsecond
     precision, matching what DuckDB sees natively.
+
+    ``mergeSchema=true``: a bare-directory table on a real lake carries
+    SCHEMA EVOLUTION — columns added after the first files were written
+    exist only in later parts, and Spark's default single-footer schema
+    sampling would fail to discover them (queries naming an evolved
+    column crash; ``SELECT *`` silently drops it). Merging unions every
+    footer's fields (a distributed footer-only read, no data scan) and
+    per-file reads null-fill the missing columns, which is the lake
+    contract. On homogeneous layouts the merge of identical schemas is
+    the identity, so this is behavior-preserving for every non-evolved
+    table (certified by full parity re-sweeps on the plain and
+    fragmented layouts). At 100 TB a production deployment pins the
+    schema from a catalog instead of listing footers; for catalog-less
+    directory scans this is the correctness default.
     """
     _ensure_nanos_conf(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.option("mergeSchema", "true").parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer DIV: ts is ~1.7e18 ns and double division would lose the
         # low microseconds (DuckDB truncates nanos -> micros; so do we)

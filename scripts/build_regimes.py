@@ -286,6 +286,53 @@ def build_fragmented(out_root: str, src: str) -> str:
     return d
 
 
+#: round-9 addition #2: SCHEMA-DRIFT tables — the evolution pathology a
+#: bare-directory lake table accumulates: a column added months into the
+#: table's life exists only in files written after that; the first-listed
+#: (oldest) parts lack it entirely. Engines that sample ONE footer for
+#: the schema (Spark's default, DuckDB without union_by_name) either
+#: crash on the evolved column or silently drop it. Construction: the
+#: fragmented 16-part interleave, but parts 0-7 (listed FIRST, so naive
+#: single-footer sampling sees the PRE-evolution schema) are written
+#: WITHOUT the evolved columns below, parts 8-15 carry the full schema.
+#: Rows landing in old parts thus read as NULL for those columns on both
+#: engines — value semantics the null/keynull regimes already certify;
+#: what this regime tests is the SCHEMA DISCOVERY layer (load_table
+#: mergeSchema, _stream_events probe, CLI footer union, duck_con
+#: union_by_name).
+DRIFT_EVOLVED: dict[str, str] = {
+    "events": "props",
+    "customer": "c_acctbal",
+    "orders": "o_totalprice",
+    "documents": "text",
+}
+
+
+def build_schemadrift(out_root: str, src: str) -> str:
+    import duckdb
+
+    d = os.path.join(out_root, "schemadrift")
+    con = duckdb.connect()
+    for t in TABLES:
+        td = os.path.join(d, f"{t}.parquet")
+        os.makedirs(td, exist_ok=True)
+        con.execute(
+            f"CREATE OR REPLACE TEMP TABLE tt AS "
+            f"SELECT *, row_number() OVER () AS _rn "
+            f"FROM read_parquet('{src}/{t}.parquet')"
+        )
+        evolved = DRIFT_EVOLVED.get(t)
+        for i in range(FRAGMENT_PARTS):
+            drop = f", {evolved}" if evolved is not None and i < 8 else ""
+            con.execute(
+                f"COPY (SELECT * EXCLUDE (_rn{drop}) FROM tt "
+                f"WHERE _rn % {FRAGMENT_PARTS} = {i} ORDER BY _rn DESC) "
+                f"TO '{td}/part-{i:02d}.parquet' (FORMAT parquet)"
+            )
+    con.close()
+    return d
+
+
 def main() -> None:
     import duckdb
 
@@ -301,6 +348,7 @@ def main() -> None:
         con.close()
         print(f"built {name}: {d}")
     print(f"built fragmented: {build_fragmented(out_root, src)}")
+    print(f"built schemadrift: {build_schemadrift(out_root, src)}")
 
 
 if __name__ == "__main__":

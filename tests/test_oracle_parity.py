@@ -21,9 +21,15 @@ def duck_con(sf_dir):
     for t in TABLES:
         # a table may be a single file OR a directory of part files (the
         # fragmented regime — Spark reads both natively, DuckDB needs the
-        # glob form for directories)
+        # glob form for directories). union_by_name mirrors Spark's
+        # mergeSchema: parts may carry schema evolution (columns present
+        # only in later files — the schemadrift regime); for homogeneous
+        # directories it is the identity.
         p = f"{sf_dir}/{t}.parquet"
-        src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+        if os.path.isdir(p):
+            src = f"'{p}/*.parquet', union_by_name=true"
+        else:
+            src = f"'{p}'"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet({src})")
     return con
 

@@ -390,3 +390,54 @@ FRAGMENTED_REGIME = [
 @pytest.mark.parametrize("name", FRAGMENTED_REGIME)
 def test_fragmented_regime(spark, fragmented_dir, name):
     _check(spark, fragmented_dir, name)
+
+
+@pytest.fixture(scope="session")
+def schemadrift_dir(tmp_path_factory):
+    """SCHEMA-DRIFT tables (round 9): the fragmented 16-part layout, but
+    with SCHEMA EVOLUTION — for events/customer/orders/documents one
+    payload column (props / c_acctbal / o_totalprice / text) exists only
+    in parts 8-15; the first-listed parts carry the pre-evolution
+    schema. Naive single-footer schema sampling (bare
+    ``spark.read.parquet``, DuckDB without union_by_name) silently DROPS
+    the evolved column — queries naming it crash, ``SELECT *`` loses it.
+    This gate pins the schema-discovery layer: load_table's mergeSchema,
+    the _stream_events schema probe, the CLI's footer name-union, and
+    duck_con's union_by_name, on the queries that read the four evolved
+    columns."""
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"
+        ),
+    )
+    from build_regimes import build_schemadrift
+
+    src = os.environ.get("SPARK_GRAFT_SCALE_SRC_SMALL", "/root/testdata/sf0.001")
+    d = tmp_path_factory.mktemp("driftsf")
+    build_schemadrift(str(d), src)
+    return os.path.join(str(d), "schemadrift")
+
+
+SCHEMADRIFT_REGIME = [
+    # names the evolved events.props column — crashes outright if the
+    # merged schema misses it
+    "variant_shred_event_props",
+    # streaming over a drifted directory (schema probe + per-file
+    # null-fill through the file stream source)
+    "streaming_hourly_event_stats",
+    # CLI attachment validation sees the evolved column via footer union
+    "cli_freshtool_six_modes",
+    # the other three evolved columns, read through ordinary scans
+    "udaf_trimmed_mean_acctbal",
+    "histogram_order_totalprice",
+    "dedup_exact_documents",
+]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", SCHEMADRIFT_REGIME)
+def test_schemadrift_regime(spark, schemadrift_dir, name):
+    _check(spark, schemadrift_dir, name)
