@@ -1149,10 +1149,19 @@ def _bpe_oracle_prefix() -> str:
     counts from the previous state, a LIMIT-1 argmax with the same
     (count DESC, left, right) tie-break, a scalar-subquery wrapper so an
     empty argmax becomes a NULL row instead of annihilating the state
-    cross join, and the identical merge fold via `list_reduce`."""
+    cross join, and the identical merge fold via `list_reduce`.
+
+    Every state CTE is MATERIALIZED: state{k-1} is referenced twice per
+    round (pair counts + the merge fold) and best{k} again by the final
+    UNION, so DuckDB's default CTE inlining makes the scan tree
+    EXPONENTIAL in the round count — 2^6 re-reads of the corpus, which
+    both burned ~30 s per run at sf0.001 and exhausted the process FD
+    limit outright on 16-part directory layouts (found by the
+    schemadrift full-registry sweep). Materializing restores the same
+    once-per-round cost `_bpe_learn` gets from localCheckpoint."""
     parts = [
         """
-    WITH state0 AS (
+    WITH state0 AS MATERIALIZED (
       SELECT array_to_string(
                list_transform(range(1, len(word) + 1), i -> word[i:i]), '|'
              ) AS s,
@@ -1168,12 +1177,12 @@ def _bpe_oracle_prefix() -> str:
       SELECT syms[i] AS l, syms[i + 1] AS r, freq
       FROM (SELECT string_split(s, '|') AS syms, freq FROM state{k - 1}) tp,
            unnest(range(1, len(syms))) AS u(i)
-    ), best{k} AS (
+    ), best{k} AS MATERIALIZED (
       SELECT l, r, CAST(SUM(freq) AS BIGINT) AS cnt
       FROM pairs{k} GROUP BY l, r ORDER BY cnt DESC, l, r LIMIT 1
     ), bestx{k} AS (
       SELECT (SELECT l FROM best{k}) AS a, (SELECT r FROM best{k}) AS b
-    ), state{k} AS (
+    ), state{k} AS MATERIALIZED (
       SELECT CASE WHEN a IS NULL THEN s ELSE list_reduce(
           string_split(s, '|'),
           (acc, x) -> CASE
