@@ -39,23 +39,40 @@ def _layout_from_parquet(path: str) -> TableLayout:
     a column added after the first parts were written exists only in
     later footers, and a first-part-only read would hide it from the
     attachment validator (footer reads only — no data scan, same
-    contract as sources.load_table's mergeSchema)."""
+    contract as sources.load_table's mergeSchema).
+
+    Hive-partitioned directories (``col=value`` subdirectories — the
+    partitioned-lake layout, r9) nest their part files arbitrarily deep,
+    and the partition columns live in the PATH, not in any footer: the
+    walk recurses, and every distinct ``key=`` component on the way to a
+    part file is appended as a string column (exactly the column set
+    Spark's partition discovery adds at read time)."""
     import os
 
+    import pyarrow as pa
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import from_arrow_schema
 
     if os.path.isdir(path):
         parts = sorted(
-            f for f in os.listdir(path) if f.endswith(".parquet")
+            os.path.join(root, f)
+            for root, _dirs, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet")
         )
         if not parts:
             raise FileNotFoundError(f"no parquet part files under {path}")
-        merged = pq.read_schema(os.path.join(path, parts[0]))
+        merged = pq.read_schema(parts[0])
         for p in parts[1:]:
-            for field in pq.read_schema(os.path.join(path, p)):
+            for field in pq.read_schema(p):
                 if merged.get_field_index(field.name) == -1:
                     merged = merged.append(field)
+        for p in parts:
+            rel = os.path.relpath(os.path.dirname(p), path)
+            for comp in () if rel == "." else rel.split(os.sep):
+                key = comp.split("=", 1)[0] if "=" in comp else None
+                if key and merged.get_field_index(key) == -1:
+                    merged = merged.append(pa.field(key, pa.string()))
         return TableLayout(from_arrow_schema(merged))
     return TableLayout(from_arrow_schema(pq.read_schema(path)))
 

@@ -333,6 +333,73 @@ def build_schemadrift(out_root: str, src: str) -> str:
     return d
 
 
+#: round-9 addition #3: HIVE-PARTITIONED tables — the partitioned-lake
+#: layout: six tables become ``col=value`` directory trees (written by
+#: DuckDB's PARTITION_BY, read by Spark's partition discovery), rows
+#: REVERSED within each partition. What this regime tests that the flat
+#: layouts cannot: (a) the partition column lives in the PATH, not in
+#: any parquet footer — schema discovery must synthesize it (Spark
+#: partition inference, duck_con hive_partitioning, the CLI's path-walk);
+#: (b) partition values carrying a SPACE ('4-NOT SPECIFIED') and '#'
+#: ('Brand#13') must round-trip through directory names; (c) filters on
+#: the partition column should become PartitionFilters (directory
+#: pruning), the 100 TB scan-avoidance primitive; (d) the streaming file
+#: source must discover partitions per-file. Partition columns are the
+#: low-cardinality never-NULL categoricals so the layout is realistic
+#: (a date/category-partitioned lake) and the NULL-partition
+#: (__HIVE_DEFAULT_PARTITION__) engine-model boundary stays out of scope.
+HIVE_PARTITION: dict[str, str] = {
+    "orders": "o_orderpriority",
+    "lineitem": "l_returnflag",
+    "customer": "c_mktsegment",
+    "part": "p_brand",
+    "events": "event_type",
+    "documents": "lang",
+}
+
+
+def build_hive(out_root: str, src: str) -> str:
+    """Partition values are written per-directory with the partition
+    column EXCLUDED from the part files (the true hive layout — this
+    DuckDB's PARTITION_BY also bakes the column into the files, which
+    would let schema discovery cheat), rows reversed within each part."""
+    import duckdb
+
+    d = os.path.join(out_root, "hive")
+    con = duckdb.connect()
+    for t in TABLES:
+        td = os.path.join(d, f"{t}.parquet")
+        pcol = HIVE_PARTITION.get(t)
+        if pcol is None:
+            os.makedirs(d, exist_ok=True)
+            con.execute(
+                f"COPY (SELECT * FROM read_parquet('{src}/{t}.parquet')) "
+                f"TO '{td}' (FORMAT parquet)"
+            )
+            continue
+        con.execute(
+            f"CREATE OR REPLACE TEMP TABLE tt AS "
+            f"SELECT *, row_number() OVER () AS _rn "
+            f"FROM read_parquet('{src}/{t}.parquet')"
+        )
+        vals = [
+            r[0]
+            for r in con.execute(
+                f"SELECT DISTINCT {pcol} FROM tt ORDER BY 1"
+            ).fetchall()
+        ]
+        for v in vals:
+            pd_dir = os.path.join(td, f"{pcol}={v}")
+            os.makedirs(pd_dir, exist_ok=True)
+            con.execute(
+                f"COPY (SELECT * EXCLUDE ({pcol}, _rn) FROM tt "
+                f"WHERE {pcol} = '{v}' ORDER BY _rn DESC) "
+                f"TO '{pd_dir}/data_0.parquet' (FORMAT parquet)"
+            )
+    con.close()
+    return d
+
+
 def main() -> None:
     import duckdb
 
@@ -349,6 +416,7 @@ def main() -> None:
         print(f"built {name}: {d}")
     print(f"built fragmented: {build_fragmented(out_root, src)}")
     print(f"built schemadrift: {build_schemadrift(out_root, src)}")
+    print(f"built hive: {build_hive(out_root, src)}")
 
 
 if __name__ == "__main__":

@@ -24,10 +24,21 @@ def duck_con(sf_dir):
         # glob form for directories). union_by_name mirrors Spark's
         # mergeSchema: parts may carry schema evolution (columns present
         # only in later files — the schemadrift regime); for homogeneous
-        # directories it is the identity.
+        # directories it is the identity. A directory of key=value
+        # subdirectories is the hive regime: the partition column lives
+        # in the PATH only, so the glob recurses one level and
+        # hive_partitioning synthesizes the column (mirroring Spark's
+        # partition discovery).
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):
-            src = f"'{p}/*.parquet', union_by_name=true"
+            hive = any(
+                "=" in c and os.path.isdir(os.path.join(p, c))
+                for c in os.listdir(p)
+            )
+            if hive:
+                src = f"'{p}/*/*.parquet', hive_partitioning=true, union_by_name=true"
+            else:
+                src = f"'{p}/*.parquet', union_by_name=true"
         else:
             src = f"'{p}'"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet({src})")

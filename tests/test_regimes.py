@@ -441,3 +441,71 @@ SCHEMADRIFT_REGIME = [
 @pytest.mark.parametrize("name", SCHEMADRIFT_REGIME)
 def test_schemadrift_regime(spark, schemadrift_dir, name):
     _check(spark, schemadrift_dir, name)
+
+
+@pytest.fixture(scope="session")
+def hive_dir(tmp_path_factory):
+    """HIVE-PARTITIONED tables (round 9): six tables become ``col=value``
+    directory trees — the partition column lives in the PATH only (the
+    part files exclude it), rows reversed within each partition, and the
+    values include a space ('4-NOT SPECIFIED') and '#' ('Brand#13').
+    What only this layout tests: partition-column synthesis at schema
+    discovery (Spark partition inference, duck_con hive_partitioning,
+    the CLI path-walk), special-char round-trips through directory
+    names, per-file partition discovery in the streaming source, and
+    directory-level pruning (PartitionFilters) for filters on the
+    partition column."""
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"
+        ),
+    )
+    from build_regimes import build_hive
+
+    src = os.environ.get("SPARK_GRAFT_SCALE_SRC_SMALL", "/root/testdata/sf0.001")
+    d = tmp_path_factory.mktemp("hivesf")
+    build_hive(str(d), src)
+    return os.path.join(str(d), "hive")
+
+
+HIVE_REGIME = [
+    # groups by the path-synthesized partition column on the streamed
+    # table (empty or NULL event_type if discovery breaks)
+    "streaming_hourly_event_stats",
+    # CLI layout must synthesize the partition column from the path walk
+    "cli_freshtool_six_modes",
+    # filters/groups on partition columns with a space and '#' in values
+    "setop_intersect_all_priorities",
+    "topk_parts_per_brand",
+    # partition column consumed through an ordinary dimension scan
+    "q3_shipping_priority",
+    # corpus queries over lang-partitioned documents
+    "dedup_exact_documents",
+]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", HIVE_REGIME)
+def test_hive_regime(spark, hive_dir, name):
+    _check(spark, hive_dir, name)
+
+
+@pytest.mark.slow
+def test_hive_partition_pruning_plan(spark, hive_dir):
+    """Filters on the partition column must prune DIRECTORIES, not rows:
+    the executed plan carries them as PartitionFilters with no
+    DataFilters — at 100 TB this is the difference between listing one
+    directory and scanning the table."""
+    from kiji_scoring_spark.sources import load_table
+
+    df = load_table(spark, hive_dir, "orders").filter(
+        "o_orderpriority = '1-URGENT'"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = next(l for l in plan.splitlines() if "FileScan" in l)
+    assert "PartitionFilters: [isnotnull(o_orderpriority" in scan
+    assert "DataFilters: []" in scan
+    assert df.count() > 0
