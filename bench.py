@@ -196,8 +196,12 @@ HEADLINE = [
 #: scripts/measure_replay_overhead.py) — which is why batch_sec is the
 #: plan-quality signal and streaming_replays_sec is reported separately.
 #: LATE-ROUND-9 ADDITION: text_bpe_merge_mining joined the headline
-#: (72 queries now) at a measured 2.56 s warm-median — round-10 totals
-#: carry that as a known +2.6 s vs the 71-query reference above.
+#: (72 queries now); a full 72-query rerun at the late-r9 commit
+#: measured 55.7 s total (batch 42.5 / replays 13.2) with the BPE query
+#: at 1.87 s — the +5.4 s vs the 71-query reference decomposes as
+#: +1.9 s BPE plus ~3.5 s ambient drift spread across the set (same
+#: wobble class the two-commit controls above pin down). Round-10
+#: totals should compare against the 72-query 55.7 s figure.
 #:
 #: CROSS-ROUND CAVEAT (measured, round 5): the container's ambient speed
 #: drifts between rounds. Re-running the UNCHANGED round-4 code in the
