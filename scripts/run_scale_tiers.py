@@ -90,6 +90,11 @@ TIERS = {
         "text_token_counts",
         "scd2_event_type_history",
         "streaming_hourly_event_stats",
+        # late-r9 append: BPE tokenizer training over the 500 K-doc
+        # corpus — the iterative vocab-reduction shape (Spark side
+        # measured sub-linear: 2.9 s sf0.1 / 2.7 s sf1 / 6.5 s sf10)
+        "text_bpe_merge_mining",
+        "text_bpe_tokenize_corpus",
     ]),
     # batch 4: six heavy TPC-H shapes, BFS + triangle counting over the
     # 60 M-row copurchase graph, both salted operators, Z-order tiling,
