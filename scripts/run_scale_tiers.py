@@ -189,6 +189,10 @@ TIERS = {
         "subquery_scalar_above_nation_avg",
         "cohort_retention_weekly",
         "table_checksum_by_nation",
+        # late-r9 append: BPE tokenizer training at 5 M documents —
+        # Spark 23 s / materialized oracle 4 s, both corpus-pass-bounded
+        "text_bpe_merge_mining",
+        "text_bpe_tokenize_corpus",
     ]),
 }
 #: aggregate tiers run every batch of a decade in order
