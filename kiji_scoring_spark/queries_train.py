@@ -1068,6 +1068,54 @@ def _bpe_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_best(st: DataFrame) -> DataFrame:
+    """One round's winning pair as a ONE-ROW DataFrame (__a, __b, __cnt):
+    pair counts over the vocab state with map-side partial aggregation,
+    then a min_by argmax with the (count DESC, left, right) tie-break.
+    NULL row when no pair exists (empty/fully-merged vocabulary).
+    Un-checkpointed — `_bpe_learn` checkpoints it; the plan gate
+    (tests/test_plans.py) inspects this raw shape."""
+    pc = (
+        st.filter(F.size("syms") >= 2)
+        .select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1), "
+                    "i -> struct(syms[i-1] AS l, syms[i] AS r))"
+                )
+            ).alias("p"),
+        )
+        .groupBy("p.l", "p.r")
+        .agg(F.sum("freq").alias("cnt"))
+    )
+    return pc.agg(
+        F.min_by(
+            F.struct("l", "r", "cnt"),
+            F.struct(
+                (-F.col("cnt")).alias("nc"),
+                F.col("l").alias("tl"),
+                F.col("r").alias("tr"),
+            ),
+        ).alias("w")
+    ).select(
+        F.col("w.l").alias("__a"),
+        F.col("w.r").alias("__b"),
+        F.col("w.cnt").alias("__cnt"),
+    )
+
+
+def _bpe_apply(st: DataFrame, best: DataFrame) -> DataFrame:
+    """Fold the winning pair into every vocab row: a broadcast of the
+    one-row winner (BroadcastNestedLoopJoin — never a shuffle) followed
+    by the narrow per-row merge scan, NULL-guarded so a no-winner round
+    passes the state through unchanged. Un-checkpointed."""
+    merged = F.when(F.col("__a").isNull(), F.col("s")).otherwise(
+        F.expr(_BPE_FOLD)
+    )
+    return st.crossJoin(F.broadcast(best)).select(merged.alias("s"), "freq")
+
+
 def _bpe_learn(spark: SparkSession, sf_dir: str):
     """Mine `_BPE_MERGES` byte-pair merges over the corpus vocabulary.
 
@@ -1093,34 +1141,9 @@ def _bpe_learn(spark: SparkSession, sf_dir: str):
     merge_rows = []
     for k in range(1, _BPE_MERGES + 1):
         st = state.withColumn("syms", F.split("s", "[|]"))
-        pc = (
-            st.filter(F.size("syms") >= 2)
-            .select(
-                "freq",
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, size(syms) - 1), "
-                        "i -> struct(syms[i-1] AS l, syms[i] AS r))"
-                    )
-                ).alias("p"),
-            )
-            .groupBy("p.l", "p.r")
-            .agg(F.sum("freq").alias("cnt"))
-        )
-        best = pc.agg(
-            F.min_by(
-                F.struct("l", "r", "cnt"),
-                F.struct(
-                    (-F.col("cnt")).alias("nc"),
-                    F.col("l").alias("tl"),
-                    F.col("r").alias("tr"),
-                ),
-            ).alias("w")
-        ).select(
-            F.col("w.l").alias("__a"),
-            F.col("w.r").alias("__b"),
-            F.col("w.cnt").alias("__cnt"),
-        ).localCheckpoint()
+        # checkpoint the one-row argmax: it feeds BOTH the merge table
+        # and the fold, and must compute once per round
+        best = _bpe_best(st).localCheckpoint()
         merge_rows.append(
             best.filter(F.col("__a").isNotNull()).select(
                 F.lit(k).cast("bigint").alias("merge_rank"),
@@ -1130,14 +1153,7 @@ def _bpe_learn(spark: SparkSession, sf_dir: str):
                 F.col("__cnt").alias("pair_count"),
             )
         )
-        merged = F.when(F.col("__a").isNull(), F.col("s")).otherwise(
-            F.expr(_BPE_FOLD)
-        )
-        state = (
-            st.crossJoin(F.broadcast(best))
-            .select(merged.alias("s"), "freq")
-            .localCheckpoint()
-        )
+        state = _bpe_apply(st, best).localCheckpoint()
     merges = merge_rows[0]
     for m in merge_rows[1:]:
         merges = merges.unionByName(m)

@@ -450,3 +450,40 @@ def test_multimodal_codec_pipelines_are_narrow(spark, sf_dir, name):
     plan = executed_plan(spark, sf_dir, name)
     n = plan.count("Exchange hashpartitioning")
     assert n == 0, f"{name}: codec pipeline grew a hash shuffle:\n{plan}"
+
+
+def test_bpe_round_partial_agg_and_broadcast_fold(spark, sf_dir):
+    """One BPE merge round's physical shape, gated un-checkpointed:
+    (a) the pair-count aggregation must run partial (map-side combine)
+    before its single hash exchange — at 100 TB the vocab table shuffles
+    combined (l,r) partials, not one record per pair occurrence; (b) the
+    one-row winner folds back via a broadcast nested-loop join, never a
+    shuffle of the vocab state."""
+    from pyspark.sql import functions as F
+
+    from kiji_scoring_spark.queries_train import (
+        _bpe_apply,
+        _bpe_best,
+        _bpe_word_freq,
+    )
+
+    # checkpoint the state as _bpe_learn does per round, so the plans
+    # below show ONE round's cost, not the corpus pass
+    st = (
+        _bpe_word_freq(spark, sf_dir)
+        .localCheckpoint()
+        .withColumn("syms", F.split("s", "[|]"))
+    )
+    best = _bpe_best(st)
+    best.collect()  # finalize AQE
+    bplan = best._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in bplan, "pair counts lost map-side combine"
+    assert "partial_min_by" in bplan, "argmax lost partial aggregation"
+
+    nxt = _bpe_apply(st, best.localCheckpoint())
+    nxt.collect()
+    nplan = nxt._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in nplan, "winner fold not broadcast"
+    assert "Exchange hashpartitioning" not in nplan, (
+        "the merge fold shuffled the vocab state"
+    )
