@@ -194,11 +194,24 @@ TIERS = {
         "text_bpe_merge_mining",
         "text_bpe_tokenize_corpus",
     ]),
+    # sf100 batch 5 (late round 9): fact-table behavior/versioned/text
+    # families green at sf10, cheap oracles (anchored MINs, gaps-and-
+    # islands LAG, argmax, token explode — no global sorts) at
+    # 100 M events / 150 M orders / 5 M docs
+    "sf100-batch5": ("/tmp/sf100", [
+        "funnel_view_click_purchase",
+        "versioned_most_recent_read",
+        "versioned_time_range_read",
+        "scd2_event_type_history",
+        "text_token_counts",
+        "filter_in_between_like",
+        "agg_bool_or_needs_reread",
+    ]),
 }
 #: aggregate tiers run every batch of a decade in order
 GROUPS = {
     "sf10": [f"sf10-batch{i}" for i in range(1, 6)],
-    "sf100": [f"sf100-batch{i}" for i in range(1, 5)],
+    "sf100": [f"sf100-batch{i}" for i in range(1, 6)],
 }
 
 
@@ -237,6 +250,15 @@ def main() -> int:
         SPARK_GRAFT_CPUS=str(args.cpus),
         SPARK_GRAFT_SHUFFLE=os.environ.get("SPARK_GRAFT_SHUFFLE", str(args.cpus)),
     )
+    # Size the single local-mode JVM to the tier: at 600 M rows a batch
+    # of 7+ queries sharing one session exceeds the 8 g dev default
+    # (observed: the JVM died mid-batch5 and every later query failed
+    # with ConnectionRefused; each query passes alone). This is the
+    # spill-aware sizing rule applied to the test harness — on a real
+    # cluster executor memory is provisioned to the data scale, so the
+    # local stand-in must be too.
+    if "sf100" in sf_dir:
+        env.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
     rc = 0
     for b in batches:
         nodes = [
