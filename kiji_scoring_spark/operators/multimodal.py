@@ -1686,7 +1686,15 @@ def synthesize_mjpeg_payloads(
     so the decoded pixels equal the rule exactly and one SQL oracle
     covers the whole Huffman+DCT round trip. NULL text maps to a NULL
     payload. In a deployment the camera / transcoder replaces this
-    stage; `sample_mjpeg_frames` — the real decoder — is unchanged."""
+    stage; `sample_mjpeg_frames` — the real decoder — is unchanged.
+
+    FORMAT BOUND: ITU-T T.81 stores SOF dimensions in 16 bits, so a
+    frame is at most 65535 px tall — 8191 block rows. Text beyond
+    ``8191 * blocks_per_row`` chars is NOT rendered (the fixture analog
+    of a transcoder downscaling to the codec's capacity); found by the
+    text-shape regime's 60 KB documents, which overflowed the SOF
+    height field. The oracles replay the same truncation."""
+    max_chars = (65535 // 8) * blocks_per_row
 
     def run(batches: Iterator) -> Iterator:
         import numpy as np
@@ -1697,7 +1705,7 @@ def synthesize_mjpeg_payloads(
         def render(text) -> bytes | None:
             if text is None:
                 return None
-            vals = [ord(c) % 256 for c in text]
+            vals = [ord(c) % 256 for c in text[:max_chars]]
             h = max(1, -(-len(vals) // blocks_per_row))
             base = np.zeros(h * blocks_per_row, dtype=np.int64)
             base[: len(vals)] = vals

@@ -710,13 +710,20 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # char, 2 blocks per row — the multimodal_mjpeg_motion grammar at
     # frame 0, where pads are 0). JPEG pixel mean over 64-pixel flat
     # blocks reduces to block-sum / block-count: sum*64/(1024*hb) is the
-    # same correctly-rounded double as sum/(2*hb).
+    # same correctly-rounded double as sum/(2*hb). JPEG-branch text is
+    # truncated to 16382 chars — ITU-T T.81's 16-bit SOF height bounds a
+    # frame at 8191 block rows of 2 (the fixture's documented format
+    # cap); PNG dimensions are 32-bit, no cap.
     """
-    WITH t AS (
+    WITH d AS (
+      SELECT doc_id, CASE WHEN doc_id % 2 = 1 THEN substr(text, 1, 16382)
+                          ELSE text END AS text
+      FROM documents WHERE text IS NOT NULL
+    ), t AS (
       SELECT doc_id, length(text) AS n,
         list_transform(generate_series(1, length(text)),
                        i -> CAST(ord(substr(text, i, 1)) % 256 AS BIGINT)) AS px
-      FROM documents WHERE text IS NOT NULL
+      FROM d
     )
     SELECT doc_id AS media_id,
       CAST(16 AS INTEGER) AS width,
@@ -928,14 +935,19 @@ def multimodal_video_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sum_px/(64*nb) is the same correctly-rounded double as sum_blk/nb.
     # Motion per block is 1 except where +1 wraps 255 -> 0 (i.e.
     # (v + f) % 256 = 0), where it is 255; pads (v = 0) never wrap for
-    # f in 1..3.
+    # f in 1..3. Text is truncated to 16382 chars first — ITU-T T.81's
+    # 16-bit SOF height bounds a frame at 8191 block rows of 2 (the
+    # fixture's documented format cap, same rule both engines).
     """
-    WITH t AS (
+    WITH d AS (
+      SELECT doc_id, substr(text, 1, 16382) AS text
+      FROM documents WHERE text IS NOT NULL
+    ), t AS (
       SELECT doc_id, length(text) AS n,
         greatest(1, (length(text) + 1) // 2) AS h,
         list_transform(generate_series(1, length(text)),
                        i -> CAST(ord(substr(text, i, 1)) % 256 AS BIGINT)) AS px
-      FROM documents WHERE text IS NOT NULL
+      FROM d
     ), f AS (
       SELECT doc_id, n, h, px,
         unnest(generate_series(0, least(4, h) - 1)) AS frame_idx

@@ -189,6 +189,10 @@ TEXTSHAPE_REGIME = [
     "variant_shred_event_props",
     "multimodal_frame_samples",
     "multimodal_image_features",
+    # the 60 KB documents that overflowed the JPEG fixture's 16-bit SOF
+    # height field (late r9) — pins the ITU-T T.81 format cap
+    "multimodal_mjpeg_motion",
+    "multimodal_mixed_codec_features",
 ]
 
 ONEROW_REGIME = [
