@@ -32,42 +32,25 @@ def entry(spark: SparkSession) -> DataFrame:
 #: CORRECTNESS file lands with them green.
 _FORCE_RECHECK: frozenset[str] = frozenset(
     {
-        # Entries are added as code changes each round; every r8 entry
-        # earned a fresh green row in CORRECTNESS_r08 and was cleared per
-        # protocol.
+        # Entries are added as code changes each round; both r9 entries
+        # (stats_summary_profile, quality_unigram_logprob) earned fresh
+        # green rows in CORRECTNESS_r09 and were cleared per protocol.
         #
-        # r9: the sf0.01-sourced FRAGMENTED regime caught an
-        # order-dependent float mean in stats_summary_profile (raw
-        # double avg + round(_, 6) on a value sitting exactly at the
-        # rounding boundary — different file splits flip the last ulp);
-        # fixed with the exact-decimal-sum pattern. The same latent
-        # class in quality_unigram_logprob was hardened with the
-        # sorted-array left fold. Both queries' code AND oracles changed
-        # — their old green rows no longer certify.
-        "stats_summary_profile",
-        "quality_unigram_logprob",
-        #
-        # No other entries; three further shared-path changes, each
-        # provably output-preserving at the driver's single-file layout:
-        # (1) ADDITIVE mime-sniff branch in attach_media_columns (a new
-        # WHEN for JPEG's 0xFFD8FF prefix appended after the PNG/WAV/y4m
-        # arms — no existing fixture payload can begin with those bytes);
-        # (2) queries_ml._stream_events consolidates the eight streaming
-        # queries' source: for a single-FILE events.parquet it builds the
-        # byte-identical parent-dir+pathGlobFilter source as before, and
-        # only a DIRECTORY-layout table (the new fragmented regime, where
-        # the old pattern streamed zero files) takes the new branch;
-        # (3) cli._layout_from_parquet adds an isdir branch, same shape.
-        # Post-change certification in-session: the FULL registry re-swept
-        # green at sf0.01 (229/229) and on the fragmented regime
-        # (229/229). New queries (multimodal_mjpeg_motion,
-        # multimodal_mixed_codec_features, and the late-round BPE pair
-        # text_bpe_merge_mining / text_bpe_tokenize_corpus — parity-checked
-        # at sf0.001 + sf0.01 and across all 11 regimes in-session) land
-        # in the never-checked tier automatically. Slot math: 4 new +
-        # 2 forced (one already inside the 43-query r4 LRU tier) + the
-        # full r4 tier + 2 of r5 = 50 — the no-query-older-than-5-rounds
-        # cadence still completes this round.
+        # r10: no entries. The round's shared-path changes are all
+        # output-preserving at the driver's layout: (1) bounds-check
+        # guards in the JPEG SOF0/SOS/DRI segment parsers and an input
+        # validation on synthesize_mjpeg_payloads' blocks_per_row — pure
+        # guard additions that convert truncated-input IndexError crashes
+        # into the documented ValueError; no well-formed fixture reaches
+        # them; (2) spark.sql.sources.partitionColumnTypeInference.enabled
+        # =false in the session defaults — only hive-layout DIRECTORY
+        # tables have partition columns to type, the driver's testdata is
+        # single-file parquet, and the hive regime's partition values are
+        # string categoricals (identical under inference on or off; the
+        # regime re-sweep certifies it). New r10 queries land in the
+        # never-checked tier automatically. With zero forced entries the
+        # 50-slot gate drains the LRU tail: the 39 live queries whose
+        # newest rows date to r5 all fit this round.
     }
 )
 

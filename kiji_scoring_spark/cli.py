@@ -45,8 +45,11 @@ def _layout_from_parquet(path: str) -> TableLayout:
     partitioned-lake layout, r9) nest their part files arbitrarily deep,
     and the partition columns live in the PATH, not in any footer: the
     walk recurses, and every distinct ``key=`` component on the way to a
-    part file is appended as a string column (exactly the column set
-    Spark's partition discovery adds at read time)."""
+    part file is appended as a STRING column — exactly the column set
+    AND types Spark's partition discovery adds at read time, because the
+    engine session disables partitionColumnTypeInference (session.py):
+    a numeric-looking path value stays a string in all three layers
+    (this validator, the Spark runtime schema, the DuckDB oracle)."""
     import os
 
     import pyarrow as pa

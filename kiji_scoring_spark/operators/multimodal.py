@@ -1530,7 +1530,11 @@ def _jpeg_decode_at(payload: bytes, pos: int = 0):
                     (ln, code): sym for sym, (code, ln) in codes.items()
                 }
         elif marker == 0xC0:  # SOF0/1
+            if len(body) < 6:
+                raise ValueError("SOF segment truncated")
             prec, fh, fw, nc = body[0], (body[1] << 8) | body[2], (body[3] << 8) | body[4], body[5]
+            if len(body) < 6 + 3 * nc:
+                raise ValueError("SOF component list truncated")
             if prec != 8:
                 raise ValueError("only 8-bit JPEG is supported")
             if fh < 1 or fw < 1 or fh * fw > _JPEG_MAX_PIXELS:
@@ -1544,12 +1548,18 @@ def _jpeg_decode_at(payload: bytes, pos: int = 0):
                 comps.append((cid, hi, vi, tq))
             frame = (fh, fw, comps)
         elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise ValueError("DRI segment truncated")
             restart_interval = (body[0] << 8) | body[1]
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("SOS before SOF")
             fh, fw, comps = frame
+            if len(body) < 1:
+                raise ValueError("SOS segment truncated")
             ns = body[0]
+            if len(body) < 1 + 2 * ns:
+                raise ValueError("SOS component list truncated")
             if ns != len(comps):
                 raise ValueError("non-interleaved multi-scan JPEG not supported")
             scan = []
@@ -1693,7 +1703,15 @@ def synthesize_mjpeg_payloads(
     ``8191 * blocks_per_row`` chars is NOT rendered (the fixture analog
     of a transcoder downscaling to the codec's capacity); found by the
     text-shape regime's 60 KB documents, which overflowed the SOF
-    height field. The oracles replay the same truncation."""
+    height field. The oracles replay the same truncation. Width shares
+    the bound: ``blocks_per_row`` past 8191 would overflow the 16-bit
+    SOF width field (silently, since struct only raises past 65535), so
+    it is rejected up front."""
+    if blocks_per_row < 1 or blocks_per_row * 8 > 65535:
+        raise ValueError(
+            f"blocks_per_row={blocks_per_row} outside the 16-bit SOF "
+            f"width bound (1..8191)"
+        )
     max_chars = (65535 // 8) * blocks_per_row
 
     def run(batches: Iterator) -> Iterator:

@@ -30,6 +30,13 @@ _DEFAULT_CONF: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     # map-family writes upsert qualifiers via map_concat (SURVEY §1.2)
     "spark.sql.mapKeyDedupPolicy": "LAST_WIN",
+    # Hive-layout partition columns are STRINGS everywhere: Spark's
+    # default discovery infers int/date/timestamp from numeric-looking
+    # path values, which would disagree with both the CLI's footer-only
+    # layout validator (cli._layout_from_parquet types synthesized
+    # partition columns pa.string()) and the DuckDB oracle
+    # (hive_types_autocast=false). One explicit choice, three layers.
+    "spark.sql.sources.partitionColumnTypeInference.enabled": "false",
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     # No Python-worker reuse: a cancelled freshen (A10 timeout) kills its

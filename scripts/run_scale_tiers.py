@@ -256,8 +256,11 @@ def main() -> int:
     # with ConnectionRefused; each query passes alone). This is the
     # spill-aware sizing rule applied to the test harness — on a real
     # cluster executor memory is provisioned to the data scale, so the
-    # local stand-in must be too.
-    if "sf100" in sf_dir:
+    # local stand-in must be too. Keyed off the TIER NAME, not the data
+    # path: `--dir /data/whatever` on an sf100 tier must still get the
+    # big JVM (a path-substring test silently kept the 8 g default and
+    # reproduced the mid-batch JVM death).
+    if any(b.startswith("sf100") for b in batches):
         env.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
     rc = 0
     for b in batches:

@@ -300,3 +300,40 @@ def test_image_features_color_jpeg_component_mean():
         p.size for p in planes
     )
     assert got == pytest.approx(tot / 384, abs=0)
+
+
+def test_truncated_segment_bodies_raise_valueerror_not_indexerror():
+    # r10 (ADVICE): a segment whose DECLARED length undershoots its fixed
+    # header must raise the documented ValueError (dead-letterable), not
+    # IndexError (batch-killing). Shrinking the 2-byte length field is
+    # exactly how a truncated/corrupt writer produces such segments.
+    good = mm._jpeg_encode(np.zeros((8, 8), np.uint8))
+
+    def with_seglen(marker: bytes, seglen: int) -> bytes:
+        out = bytearray(good)
+        at = out.index(marker)
+        out[at + 2 : at + 4] = struct.pack(">H", seglen)
+        return bytes(out)
+
+    with pytest.raises(ValueError, match="SOF segment truncated"):
+        mm._jpeg_decode(with_seglen(b"\xff\xc0", 7))  # body < 6 bytes
+    with pytest.raises(ValueError, match="SOF component list truncated"):
+        mm._jpeg_decode(with_seglen(b"\xff\xc0", 8))  # nc=1 needs 9
+    with pytest.raises(ValueError, match="SOS segment truncated"):
+        mm._jpeg_decode(with_seglen(b"\xff\xda", 2))  # empty body
+    with pytest.raises(ValueError, match="SOS component list truncated"):
+        mm._jpeg_decode(with_seglen(b"\xff\xda", 4))  # ns=1 needs 3
+    # DRI with a 1-byte body, placed right after SOI
+    dri_short = b"\xff\xd8" + b"\xff\xdd\x00\x03\x00" + good[2:]
+    with pytest.raises(ValueError, match="DRI segment truncated"):
+        mm._jpeg_decode(dri_short)
+
+
+def test_mjpeg_synthesis_rejects_width_overflow():
+    # r10 (ADVICE): blocks_per_row * 8 must fit the 16-bit SOF width
+    # field; 8192 would silently wrap the packed header. Validation runs
+    # before any DataFrame work, so no session is needed.
+    with pytest.raises(ValueError, match="blocks_per_row"):
+        mm.synthesize_mjpeg_payloads(None, "id", "text", blocks_per_row=8192)
+    with pytest.raises(ValueError, match="blocks_per_row"):
+        mm.synthesize_mjpeg_payloads(None, "id", "text", blocks_per_row=0)

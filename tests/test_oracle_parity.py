@@ -36,7 +36,17 @@ def duck_con(sf_dir):
                 for c in os.listdir(p)
             )
             if hive:
-                src = f"'{p}/*/*.parquet', hive_partitioning=true, union_by_name=true"
+                # recursive glob: key=value trees may nest arbitrarily
+                # deep (cli._layout_from_parquet walks them recursively —
+                # a one-level glob would silently read ZERO files on the
+                # DuckDB side for a multi-level layout). hive_types off:
+                # all three layers (Spark with partition type inference
+                # disabled in session.py, the CLI's footer validator, and
+                # this oracle) agree partition columns are strings.
+                src = (
+                    f"'{p}/**/*.parquet', hive_partitioning=true, "
+                    f"union_by_name=true, hive_types_autocast=false"
+                )
             else:
                 src = f"'{p}/*.parquet', union_by_name=true"
         else:
