@@ -12,8 +12,11 @@ verdict traced several apparent per-query regressions to n=1 sampling.
 from __future__ import annotations
 
 import json
+import math
 import os
+import shutil
 import statistics
+import subprocess
 import sys
 import time
 
@@ -213,6 +216,94 @@ HEADLINE = [
 #: recorded BENCH_r{N-1} numbers alone.
 
 
+def _drift_control(
+    here: str, round_no: int, per_query: dict[str, float], sf_dir: str
+) -> dict:
+    """Same-session two-commit drift control, automated (r10, per the r9
+    verdict): the recorded BENCH_r{N} totals drift with ambient machine
+    speed between rounds (measured at up to 1.5× on identical code — see
+    the CROSS-ROUND CAVEAT above), so the official artifact must carry
+    its own evidence. This re-times the 10 most-drifted queries vs the
+    prior round's committed detail file in TWO fresh subprocesses,
+    back-to-back: one on a git worktree of the prior round's final commit
+    (the commit that recorded BENCH_r{N-1}.json), one on HEAD. Equal-cold
+    sessions on the two commits under the SAME machine conditions — their
+    ratio isolates code regression from environment drift, inside the
+    artifact itself. Any failure degrades to an "err" entry; the control
+    never blocks the bench."""
+    prior = f"{round_no - 1:02d}"
+    prior_detail_path = os.path.join(here, f"BENCH_DETAIL_r{prior}.json")
+    if not os.path.exists(prior_detail_path):
+        return {"err": f"no BENCH_DETAIL_r{prior}.json to drift against"}
+    with open(prior_detail_path) as f:
+        prior_q = json.load(f)["queries"]
+    shared = [
+        n for n, t in per_query.items() if prior_q.get(n, 0) > 0 and t > 0
+    ]
+    if len(shared) < 3:
+        return {"err": "too few shared queries for a drift control"}
+    # most-drifted = largest |log ratio|, either direction; sub-0.1 s
+    # queries are excluded (their ratios are timer noise, not drift)
+    drifted = sorted(
+        (n for n in shared if max(per_query[n], prior_q[n]) >= 0.1),
+        key=lambda n: -abs(math.log(per_query[n] / prior_q[n])),
+    )[:10]
+    if not drifted:
+        return {"err": "no query above the 0.1s drift floor"}
+
+    def git(*args: str) -> str:
+        return subprocess.run(
+            ["git", *args], cwd=here, check=True, capture_output=True, text=True
+        ).stdout.strip()
+
+    # the commit that recorded the prior round's detail file IS that
+    # round's final code (the driver commits bench + correctness together)
+    prior_sha = git("log", "-n1", "--format=%H", "--", f"BENCH_DETAIL_r{prior}.json")
+    if not prior_sha:
+        return {"err": "prior detail file has no commit"}
+
+    def timed_subset(workdir: str) -> float:
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_BENCH_QUERIES=",".join(drifted),
+            SPARK_GRAFT_SF_DIR=sf_dir,
+            SPARK_GRAFT_BENCH_NO_DETAIL="1",  # ignored by older commits
+        )
+        r = subprocess.run(
+            [sys.executable, os.path.join(workdir, "bench.py")],
+            cwd=workdir, env=env, capture_output=True, text=True, timeout=1800,
+        )
+        if r.returncode != 0:
+            raise RuntimeError(f"control bench failed: {r.stderr[-300:]}")
+        return float(json.loads(r.stdout.strip().splitlines()[-1])["value"])
+
+    wt = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"), f"bench_ctrl_{prior_sha[:12]}"
+    )
+    try:
+        if os.path.isdir(wt):
+            subprocess.run(
+                ["git", "worktree", "remove", "--force", wt],
+                cwd=here, capture_output=True,
+            )
+            shutil.rmtree(wt, ignore_errors=True)
+        git("worktree", "add", "--detach", wt, prior_sha)
+        prior_sec = timed_subset(wt)
+        head_sec = timed_subset(here)
+    finally:
+        subprocess.run(
+            ["git", "worktree", "remove", "--force", wt],
+            cwd=here, capture_output=True,
+        )
+    return {
+        "prior_commit": prior_sha[:12],
+        "prior_commit_sec": round(prior_sec, 4),
+        "head_sec": round(head_sec, 4),
+        "n_queries": len(drifted),
+        "queries": drifted,  # full list in the detail file only
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -304,6 +395,18 @@ def main() -> None:
         round_no = str(
             max(max(prior_driver, default=0) + 1, max(prior_detail, default=0))
         )
+    # Drift control (full runs only — the control's own subset subprocesses
+    # set SPARK_GRAFT_BENCH_QUERIES, so they can never recurse). Our session
+    # stops first: the control's two cold JVMs must not share cores with an
+    # idle parent executor pool.
+    control: dict = {}
+    if not subset:
+        spark.stop()
+        try:
+            control = _drift_control(here, int(round_no), per_query, sf_dir)
+        except Exception as e:  # the control must never block the bench
+            control = {"err": f"{type(e).__name__}: {e}"}
+
     detail = {
         "metric": "headline_queries_total_sec",
         "value": total,
@@ -311,14 +414,18 @@ def main() -> None:
         "queries": per_query,
         "groups": groups,
         "sf": sf,
+        "control": control,
     }
     detail_json = json.dumps(detail, indent=1, sort_keys=True)
-    # ad-hoc subset runs must not clobber the round's committed detail file
+    # ad-hoc subset runs must not clobber the round's committed detail file;
+    # NO_DETAIL skips the write entirely (set by the drift control's HEAD
+    # subprocess so a control run never dirties the repo's adhoc file)
     detail_name = (
         "BENCH_DETAIL_adhoc.json" if subset else f"BENCH_DETAIL_r{int(round_no):02d}.json"
     )
-    with open(os.path.join(here, detail_name), "w") as f:
-        f.write(detail_json + "\n")
+    if not os.environ.get("SPARK_GRAFT_BENCH_NO_DETAIL"):
+        with open(os.path.join(here, detail_name), "w") as f:
+            f.write(detail_json + "\n")
     slowest = dict(
         sorted(per_query.items(), key=lambda kv: -kv[1])[:5]
     )
@@ -333,6 +440,11 @@ def main() -> None:
             "sf": sf,
             "detail_file": detail_name,
             "detail_md5": hashlib.md5(detail_json.encode()).hexdigest(),
+            # drift control: the 10 most-drifted queries re-timed in THIS
+            # session on the prior round's commit AND on HEAD (query list
+            # in the detail file; totals here so the round-over-round
+            # delta is explainable from inside the artifact)
+            "control": {k: v for k, v in control.items() if k != "queries"},
         }
     )
     if len(line) > 1000:
