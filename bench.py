@@ -137,6 +137,11 @@ HEADLINE = [
     # (text_bpe_tokenize_corpus) shares the same lineage and is covered
     # by this entry.
     "text_bpe_merge_mining",
+    # round 10: mergeable DDSketch quantile shards — persisted log-bucket
+    # state, groupBy-sum merge, cumulative walk + pinned-rank exact
+    # reference (global row_number); benched so the sketch build+merge
+    # path can't regress silently
+    "sketch_quantile_shard_merge",
 ]
 
 #: round-over-round regression reference (sum over that round's HEADLINE):

@@ -410,6 +410,161 @@ def bitmap_exact_distinct_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_type.unionByName(global_row).orderBy("event_type")
 
 
+#: DDSketch parameters: relative-error target ALPHA and the derived log
+#: base GAMMA = (1+a)/(1-a), so a value in bucket b = ceil(log_g v) is
+#: within ALPHA of the bucket's representative 2*g^b/(g+1) (DDSketch,
+#: Masson/Rim/Lee, VLDB 2019).
+_DDSKETCH_ALPHA = 0.01
+_DDSKETCH_GAMMA = (1 + _DDSKETCH_ALPHA) / (1 - _DDSKETCH_ALPHA)
+
+
+@query(
+    "sketch_quantile_shard_merge",
+    """
+    WITH n AS (SELECT COUNT(*) AS n_rows FROM orders),
+    ranks AS (
+      SELECT n_rows,
+        CAST(CEIL(0.5  * n_rows) AS BIGINT) AS r50,
+        CAST(CEIL(0.9  * n_rows) AS BIGINT) AS r90,
+        CAST(CEIL(0.99 * n_rows) AS BIGINT) AS r99
+      FROM n
+    ),
+    ordered AS (
+      SELECT o_totalprice AS v,
+        ROW_NUMBER() OVER (ORDER BY o_totalprice) AS rn
+      FROM orders
+    )
+    SELECT
+      (SELECT COUNT(DISTINCT o_orderpriority) FROM orders) AS n_shards,
+      ranks.n_rows AS n_rows,
+      MAX(CASE WHEN rn = r50 THEN v END) AS p50_exact,
+      MAX(CASE WHEN rn = r90 THEN v END) AS p90_exact,
+      MAX(CASE WHEN rn = r99 THEN v END) AS p99_exact,
+      TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+    FROM ordered, ranks
+    GROUP BY ranks.n_rows
+    """,
+    "sketch", "incremental", "stats", "agg",
+)
+def sketch_quantile_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable approximate-QUANTILE sketch shards — the third member of
+    the mergeable-summary set beside the HLL and bitmap shards above: one
+    DDSketch-style log-bucket histogram of o_totalprice PER SHARD
+    (o_orderpriority) is persisted as plain (shard, bucket, count)
+    parquet, and global percentiles are answered from the stored shards
+    — the corpus is scanned once ever; each future ingest batch only
+    adds its own shard rows.
+
+    Why THIS sketch for 100 TB: the state is integer bucket counts keyed
+    by ceil(log_gamma v), so shards merge by summing counts — a plain
+    groupBy-sum that is associative, commutative, and DETERMINISTIC
+    (unlike t-digest, whose centroids depend on merge order), and the
+    whole pipeline is built-in codegen expressions (log/ceil/sum/window)
+    with no UDF. State size is O(buckets) ~ log(max/min)/log(gamma) per
+    shard (~310 buckets for this column at alpha=1%), independent of row
+    count. The estimate's guarantee: the merged cumulative walk lands in
+    EXACTLY the bucket holding the rank-q element (counts are exact
+    integers), and the bucket representative 2*gamma^b/(gamma+1) is
+    within alpha of every value in the bucket — relative error <= 1%,
+    by construction, at any scale.
+
+    Oracle contract (the sketch_hll_shard_union pattern): DuckDB states
+    the exact side — row count, shard count, and the PINNED-RANK exact
+    percentiles (the element at ROW_NUMBER ceil(q*n), a stored double,
+    so it hash-matches bit-for-bit with no float arithmetic) — plus
+    constant-TRUE `*_ok` flags; Spark computes the same exact references
+    AND the sketch estimates, asserting |est - exact| <= 2.5% * exact
+    (2.5x the 1% guarantee, headroom for the representative sitting at
+    a bucket edge). Determinism and merge-associativity are pinned by
+    tests/test_sketch_quantile.py.
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    ln_g = math.log(_DDSKETCH_GAMMA)
+    orders = load_table(spark, sf_dir, "orders")
+    path = _state_path(sf_dir, "ddsketch_totalprice_shards.parquet")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        orders.select(
+            "o_orderpriority",
+            F.ceil(F.log("o_totalprice") / F.lit(ln_g)).alias("bkt"),
+        ).groupBy("o_orderpriority", "bkt").agg(
+            F.count(F.lit(1)).alias("cnt")
+        ).write.mode("overwrite").parquet(path)
+    shards = spark.read.parquet(path)
+
+    # one-row totals: ranks are ceil(q*n) — same IEEE double product and
+    # ceil both engines, so the rank integers agree bit-for-bit
+    totals = shards.agg(
+        F.count_distinct("o_orderpriority").alias("n_shards"),
+        F.sum("cnt").alias("n_rows"),
+    ).select(
+        "n_shards",
+        "n_rows",
+        F.ceil(F.lit(0.5) * F.col("n_rows")).alias("r50"),
+        F.ceil(F.lit(0.9) * F.col("n_rows")).alias("r90"),
+        F.ceil(F.lit(0.99) * F.col("n_rows")).alias("r99"),
+    )
+
+    # merge shards (groupBy-sum — the mergeable core), walk the cumulative
+    # counts to the bucket holding each rank, emit the representatives.
+    # The merged histogram is O(buckets) rows, so the single-partition
+    # cumulative window is a few hundred rows regardless of corpus size.
+    merged = shards.groupBy("bkt").agg(F.sum("cnt").alias("cnt"))
+    cum = merged.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+
+    def rep(bucket_col: str):
+        g = _DDSKETCH_GAMMA
+        return F.pow(F.lit(g), F.col(bucket_col)) * (2.0 / (g + 1.0))
+
+    est = (
+        cum.crossJoin(F.broadcast(totals))
+        .agg(
+            F.min(F.when(F.col("cum") >= F.col("r50"), F.col("bkt"))).alias("b50"),
+            F.min(F.when(F.col("cum") >= F.col("r90"), F.col("bkt"))).alias("b90"),
+            F.min(F.when(F.col("cum") >= F.col("r99"), F.col("bkt"))).alias("b99"),
+        )
+        .select(
+            rep("b50").alias("p50_est"),
+            rep("b90").alias("p90_est"),
+            rep("b99").alias("p99_est"),
+        )
+    )
+
+    # exact reference: the element at global rank ceil(q*n) ascending — a
+    # stored double picked by position, no arithmetic, so it is the same
+    # bits in both engines. (Global row_number is the REFERENCE side's
+    # cost, same as the weighted/moving-median oracles; the sketch above
+    # is the scale path.)
+    ranked = orders.select(F.col("o_totalprice").alias("v")).withColumn(
+        "rn", F.row_number().over(Window.orderBy("v"))
+    )
+    exact = ranked.crossJoin(F.broadcast(totals)).agg(
+        F.max(F.when(F.col("rn") == F.col("r50"), F.col("v"))).alias("p50_exact"),
+        F.max(F.when(F.col("rn") == F.col("r90"), F.col("v"))).alias("p90_exact"),
+        F.max(F.when(F.col("rn") == F.col("r99"), F.col("v"))).alias("p99_exact"),
+    )
+
+    band = 2.5 * _DDSKETCH_ALPHA
+    out = totals.select("n_shards", "n_rows").crossJoin(exact).crossJoin(est)
+    return out.select(
+        "n_shards",
+        "n_rows",
+        "p50_exact",
+        "p90_exact",
+        "p99_exact",
+        (F.abs(F.col("p50_est") - F.col("p50_exact")) <= band * F.col("p50_exact")).alias("p50_ok"),
+        (F.abs(F.col("p90_est") - F.col("p90_exact")) <= band * F.col("p90_exact")).alias("p90_ok"),
+        (F.abs(F.col("p99_est") - F.col("p99_exact")) <= band * F.col("p99_exact")).alias("p99_ok"),
+    )
+
+
 @query(
     "table_diff_checksum_buckets",
     """
