@@ -36,7 +36,16 @@ _FORCE_RECHECK: frozenset[str] = frozenset(
         # (stats_summary_profile, quality_unigram_logprob) earned fresh
         # green rows in CORRECTNESS_r09 and were cleared per protocol.
         #
-        # r10: no entries. The round's shared-path changes are all
+        # r10: the JPEG fixture queries gained an explicit 2048-char
+        # render budget (code AND oracle substr changed in sync — the
+        # textshape regime's 60 KB docs made the uncapped O(chars*frames)
+        # DCT fixture dominate the sweep). Driver docs are shorter than
+        # the cap, but the protocol is mechanical: changed code+oracle ⇒
+        # the old green rows no longer certify.
+        "multimodal_mjpeg_motion",
+        "multimodal_mixed_codec_features",
+        #
+        # The round's other shared-path changes are all
         # output-preserving at the driver's layout: (1) bounds-check
         # guards in the JPEG SOF0/SOS/DRI segment parsers and an input
         # validation on synthesize_mjpeg_payloads' blocks_per_row — pure

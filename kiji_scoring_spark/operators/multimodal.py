@@ -1683,7 +1683,7 @@ def _mjpeg_decode(payload: bytes, max_frames: int | None = None):
 
 def synthesize_mjpeg_payloads(
     df: DataFrame, id_col: str, text_col: str, blocks_per_row: int = 2,
-    max_frames: int = 4,
+    max_frames: int = 4, max_chars: int | None = None,
 ) -> DataFrame:
     """Fixture synthesis: deterministically render a text column into REAL
     raw MJPEG streams (`_mjpeg_encode` — genuinely Huffman-coded baseline
@@ -1706,13 +1706,22 @@ def synthesize_mjpeg_payloads(
     height field. The oracles replay the same truncation. Width shares
     the bound: ``blocks_per_row`` past 8191 would overflow the 16-bit
     SOF width field (silently, since struct only raises past 65535), so
-    it is rejected up front."""
+    it is rejected up front.
+
+    ``max_chars`` (r10) is an explicit RENDER BUDGET below the format
+    bound — the fixture analog of a transcoder's output-resolution cap.
+    Encoding is O(chars·frames) DCT blocks, so an uncapped 60 KB
+    document costs ~65k block encodes; callers that only need the codec
+    exercised (not the format's maximum extent) pass a smaller cap and
+    state the same substr() in their oracle. None means the format
+    bound itself."""
     if blocks_per_row < 1 or blocks_per_row * 8 > 65535:
         raise ValueError(
             f"blocks_per_row={blocks_per_row} outside the 16-bit SOF "
             f"width bound (1..8191)"
         )
-    max_chars = (65535 // 8) * blocks_per_row
+    bound = (65535 // 8) * blocks_per_row
+    max_chars = bound if max_chars is None else min(max_chars, bound)
 
     def run(batches: Iterator) -> Iterator:
         import numpy as np

@@ -42,7 +42,10 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_oracle_sql() -> str:
+def _minhash_bands_cte() -> str:
+    """The shared WITH-prefix deriving the (doc_id, band_idx, band_key)
+    relation — byte-identical to what the candidate-pair oracle always
+    used, factored so the census oracle composes the same derivation."""
     mins = ",\n        ".join(
         f"min(({a}*h + {b}) % {dd.MERSENNE}) AS m{j}"
         for j, (a, b) in enumerate(dd.MINHASH_PARAMS)
@@ -67,7 +70,11 @@ def _minhash_oracle_sql() -> str:
       SELECT doc_id, 0 AS band_idx, md5({b0}) AS band_key FROM sigs
       UNION ALL
       SELECT doc_id, 1 AS band_idx, md5({b1}) AS band_key FROM sigs
-    )
+    )"""
+
+
+def _minhash_oracle_sql() -> str:
+    return f"""{_minhash_bands_cte()}
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b
       ON a.band_key = b.band_key AND a.band_idx = b.band_idx AND a.doc_id < b.doc_id
@@ -87,6 +94,68 @@ def dedup_minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     sig = dd.minhash_signature_df(d, "doc_id", "text")
     bands = dd.minhash_band_keys(sig, "doc_id")
     return dd.band_pairs(bands, "doc_id").orderBy("doc_a", "doc_b")
+
+
+@query(
+    "dedup_minhash_bucket_census",
+    f"""{_minhash_bands_cte()}
+    , buckets AS (
+      SELECT band_idx, band_key, COUNT(*) AS k
+      FROM bands GROUP BY band_idx, band_key
+    )
+    SELECT band_idx,
+      COUNT(*) AS n_buckets,
+      CAST(SUM(k) AS BIGINT) AS n_collided_docs,
+      CAST(MAX(k) AS BIGINT) AS max_bucket,
+      CAST(SUM(CASE WHEN k > {dd.MAX_BUCKET} THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_hot_buckets,
+      CAST(SUM(k * (k - 1) // 2) AS BIGINT) AS candidate_pairs
+    FROM buckets WHERE k >= 2
+    GROUP BY band_idx ORDER BY band_idx
+    """,
+    "dedup", "pipeline", "lsh", "stats",
+)
+def dedup_minhash_bucket_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket census — the MASS-TIER face of the minhash family
+    (round 10): per band, how many collision buckets exist, how many
+    documents they hold, the largest bucket, how many buckets are HOT
+    (past operators/dedup.MAX_BUCKET, i.e. would take the quarantined
+    block-decomposed pair path), and the total candidate-pair count
+    computed COMBINATORIALLY (sum k·(k−1)/2, exact integers — never by
+    materializing pairs).
+
+    Why this query exists: the pair-materializing queries above are the
+    CORRECTNESS exhibit, but on a worst-case corpus (every document
+    duplicated ~1000×, which is exactly what the replicated sf100 tier
+    is) the candidate-pair SET is ~10⁹ rows — unmaterializable by ANY
+    engine, which is an output-size property, not a plan defect. The
+    audit a 100 TB dedup pass actually runs first is THIS census: linear
+    in the corpus, one extra groupBy over the band keys, and it reports
+    the skew profile (n_hot_buckets) that decides quarantine pressure.
+    At the sf100 tier its green row is the in-gate proof that hot
+    buckets exist at mass and are counted exactly; the quarantine path's
+    pair-level equivalence at that scale is asserted by
+    scripts/assert_hotbucket_mass.py (unit-scale equivalence:
+    tests/test_dedup_hotbucket.py)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    sig = dd.minhash_signature_df(d, "doc_id", "text")
+    bands = dd.minhash_band_keys(sig, "doc_id")
+    k = (
+        bands.groupBy("band_idx", "band_key")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .filter(F.col("k") >= 2)
+    )
+    return (
+        k.groupBy("band_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("k").alias("n_collided_docs"),
+            F.max("k").alias("max_bucket"),
+            F.sum((F.col("k") > dd.MAX_BUCKET).cast("long")).alias("n_hot_buckets"),
+            F.sum(F.expr("k * (k - 1) DIV 2")).alias("candidate_pairs"),
+        )
+        .orderBy("band_idx")
+    )
 
 
 def _minhash_components_oracle() -> str:
@@ -711,12 +780,13 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frame 0, where pads are 0). JPEG pixel mean over 64-pixel flat
     # blocks reduces to block-sum / block-count: sum*64/(1024*hb) is the
     # same correctly-rounded double as sum/(2*hb). JPEG-branch text is
-    # truncated to 16382 chars — ITU-T T.81's 16-bit SOF height bounds a
-    # frame at 8191 block rows of 2 (the fixture's documented format
-    # cap); PNG dimensions are 32-bit, no cap.
+    # truncated to 2048 chars — the fixture's render budget (r10, see
+    # multimodal_mjpeg_motion: O(chars) DCT blocks made uncapped 60 KB
+    # textshape docs dominate the sweep; the ITU-T T.81 format bound is
+    # 16382); PNG dimensions are 32-bit and zlib is cheap, no cap.
     """
     WITH d AS (
-      SELECT doc_id, CASE WHEN doc_id % 2 = 1 THEN substr(text, 1, 16382)
+      SELECT doc_id, CASE WHEN doc_id % 2 = 1 THEN substr(text, 1, 2048)
                           ELSE text END AS text
       FROM documents WHERE text IS NOT NULL
     ), t AS (
@@ -755,7 +825,8 @@ def multimodal_mixed_codec_features(spark: SparkSession, sf_dir: str) -> DataFra
         d.filter(F.col("doc_id") % 2 == 0), "doc_id", "text"
     )
     jpg = mm.synthesize_mjpeg_payloads(
-        d.filter(F.col("doc_id") % 2 == 1), "doc_id", "text", max_frames=1
+        d.filter(F.col("doc_id") % 2 == 1), "doc_id", "text",
+        max_frames=1, max_chars=2048,
     )
     media = mm.attach_media_columns(png.unionByName(jpg), "media_id", "payload")
     return mm.extract_image_features(media).orderBy("media_id")
@@ -935,12 +1006,15 @@ def multimodal_video_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sum_px/(64*nb) is the same correctly-rounded double as sum_blk/nb.
     # Motion per block is 1 except where +1 wraps 255 -> 0 (i.e.
     # (v + f) % 256 = 0), where it is 255; pads (v = 0) never wrap for
-    # f in 1..3. Text is truncated to 16382 chars first — ITU-T T.81's
-    # 16-bit SOF height bounds a frame at 8191 block rows of 2 (the
-    # fixture's documented format cap, same rule both engines).
+    # f in 1..3. Text is truncated to 2048 chars first — an explicit
+    # render BUDGET below ITU-T T.81's 8191-block-row format bound
+    # (r10: encoding is O(chars*frames) DCT blocks, and the textshape
+    # regime's 60 KB documents made the uncapped fixture dominate the
+    # sweep; 1024 block rows x 4 frames still exercises every decoder
+    # path). Same substr rule both engines.
     """
     WITH d AS (
-      SELECT doc_id, substr(text, 1, 16382) AS text
+      SELECT doc_id, substr(text, 1, 2048) AS text
       FROM documents WHERE text IS NOT NULL
     ), t AS (
       SELECT doc_id, length(text) AS n,
@@ -995,7 +1069,7 @@ def multimodal_mjpeg_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
     the documented ffmpeg boundary."""
     # a NULL body is a missing asset: dropped before decode (both sides)
     d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    mj = mm.synthesize_mjpeg_payloads(d, "doc_id", "text")
+    mj = mm.synthesize_mjpeg_payloads(d, "doc_id", "text", max_chars=2048)
     media = mm.attach_media_columns(mj, "media_id", "payload")
     return mm.sample_mjpeg_frames(media).orderBy("media_id", "frame_idx")
 

@@ -33,6 +33,12 @@ from kiji_scoring_spark.sources import TABLES  # noqa: E402
 #: remapped identically on both sides; dimension keys untouched)
 REPLICATED = {
     "documents": "doc_id",
+    # embeddings joined the replication set in round 10 so the ANN/
+    # similarity family has real corpus mass at the scale tiers (it was
+    # previously copied as a fixed 2000-row dimension table, leaving the
+    # sf100 tier with no vector mass to search). vec_id remaps like the
+    # other corpus keys; chained decades compose to vec_id*1000 + copy.
+    "embeddings": "vec_id",
     "events": "event_id",
     "lineitem": "l_orderkey",
     "orders": "o_orderkey",

@@ -207,11 +207,28 @@ TIERS = {
         "filter_in_between_like",
         "agg_bool_or_needs_reread",
     ]),
+    # sf100 batch 6 (round 10): the near-dup / similarity families at
+    # 5 M docs / 2 M vectors. The pair-MATERIALIZING minhash queries
+    # (candidate_pairs, components) are deliberately absent: on this
+    # tier every document is a ~1000-way duplicate, so their candidate
+    # set is ~10^9 OUTPUT rows — unmaterializable by any engine (an
+    # output-size property, not a plan defect; REGIMES.md "Scale-decade³
+    # near-dup"). The census query carries the family's mass evidence
+    # inside the hash gate (hot-bucket counts + combinatorial pair
+    # totals); pair-level quarantine equivalence at mass is asserted by
+    # scripts/assert_hotbucket_mass.py.
+    "sf100-batch6": ("/tmp/sf100", [
+        "dedup_minhash_bucket_census",
+        "dedup_incremental_new_vs_corpus",
+        "similarity_bucketed_ann",
+        "similarity_sparse_inverted_index",
+        "corpus_prep_end_to_end",
+    ]),
 }
 #: aggregate tiers run every batch of a decade in order
 GROUPS = {
     "sf10": [f"sf10-batch{i}" for i in range(1, 6)],
-    "sf100": [f"sf100-batch{i}" for i in range(1, 6)],
+    "sf100": [f"sf100-batch{i}" for i in range(1, 7)],
 }
 
 
