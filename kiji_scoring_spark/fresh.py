@@ -121,22 +121,32 @@ class FreshTableReader:
             self._capsules = caps
         return self._capsules
 
-    def reread_policies(self) -> None:
+    def reread_policies(self, preload: bool = False) -> None:
         """Drop cached capsules; next read re-resolves from the registry
-        (``rereadPolicies``, ``InternalFreshKijiTableReader.java:271-309``)."""
+        (``rereadPolicies(boolean)``,
+        ``InternalFreshKijiTableReader.java:271-309``). With ``preload``
+        the re-resolution happens EAGERLY, before any read needs it —
+        the reference's ``withPreload`` flag, which immediately preloads
+        the records a reread discovered (``:301-308``)."""
         self._capsules = None
+        if preload:
+            self._resolve_capsules()
 
     def preload(self) -> None:
         """Eagerly resolve capsules (``preload``, ``:823-827``)."""
         self._resolve_capsules()
 
-    def start_auto_reread(self, period_ms: int) -> None:
+    def start_auto_reread(self, period_ms: int, preload: bool = False) -> None:
         """Scheduled automatic reread — the analog of the reference's
         ``RereadTask``/Timer (``InternalFreshKijiTableReader.java:211-221``,
         scheduled at ``:255-259``): every ``period_ms`` the capsule cache is
         dropped so the next read picks up registry changes. Like the
         reference (which requires ``rereadPeriod > 0``), a non-positive
-        period is rejected."""
+        period is rejected. ``preload`` is the builder's
+        ``withPreloadOnAutomaticReread``
+        (``FreshKijiTableReaderBuilder.java:171-179``): each scheduled
+        reread immediately re-resolves capsules instead of leaving the
+        first post-tick read to pay the resolution lazily."""
         if period_ms <= 0:
             raise ValueError(f"reread period must be > 0 ms, got {period_ms}")
         self.stop_auto_reread()
@@ -145,7 +155,7 @@ class FreshTableReader:
             generation = self._reread_generation
 
             def tick():
-                self.reread_policies()
+                self.reread_policies(preload)
                 # re-arm atomically w.r.t. stop: a stop bumps the generation,
                 # so a tick that lost the race sees a stale generation and
                 # dies instead of arming an orphan timer
