@@ -423,7 +423,7 @@ _DDSKETCH_GAMMA = (1 + _DDSKETCH_ALPHA) / (1 - _DDSKETCH_ALPHA)
     """
     WITH n AS (SELECT COUNT(*) AS n_rows FROM orders),
     ranks AS (
-      SELECT n_rows,
+      SELECT
         CAST(CEIL(0.5  * n_rows) AS BIGINT) AS r50,
         CAST(CEIL(0.9  * n_rows) AS BIGINT) AS r90,
         CAST(CEIL(0.99 * n_rows) AS BIGINT) AS r99
@@ -434,15 +434,17 @@ _DDSKETCH_GAMMA = (1 + _DDSKETCH_ALPHA) / (1 - _DDSKETCH_ALPHA)
         ROW_NUMBER() OVER (ORDER BY o_totalprice) AS rn
       FROM orders
     )
+    -- global aggregate, no GROUP BY: exactly ONE row even over an EMPTY
+    -- table (n_rows 0, NULL percentiles, trivially-TRUE contract) —
+    -- matching the Spark side's one-row global agg
     SELECT
       (SELECT COUNT(DISTINCT o_orderpriority) FROM orders) AS n_shards,
-      ranks.n_rows AS n_rows,
-      MAX(CASE WHEN rn = r50 THEN v END) AS p50_exact,
-      MAX(CASE WHEN rn = r90 THEN v END) AS p90_exact,
-      MAX(CASE WHEN rn = r99 THEN v END) AS p99_exact,
+      (SELECT n_rows FROM n) AS n_rows,
+      MAX(CASE WHEN rn = (SELECT r50 FROM ranks) THEN v END) AS p50_exact,
+      MAX(CASE WHEN rn = (SELECT r90 FROM ranks) THEN v END) AS p90_exact,
+      MAX(CASE WHEN rn = (SELECT r99 FROM ranks) THEN v END) AS p99_exact,
       TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
-    FROM ordered, ranks
-    GROUP BY ranks.n_rows
+    FROM ordered
     """,
     "sketch", "incremental", "stats", "agg",
 )
@@ -498,7 +500,10 @@ def sketch_quantile_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ceil both engines, so the rank integers agree bit-for-bit
     totals = shards.agg(
         F.count_distinct("o_orderpriority").alias("n_shards"),
-        F.sum("cnt").alias("n_rows"),
+        # coalesce: over an EMPTY shard store the global agg still emits
+        # one row, and it must say 0 rows, not NULL (same contract as
+        # bitmap_exact_distinct_shards' empty-store row)
+        F.coalesce(F.sum("cnt"), F.lit(0).cast("long")).alias("n_rows"),
     ).select(
         "n_shards",
         "n_rows",
@@ -552,6 +557,16 @@ def sketch_quantile_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     band = 2.5 * _DDSKETCH_ALPHA
+
+    def ok(q: str):
+        # coalesce TRUE: over an empty corpus the contract holds trivially
+        # (no rank element to approximate) — the oracle's constant TRUE
+        return F.coalesce(
+            F.abs(F.col(f"{q}_est") - F.col(f"{q}_exact"))
+            <= band * F.col(f"{q}_exact"),
+            F.lit(True),
+        ).alias(f"{q}_ok")
+
     out = totals.select("n_shards", "n_rows").crossJoin(exact).crossJoin(est)
     return out.select(
         "n_shards",
@@ -559,9 +574,9 @@ def sketch_quantile_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p50_exact",
         "p90_exact",
         "p99_exact",
-        (F.abs(F.col("p50_est") - F.col("p50_exact")) <= band * F.col("p50_exact")).alias("p50_ok"),
-        (F.abs(F.col("p90_est") - F.col("p90_exact")) <= band * F.col("p90_exact")).alias("p90_ok"),
-        (F.abs(F.col("p99_est") - F.col("p99_exact")) <= band * F.col("p99_exact")).alias("p99_ok"),
+        ok("p50"),
+        ok("p90"),
+        ok("p99"),
     )
 
 
