@@ -421,7 +421,15 @@ _DDSKETCH_GAMMA = (1 + _DDSKETCH_ALPHA) / (1 - _DDSKETCH_ALPHA)
 @query(
     "sketch_quantile_shard_merge",
     """
-    WITH n AS (SELECT COUNT(*) AS n_rows FROM orders),
+    -- quantiles are defined over the NON-NULL values (and ranking a
+    -- nullable column is engine-dependent: Spark sorts NULLS FIRST,
+    -- DuckDB NULLS LAST — the registry's standing rule is filter, not
+    -- pin); the sketch build applies the same predicate
+    WITH vals AS (
+      SELECT o_totalprice, o_orderpriority FROM orders
+      WHERE o_totalprice IS NOT NULL
+    ),
+    n AS (SELECT COUNT(*) AS n_rows FROM vals),
     ranks AS (
       SELECT
         CAST(CEIL(0.5  * n_rows) AS BIGINT) AS r50,
@@ -432,13 +440,13 @@ _DDSKETCH_GAMMA = (1 + _DDSKETCH_ALPHA) / (1 - _DDSKETCH_ALPHA)
     ordered AS (
       SELECT o_totalprice AS v,
         ROW_NUMBER() OVER (ORDER BY o_totalprice) AS rn
-      FROM orders
+      FROM vals
     )
     -- global aggregate, no GROUP BY: exactly ONE row even over an EMPTY
     -- table (n_rows 0, NULL percentiles, trivially-TRUE contract) —
     -- matching the Spark side's one-row global agg
     SELECT
-      (SELECT COUNT(DISTINCT o_orderpriority) FROM orders) AS n_shards,
+      (SELECT COUNT(DISTINCT o_orderpriority) FROM vals) AS n_shards,
       (SELECT n_rows FROM n) AS n_rows,
       MAX(CASE WHEN rn = (SELECT r50 FROM ranks) THEN v END) AS p50_exact,
       MAX(CASE WHEN rn = (SELECT r90 FROM ranks) THEN v END) AS p90_exact,
@@ -485,7 +493,11 @@ def sketch_quantile_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ln_g = math.log(_DDSKETCH_GAMMA)
-    orders = load_table(spark, sf_dir, "orders")
+    # non-null values only, BEFORE the sketch build — the quantile's
+    # domain (NULL has no bucket) and the oracle's `vals` predicate
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull()
+    )
     path = _state_path(sf_dir, "ddsketch_totalprice_shards.parquet")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         orders.select(
