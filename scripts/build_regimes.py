@@ -135,14 +135,22 @@ TSEDGE_MODS = {
 }
 
 #: round-6 addition: text-SHAPE extremes — empty strings, whitespace-only
-#: docs, 200x-repeated (~60 KB) docs, and malformed/empty JSON props.
+#: docs, long-repeated docs, and malformed/empty JSON props.
 #: Found 11 divergences incl. 3 job-killing ANSI crashes (REGIMES.md).
+#: r10 resize: the repeated CLASS is 24x (~7 KB — still past every cap
+#: and window in the registry: the 2048-char JPEG render budget, chunk
+#: windows, shingle/fingerprint strides), with ONE maximal 200x (~60 KB)
+#: doc kept so the original extreme extent stays covered (it found the
+#: r9 SOF 16-bit bound). 353 docs x 60 KB made every char-level list
+#: oracle O(60k) per doc and the full sweep 24 min; one such doc costs
+#: nothing and the sweep drops to minutes.
 TEXTSHAPE_MODS = {
     "documents": (
         "SELECT * REPLACE (CASE "
+        "WHEN doc_id = 13 THEN repeat(text || ' ', 200) "
         "WHEN doc_id % 9 = 0 THEN '' "
         "WHEN doc_id % 11 = 0 THEN '   ' "
-        "WHEN doc_id % 13 = 0 THEN repeat(text || ' ', 200) "
+        "WHEN doc_id % 13 = 0 THEN repeat(text || ' ', 24) "
         "ELSE text END AS text)"
     ),
     "events": (
@@ -400,6 +408,28 @@ def build_hive(out_root: str, src: str) -> str:
     return d
 
 
+def purge_derived_state(sf_dir: str) -> None:
+    """Drop every persisted-state scratch dir keyed to ``sf_dir``.
+
+    Several registry queries persist derived state per dataset dir
+    (ddsketch/HLL/bitmap shards, binaryFile materializations, snapshot
+    stores — tag = path with '/'→'_') and legitimately REUSE it across
+    runs, because real datasets are immutable. A REBUILT regime dir
+    breaks that assumption: r10 hit two stale-state parity failures
+    (ddsketch shards, binaryFile cache) after re-generating regimes in
+    place. Rebuilding a dir therefore purges its derived state here, at
+    the only place that mutates data under an existing path."""
+    import glob
+    import shutil
+    import tempfile
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    for root in glob.glob(os.path.join(tempfile.gettempdir(), "kiji_scoring_spark_*")):
+        victim = os.path.join(root, tag)
+        if os.path.isdir(victim):
+            shutil.rmtree(victim, ignore_errors=True)
+
+
 def main() -> None:
     import duckdb
 
@@ -413,10 +443,16 @@ def main() -> None:
             stmt = stmt_for(t, f"read_parquet('{src}/{t}.parquet')")
             con.execute(f"COPY ({stmt}) TO '{d}/{t}.parquet' (FORMAT parquet)")
         con.close()
+        purge_derived_state(d)
         print(f"built {name}: {d}")
-    print(f"built fragmented: {build_fragmented(out_root, src)}")
-    print(f"built schemadrift: {build_schemadrift(out_root, src)}")
-    print(f"built hive: {build_hive(out_root, src)}")
+    for builder, label in (
+        (build_fragmented, "fragmented"),
+        (build_schemadrift, "schemadrift"),
+        (build_hive, "hive"),
+    ):
+        d = builder(out_root, src)
+        purge_derived_state(d)
+        print(f"built {label}: {d}")
 
 
 if __name__ == "__main__":
