@@ -55,6 +55,11 @@ TIERS = {
         "sketch_hll_shard_union",
         "dedup_exact_documents",
         "window_ratio_to_report",
+        # r10 appends: the DDSketch quantile shards (global-rank exact
+        # reference + merged-walk estimate) and the LSH bucket census
+        # (combinatorial pair totals — the minhash family's mass face)
+        "sketch_quantile_shard_merge",
+        "dedup_minhash_bucket_census",
     ]),
     # batch 2: global/partitioned windows, running totals, monthly trend,
     # sorted-fold entropy, sessionization, gap-fill, checksums,
@@ -223,6 +228,9 @@ TIERS = {
         "similarity_bucketed_ann",
         "similarity_sparse_inverted_index",
         "corpus_prep_end_to_end",
+        # r10 append: DDSketch quantile shards at 150 M orders (sketch
+        # side flat in mass; the global-rank exact REFERENCE is the cost)
+        "sketch_quantile_shard_merge",
     ]),
 }
 #: aggregate tiers run every batch of a decade in order
