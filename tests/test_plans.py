@@ -487,3 +487,40 @@ def test_bpe_round_partial_agg_and_broadcast_fold(spark, sf_dir):
     assert "Exchange hashpartitioning" not in nplan, (
         "the merge fold shuffled the vocab state"
     )
+
+
+def test_census_never_expands_pairs(spark, sf_dir):
+    """dedup_minhash_bucket_census (r10): the census is the LINEAR face
+    of the minhash family — its whole point is reporting candidate-pair
+    totals COMBINATORIALLY (sum k·(k−1)/2 over bucket sizes) without
+    ever materializing a pair. The plan must therefore contain no
+    Generate (explode) beyond the signature pipeline's shingle explode,
+    and the band groupBys must keep map-side partial aggregation."""
+    plan = executed_plan(spark, sf_dir, "dedup_minhash_bucket_census")
+    # exactly one Generate: the shingle explode inside the signature
+    # pipeline; a second one would be a pair expansion sneaking in
+    assert plan.count("Generate explode") == 1, (
+        "census plan grew an extra explode — pair expansion is exactly "
+        "what this query exists to avoid"
+    )
+    assert "partial_count" in plan or "partial_sum" in plan, (
+        "census lost map-side partial aggregation"
+    )
+    assert "BatchEvalPython" not in plan
+
+
+def test_quantile_sketch_merge_walk_is_tiny_and_broadcast(spark, sf_dir):
+    """sketch_quantile_shard_merge (r10): the scale path is the sketch —
+    shards merge by groupBy-sum (partial agg), the cumulative walk runs
+    over O(buckets) rows, and every composition join is a broadcast of a
+    one-row aggregate (BroadcastNestedLoopJoin), never a shuffle join.
+    The one intentional global sort is the pinned-rank exact REFERENCE."""
+    plan = executed_plan(spark, sf_dir, "sketch_quantile_shard_merge")
+    assert "BroadcastNestedLoopJoin" in plan, (
+        "one-row totals/est/exact composition lost its broadcast"
+    )
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, (
+        "a one-row composition join fell back to a shuffle join"
+    )
+    assert "partial_sum" in plan, "shard merge lost map-side combine"
+    assert "BatchEvalPython" not in plan
