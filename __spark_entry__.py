@@ -44,6 +44,11 @@ _FORCE_RECHECK: frozenset[str] = frozenset(
         # the old green rows no longer certify.
         "multimodal_mjpeg_motion",
         "multimodal_mixed_codec_features",
+        # bucketed_join_colocated_revenue: the bucketed-table write is now
+        # amortized to session lifetime (skip when the table is already in
+        # the session catalog) — output-identical, but the protocol is
+        # mechanical: changed code ⇒ re-verify.
+        "bucketed_join_colocated_revenue",
         #
         # The round's other shared-path changes are all
         # output-preserving at the driver's layout: (1) bounds-check
