@@ -32,39 +32,18 @@ def entry(spark: SparkSession) -> DataFrame:
 #: CORRECTNESS file lands with them green.
 _FORCE_RECHECK: frozenset[str] = frozenset(
     {
-        # Entries are added as code changes each round; both r9 entries
-        # (stats_summary_profile, quality_unigram_logprob) earned fresh
-        # green rows in CORRECTNESS_r09 and were cleared per protocol.
+        # Entries are added as code changes each round; all three r10
+        # entries (multimodal_mjpeg_motion, multimodal_mixed_codec_features,
+        # bucketed_join_colocated_revenue) earned fresh green rows in
+        # CORRECTNESS_r10 and were cleared per protocol.
         #
-        # r10: the JPEG fixture queries gained an explicit 2048-char
-        # render budget (code AND oracle substr changed in sync — the
-        # textshape regime's 60 KB docs made the uncapped O(chars*frames)
-        # DCT fixture dominate the sweep). Driver docs are shorter than
-        # the cap, but the protocol is mechanical: changed code+oracle ⇒
-        # the old green rows no longer certify.
-        "multimodal_mjpeg_motion",
-        "multimodal_mixed_codec_features",
-        # bucketed_join_colocated_revenue: the bucketed-table write is now
-        # amortized to session lifetime (skip when the table is already in
-        # the session catalog) — output-identical, but the protocol is
-        # mechanical: changed code ⇒ re-verify.
+        # r11 entries are appended below as this round's code changes land.
+        #
+        # r11: the bucketed-table cache tag switched from basename to the
+        # full-path state_tag (r10 ADVICE — basename collisions under the
+        # session-lifetime catalog gate). Output-identical, but the
+        # protocol is mechanical: changed code ⇒ re-verify.
         "bucketed_join_colocated_revenue",
-        #
-        # The round's other shared-path changes are all
-        # output-preserving at the driver's layout: (1) bounds-check
-        # guards in the JPEG SOF0/SOS/DRI segment parsers and an input
-        # validation on synthesize_mjpeg_payloads' blocks_per_row — pure
-        # guard additions that convert truncated-input IndexError crashes
-        # into the documented ValueError; no well-formed fixture reaches
-        # them; (2) spark.sql.sources.partitionColumnTypeInference.enabled
-        # =false in the session defaults — only hive-layout DIRECTORY
-        # tables have partition columns to type, the driver's testdata is
-        # single-file parquet, and the hive regime's partition values are
-        # string categoricals (identical under inference on or off; the
-        # regime re-sweep certifies it). New r10 queries land in the
-        # never-checked tier automatically. With zero forced entries the
-        # 50-slot gate drains the LRU tail: the 39 live queries whose
-        # newest rows date to r5 all fit this round.
     }
 )
 

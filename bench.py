@@ -315,10 +315,18 @@ def _drift_control(
             ["git", "worktree", "remove", "--force", wt],
             cwd=here, capture_output=True,
         )
+    # head_sec times the WORKING TREE (cwd=here); when that tree has
+    # uncommitted edits it is not the HEAD commit, so the artifact records
+    # which commit and whether the tree was dirty — the reader can tell a
+    # committed-HEAD control from a dirty-tree one (r10 ADVICE).
+    head_sha = git("rev-parse", "HEAD")
+    head_dirty = bool(git("status", "--porcelain"))
     return {
         "prior_commit": prior_sha[:12],
         "prior_commit_sec": round(prior_sec, 4),
         "head_sec": round(head_sec, 4),
+        "head_commit": head_sha[:12],
+        "head_dirty": head_dirty,
         "n_queries": len(drifted),
         "queries": drifted,  # full list in the detail file only
     }

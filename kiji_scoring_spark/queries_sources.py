@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from .queries import query
 from .sources import load_table, read_csv, read_json, read_orc, read_xml
+from .state import state_tag
 
 _FORMAT_CACHE = os.path.join(tempfile.gettempdir(), "kiji_scoring_spark_formats")
 
@@ -517,8 +518,13 @@ def bucketed_join_colocated_revenue(spark: SparkSession, sf_dir: str) -> DataFra
     marker: a fresh session always rewrites, so a dataset rebuilt under
     the same path (the regime-rebuild stale-state class, REGIMES.md r10)
     can never be served stale buckets."""
-    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    base = os.path.join(tempfile.gettempdir(), f"kss_bucketed_{tag}")
+    # Tag by the FULL path like every other per-dataset cache (state_tag),
+    # not the basename: with the session-lifetime catalog gate, two
+    # dataset dirs sharing a basename within one session must not serve
+    # each other's bucketed tables (r10 ADVICE). Dots stripped for the
+    # catalog identifier.
+    tag = state_tag(sf_dir).replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), f"kss_bucketed_{state_tag(sf_dir)}")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey",

@@ -1,0 +1,52 @@
+"""Per-dataset derived-state tagging and purge (shared, r11).
+
+Several registry queries persist derived state keyed to the dataset dir
+(ddsketch/HLL/bitmap shards under ``kiji_scoring_spark_state``,
+binaryFile materializations under ``kiji_scoring_spark_binfiles``,
+session-lifetime bucketed tables under ``kss_bucketed_*``) and
+legitimately REUSE it across runs, because real datasets are immutable.
+A dir REBUILT in place breaks that assumption — the r10 stale-state
+failure class. Two rules follow, both enforced here:
+
+1. every per-dataset cache tags by the FULL path (``state_tag``), so two
+   dataset dirs sharing a basename can never collide;
+2. every script that rewrites data under an existing path calls
+   ``purge_derived_state`` on it (build_regimes.py and build_sf1.py do).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
+
+
+def state_tag(sf_dir: str) -> str:
+    """Canonical per-dataset cache tag: the full path, '/'→'_'.
+
+    Identical to the historical ``_state_path`` tagging so existing
+    scratch dirs stay valid. Never tag by basename — two tier dirs named
+    alike (e.g. ``/tmp/a/sf10`` and ``/tmp/b/sf10``) must not share
+    derived state (ADVICE r10, queries_sources.py bucketed tables).
+    """
+    return sf_dir.strip("/").replace("/", "_")
+
+
+def purge_derived_state(sf_dir: str) -> None:
+    """Drop every persisted-state scratch dir keyed to ``sf_dir``.
+
+    Covers all ``kiji_scoring_spark_*`` scratch roots plus the
+    session-lifetime bucketed-table dirs (``kss_bucketed_<tag>``). Call
+    after rewriting data under an existing path; harmless when nothing
+    exists.
+    """
+    tag = state_tag(sf_dir)
+    tmp = tempfile.gettempdir()
+    for root in glob.glob(os.path.join(tmp, "kiji_scoring_spark_*")):
+        victim = os.path.join(root, tag)
+        if os.path.isdir(victim):
+            shutil.rmtree(victim, ignore_errors=True)
+    bucketed = os.path.join(tmp, f"kss_bucketed_{tag}")
+    if os.path.isdir(bucketed):
+        shutil.rmtree(bucketed, ignore_errors=True)

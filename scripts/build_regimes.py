@@ -18,6 +18,7 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 from kiji_scoring_spark.sources import TABLES  # noqa: E402
+from kiji_scoring_spark.state import purge_derived_state  # noqa: E402,F401
 
 #: deterministic ~30% NULLs in payload columns; identity/timestamp columns
 #: stay intact (mirrors tests/test_regimes.py exactly)
@@ -408,26 +409,9 @@ def build_hive(out_root: str, src: str) -> str:
     return d
 
 
-def purge_derived_state(sf_dir: str) -> None:
-    """Drop every persisted-state scratch dir keyed to ``sf_dir``.
-
-    Several registry queries persist derived state per dataset dir
-    (ddsketch/HLL/bitmap shards, binaryFile materializations, snapshot
-    stores — tag = path with '/'→'_') and legitimately REUSE it across
-    runs, because real datasets are immutable. A REBUILT regime dir
-    breaks that assumption: r10 hit two stale-state parity failures
-    (ddsketch shards, binaryFile cache) after re-generating regimes in
-    place. Rebuilding a dir therefore purges its derived state here, at
-    the only place that mutates data under an existing path."""
-    import glob
-    import shutil
-    import tempfile
-
-    tag = sf_dir.strip("/").replace("/", "_")
-    for root in glob.glob(os.path.join(tempfile.gettempdir(), "kiji_scoring_spark_*")):
-        victim = os.path.join(root, tag)
-        if os.path.isdir(victim):
-            shutil.rmtree(victim, ignore_errors=True)
+#: purge_derived_state moved to kiji_scoring_spark.state (r11 ADVICE) so
+#: build_sf1.py shares it — every script that rewrites data under an
+#: existing path purges that path's derived state.
 
 
 def main() -> None:

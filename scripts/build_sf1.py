@@ -28,6 +28,7 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 from kiji_scoring_spark.sources import TABLES  # noqa: E402
+from kiji_scoring_spark.state import purge_derived_state  # noqa: E402
 
 #: 10x replication with id remap for the fact/corpus tables (shared keys
 #: remapped identically on both sides; dimension keys untouched)
@@ -69,6 +70,11 @@ def build(src: str, dest: str, copies: int = 10) -> None:
             )
         print(f"built {t}")
     con.close()
+    # Rebuilding a tier dir in place invalidates every cache keyed to its
+    # path (ddsketch/HLL/bitmap shards, binaryFile materializations,
+    # bucketed tables) — the r10 stale-state failure class. Purge here,
+    # exactly like build_regimes.py does for its dirs.
+    purge_derived_state(dest)
 
 
 if __name__ == "__main__":
