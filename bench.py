@@ -142,6 +142,10 @@ HEADLINE = [
     # reference (global row_number); benched so the sketch build+merge
     # path can't regress silently
     "sketch_quantile_shard_merge",
+    # round 11: mergeable Misra-Gries frequent-items shards — persisted
+    # ≤K-counter summaries, groupBy-sum merge + re-prune, TakeOrdered
+    # exact reference; completes the mergeable-summary set in the bench
+    "sketch_topk_shard_merge",
 ]
 
 #: round-over-round regression reference (sum over that round's HEADLINE):

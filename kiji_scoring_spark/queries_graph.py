@@ -592,6 +592,280 @@ def sketch_quantile_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Misra-Gries frequent-items parameters: K counters per shard ⇒ every
+#: reported weight underestimates the true count by at most n/(K+1) after
+#: the per-shard build plus at most n/(K+1) more after the merge re-prune
+#: (Misra/Gries 1982; mergeability per Agarwal et al., "Mergeable
+#: Summaries", PODS 2012) — the contract band below is the safe sum,
+#: 2n/(K+1).
+_MG_K = 64
+_MG_SHARDS = 8
+
+
+def _mg_item(li: DataFrame) -> DataFrame:
+    """Deterministic Zipf-ish item stream over lineitem: ~25% of rows on
+    5 hot items, ~20% on 200 warm items, the rest on a long tail whose
+    cardinality grows with the data — the frequency shape frequent-items
+    sketches exist for (the base tables are uniform by construction, so
+    the skew is derived, the table_diff_checksum_buckets pattern). All
+    arithmetic is modulo-bounded first so no regime's extreme keys can
+    overflow BIGINT under ANSI, and rows with NULL in any input key are
+    excluded up front (an item built from NULL has no count)."""
+    li = li.filter(
+        F.col("l_orderkey").isNotNull()
+        & F.col("l_partkey").isNotNull()
+        & F.col("l_linenumber").isNotNull()
+    )
+    sel = F.pmod(
+        F.pmod(F.col("l_orderkey"), F.lit(1000000))
+        + F.pmod(F.col("l_linenumber"), F.lit(20)),
+        F.lit(20),
+    )
+    item = (
+        F.when(sel < 5, F.pmod(F.col("l_orderkey"), F.lit(5)))
+        .when(sel < 9, F.lit(10) + F.pmod(F.col("l_orderkey"), F.lit(200)))
+        .otherwise(
+            F.lit(1000)
+            + F.pmod(F.col("l_partkey"), F.lit(500000)) * 13
+            + F.pmod(F.col("l_linenumber"), F.lit(13))
+        )
+    )
+    return li.select(
+        item.cast("long").alias("item"),
+        F.pmod(F.col("l_orderkey"), F.lit(_MG_SHARDS)).alias("shard"),
+    )
+
+
+@query(
+    "sketch_topk_shard_merge",
+    """
+    -- the same deterministic Zipf-ish item map as the Spark side; every
+    -- key component is modulo-bounded BEFORE any arithmetic (no BIGINT
+    -- overflow on extreme keys) and the ((x % m) + m) % m idiom matches
+    -- Spark's pmod on negatives
+    WITH base AS (
+      SELECT
+        ((l_orderkey % 1000000) + 1000000) % 1000000 AS ok1m,
+        ((l_linenumber % 20) + 20) % 20 AS ln20,
+        l_orderkey, l_partkey, l_linenumber
+      FROM lineitem
+      WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+        AND l_linenumber IS NOT NULL
+    ),
+    src AS (
+      SELECT CAST(CASE
+        WHEN (ok1m + ln20) % 20 < 5 THEN ((l_orderkey % 5) + 5) % 5
+        WHEN (ok1m + ln20) % 20 < 9
+          THEN 10 + ((l_orderkey % 200) + 200) % 200
+        ELSE 1000 + (((l_partkey % 500000) + 500000) % 500000) * 13
+                  + ((l_linenumber % 13) + 13) % 13
+      END AS BIGINT) AS item,
+      ((l_orderkey % 8) + 8) % 8 AS shard
+      FROM base
+    ),
+    cnts AS (SELECT item, COUNT(*) AS cnt FROM src GROUP BY item),
+    n AS (SELECT COUNT(*) AS n_rows FROM src),
+    ranked AS (
+      SELECT item, cnt,
+        ROW_NUMBER() OVER (ORDER BY cnt DESC, item) AS rn
+      FROM cnts
+    )
+    -- global aggregate, no GROUP BY: exactly ONE row even over an EMPTY
+    -- table (0 counts, NULL top items, trivially-TRUE contract) —
+    -- matching the Spark side's one-row global agg
+    SELECT
+      (SELECT n_rows FROM n) AS n_rows,
+      (SELECT COUNT(DISTINCT shard) FROM src) AS n_shards,
+      (SELECT COUNT(*) FROM cnts) AS n_distinct_items,
+      (SELECT COUNT(*) FROM cnts, n
+        WHERE cnt > 2.0 * n_rows / 65.0) AS n_heavy,
+      MAX(CASE WHEN rn = 1 THEN item END) AS top1_item,
+      MAX(CASE WHEN rn = 1 THEN cnt END) AS top1_cnt,
+      MAX(CASE WHEN rn = 2 THEN item END) AS top2_item,
+      MAX(CASE WHEN rn = 2 THEN cnt END) AS top2_cnt,
+      MAX(CASE WHEN rn = 3 THEN item END) AS top3_item,
+      MAX(CASE WHEN rn = 3 THEN cnt END) AS top3_cnt,
+      TRUE AS no_overestimate,
+      TRUE AS recovered_all_heavy,
+      TRUE AS heavy_within_band,
+      TRUE AS summary_within_k
+    FROM ranked
+    """,
+    "sketch", "incremental", "stats", "agg",
+)
+def sketch_topk_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable FREQUENT-ITEMS sketch shards (Misra-Gries) — the fourth
+    member of the mergeable-summary set beside the HLL, exact-bitmap,
+    and DDSketch-quantile shards above: one K=64-counter Misra-Gries
+    summary of the derived item stream PER SHARD (ingest partition =
+    l_orderkey mod 8) is persisted as plain (shard, item, weight)
+    parquet, and the global heavy hitters are answered from the stored
+    shards — the corpus is scanned once ever; each future ingest batch
+    only adds its own shard rows.
+
+    Why THIS sketch for 100 TB: the per-shard summary is built from the
+    shard's exact in-batch counts (one groupBy) and pruned to ≤K rows by
+    subtracting the (K+1)-th largest count — the static-batch equivalent
+    of streaming Misra-Gries, with the same guarantee (every kept weight
+    underestimates by ≤ n_shard/(K+1)) but DETERMINISTIC (weights depend
+    only on counts, not arrival order). Summaries merge by groupBy-SUM
+    of weights plus one re-prune — associative and commutative (Agarwal
+    et al., PODS 2012) — so the persisted state is O(K) rows per shard
+    forever, the merge is O(shards·K) rows regardless of corpus size,
+    and every item whose true frequency exceeds 2n/(K+1) is GUARANTEED
+    to survive into the merged summary with weight within 2n/(K+1) of
+    its exact count. The whole pipeline is built-in codegen expressions
+    (pmod/when/window/sum) — no UDF anywhere.
+
+    Oracle contract (the sketch_quantile_shard_merge pattern): DuckDB
+    states the exact side — row/shard/distinct/heavy counts and the top-3
+    exact items under the total (cnt DESC, item ASC) order — plus
+    constant-TRUE contract flags; Spark computes the same exact
+    references AND the sketch, asserting (a) no merged weight exceeds its
+    exact count, (b) every heavy item (cnt > 2n/(K+1)) is present, (c)
+    each heavy item's weight is within the 2n/(K+1) band, (d) the merged
+    summary stays ≤ K items. Shard-invariance, merge-vs-exact error, and
+    determinism are pinned by tests/test_sketch_topk.py.
+
+    The exact global top-3 is the REFERENCE side's cost: TakeOrdered
+    top-k (no full sort); the sketch path above never ranks the full
+    item space. Reference parity: kiji-scoring keeps no sketch state —
+    this extends the same persisted-snapshot machinery its scoring
+    server delegates to HBase (ScoringServerScoreFunction.java) into
+    mergeable per-shard summaries."""
+    from pyspark.sql import Window
+
+    src = _mg_item(load_table(spark, sf_dir, "lineitem"))
+
+    path = _state_path(sf_dir, "mg_topk_lineitem_shards.parquet")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        counts = src.groupBy("shard", "item").agg(F.count(F.lit(1)).alias("cnt"))
+        w = Window.partitionBy("shard").orderBy(
+            F.col("cnt").desc(), F.col("item").asc()
+        )
+        ranked = counts.withColumn("rn", F.row_number().over(w))
+        # the (K+1)-th largest count per shard — the Misra-Gries decrement
+        ck1 = ranked.filter(F.col("rn") == _MG_K + 1).select(
+            "shard", F.col("cnt").alias("ck1")
+        )
+        (
+            ranked.filter(F.col("rn") <= _MG_K)
+            .join(F.broadcast(ck1), "shard", "left")
+            .select(
+                "shard",
+                "item",
+                (F.col("cnt") - F.coalesce(F.col("ck1"), F.lit(0))).alias("weight"),
+            )
+            .filter(F.col("weight") > 0)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    shards = spark.read.parquet(path)
+
+    # merge: groupBy-SUM of weights (the mergeable core), then one
+    # re-prune with the same decrement rule — ≤ shards*K rows in, ≤ K out,
+    # so the single-partition window is a few hundred rows at any scale
+    merged = shards.groupBy("item").agg(F.sum("weight").alias("w"))
+    mw = Window.orderBy(F.col("w").desc(), F.col("item").asc())
+    mranked = merged.withColumn("rn", F.row_number().over(mw))
+    wk1 = mranked.agg(
+        F.coalesce(
+            F.max(F.when(F.col("rn") == _MG_K + 1, F.col("w"))), F.lit(0)
+        ).alias("wk1")
+    )
+    summary = (
+        mranked.filter(F.col("rn") <= _MG_K)
+        .crossJoin(F.broadcast(wk1))
+        .select("item", (F.col("w") - F.col("wk1")).alias("est"))
+        .filter(F.col("est") > 0)
+    )
+
+    # exact reference side: global counts (one groupBy), totals, top-3 by
+    # TakeOrdered (never a full global sort), heavy set by threshold
+    exact = src.groupBy("item").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = src.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("shard").alias("n_shards"),
+    )
+    distinct_row = exact.agg(F.count(F.lit(1)).alias("n_distinct_items"))
+    top3 = (
+        exact.orderBy(F.col("cnt").desc(), F.col("item").asc())
+        .limit(3)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("cnt").desc(), F.col("item").asc())
+            ),
+        )
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("item"))).alias("top1_item"),
+            F.max(F.when(F.col("rn") == 1, F.col("cnt"))).alias("top1_cnt"),
+            F.max(F.when(F.col("rn") == 2, F.col("item"))).alias("top2_item"),
+            F.max(F.when(F.col("rn") == 2, F.col("cnt"))).alias("top2_cnt"),
+            F.max(F.when(F.col("rn") == 3, F.col("item"))).alias("top3_item"),
+            F.max(F.when(F.col("rn") == 3, F.col("cnt"))).alias("top3_cnt"),
+        )
+    )
+
+    # contract flags — identical IEEE threshold arithmetic to the oracle
+    thr = 2.0 * F.col("n_rows") / 65.0
+    heavy = exact.crossJoin(F.broadcast(totals)).filter(F.col("cnt") > thr)
+    heavy_flags = heavy.join(F.broadcast(summary), "item", "left").agg(
+        # coalesce TRUE: with no heavy items the contract holds
+        # trivially — the oracle's constant TRUE
+        F.coalesce(F.bool_and(F.col("est").isNotNull()), F.lit(True)).alias(
+            "recovered_all_heavy"
+        ),
+        F.coalesce(
+            F.bool_and(
+                F.col("cnt") - F.coalesce(F.col("est"), F.lit(0))
+                <= 2.0 * F.col("n_rows") / 65.0
+            ),
+            F.lit(True),
+        ).alias("heavy_within_band"),
+    )
+    # broadcast the ≤K-row summary against the full exact counts — the
+    # exact side may be arbitrarily wide at scale, the summary never is
+    over_flag = (
+        exact.withColumnRenamed("cnt", "exact_cnt")
+        .join(F.broadcast(summary), "item")
+        .agg(
+            F.coalesce(
+                F.bool_and(F.col("est") <= F.col("exact_cnt")), F.lit(True)
+            ).alias("no_overestimate")
+        )
+    )
+    size_flag = summary.agg(
+        (F.count(F.lit(1)) <= _MG_K).alias("summary_within_k")
+    )
+    n_heavy_row = heavy.agg(F.count(F.lit(1)).alias("n_heavy"))
+
+    return (
+        totals.crossJoin(distinct_row)
+        .crossJoin(n_heavy_row)
+        .crossJoin(top3)
+        .crossJoin(over_flag)
+        .crossJoin(heavy_flags)
+        .crossJoin(size_flag)
+        .select(
+            "n_rows",
+            "n_shards",
+            "n_distinct_items",
+            "n_heavy",
+            "top1_item",
+            "top1_cnt",
+            "top2_item",
+            "top2_cnt",
+            "top3_item",
+            "top3_cnt",
+            "no_overestimate",
+            "recovered_all_heavy",
+            "heavy_within_band",
+            "summary_within_k",
+        )
+    )
+
+
 @query(
     "table_diff_checksum_buckets",
     """

@@ -524,3 +524,24 @@ def test_quantile_sketch_merge_walk_is_tiny_and_broadcast(spark, sf_dir):
     )
     assert "partial_sum" in plan, "shard merge lost map-side combine"
     assert "BatchEvalPython" not in plan
+
+
+def test_topk_sketch_merge_stays_small_side_broadcast(spark, sf_dir):
+    """sketch_topk_shard_merge (r11): the scale path is the ≤K-row
+    summary — shard weights merge by groupBy-sum (partial agg), every
+    join against the summary or a one-row aggregate broadcasts (never a
+    shuffle join), and the exact top-3 REFERENCE is a TakeOrdered top-k,
+    not a global sort of the item space."""
+    plan = executed_plan(spark, sf_dir, "sketch_topk_shard_merge")
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, (
+        "a summary/one-row composition join fell back to a shuffle join"
+    )
+    assert "BroadcastNestedLoopJoin" in plan, (
+        "one-row totals/flags composition lost its broadcast"
+    )
+    assert "TakeOrderedAndProject" in plan, (
+        "exact top-3 reference became a full global sort"
+    )
+    assert "partial_sum" in plan, "shard weight merge lost map-side combine"
+    assert "partial_count" in plan, "exact counts lost map-side combine"
+    assert "BatchEvalPython" not in plan
