@@ -44,6 +44,11 @@ _FORCE_RECHECK: frozenset[str] = frozenset(
         # session-lifetime catalog gate). Output-identical, but the
         # protocol is mechanical: changed code ⇒ re-verify.
         "bucketed_join_colocated_revenue",
+        # r11: text_word2vec_neighbors converted from rows-only to a
+        # structure-contract oracle (one-row deterministic summary +
+        # constant-TRUE trained-half flags) — code AND oracle changed in
+        # sync; it must earn its first hash-green row this round.
+        "text_word2vec_neighbors",
     }
 )
 

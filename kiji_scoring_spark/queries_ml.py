@@ -302,32 +302,153 @@ def word2vec_synonyms(
 
 @query(
     "text_word2vec_neighbors",
-    None,  # rows-only BY DESIGN — see docstring for why this is the ceiling
+    r"""
+    -- structure-contract oracle (r11): DuckDB states the DETERMINISTIC
+    -- half of the pipeline — tokenization, vocab (minCount>=2), probe
+    -- token, neighbor-count arithmetic — plus constant-TRUE flags for
+    -- the trained half, whose exact values no closed-form oracle can
+    -- state (multi-partition skip-gram sums float gradients in task
+    -- order). RegexTokenizer(\W+, lowercase) == regexp_split_to_array
+    WITH toks AS (
+      SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\W+'),
+                                x -> x <> '')) AS tok
+      FROM documents WHERE doc_id < 200 AND text IS NOT NULL
+    ),
+    cnts AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok),
+    top AS (SELECT tok, n FROM cnts ORDER BY n DESC, tok ASC LIMIT 1),
+    vocab AS (SELECT COUNT(*) AS vocab_size FROM cnts WHERE n >= 2)
+    SELECT
+      (SELECT tok FROM top) AS top_token,
+      (SELECT vocab_size FROM vocab) AS vocab_size,
+      CAST(CASE WHEN COALESCE((SELECT n FROM top), 0) >= 2
+                 AND (SELECT vocab_size FROM vocab) >= 2
+            THEN LEAST(5, (SELECT vocab_size FROM vocab) - 1)
+            ELSE 0 END AS BIGINT) AS n_neighbors,
+      TRUE AS neighbors_in_vocab,
+      TRUE AS sims_in_unit_range,
+      TRUE AS sims_nonincreasing,
+      TRUE AS excludes_probe
+    """,
     "text", "mllib", "pipeline",
 )
 def text_word2vec_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word2Vec (SURVEY §2.G text row): embed the 200-doc probe corpus and
-    return the 5 nearest neighbors of the corpus's most frequent token.
+    """Word2Vec (SURVEY §2.G text row): embed the 200-doc probe corpus,
+    find the 5 nearest neighbors of the corpus's most frequent token, and
+    return the one-row STRUCTURE CONTRACT of that result.
 
-    THE ONE REMAINING ROWS-ONLY REGISTRY ENTRY, and stability-gating is
-    the verification ceiling, not a shortcut: skip-gram training applies
-    float gradient updates whose accumulation order depends on partition
-    scheduling, and float addition is non-associative — two bit-identical
-    runs on different partition layouts (or thread interleavings within
-    MLlib's async minibatch updates) produce slightly different vectors,
-    so no closed-form oracle can exist even in principle, and pinning a
-    value hash would pin a scheduler artifact. What IS deterministic is
-    the learned neighborhood STRUCTURE, which tests/test_word2vec.py
-    asserts: fixed seed + fixed partitioning reproduce the same synonym
-    set, and the top neighbors stay stable across runs. (Contrast the
-    retired `similarity_ivf_topk`: its mechanics WERE separable from
-    training, so the deterministic-seed variant took over the hash gate.)
+    Formerly the one rows-only registry entry; the r10 verdict asked for
+    either a permanent sign-off or a structure-contract oracle, and this
+    is the latter (the DDSketch/Misra-Gries flag pattern). Exact trained
+    values can never be hash-gated: skip-gram training applies float
+    gradient updates whose accumulation order depends on partition
+    scheduling, and float addition is non-associative — pinning a value
+    hash would pin a scheduler artifact. What IS deterministic is
+    everything around the training, and the oracle now states it exactly:
+    the probe token (count DESC, tok ASC over the RegexTokenizer stream),
+    the vocabulary size under minCount=2, and the neighbor count
+    min(5, vocab-1). The trained half is asserted as contract flags the
+    oracle pins constant-TRUE: every neighbor is a vocab word, cosine
+    similarities lie in [-1, 1] and arrive non-increasing, and the probe
+    word is excluded from its own neighborhood. Neighbor-SET stability
+    across independent fits stays pinned by tests/test_word2vec.py.
 
     Scale: the fit is multi-partition (4-way here; proportional on a real
     cluster) — MLlib distributes skip-gram minibatches — and the synonym
-    lookup is a driver-side top-k over the (vocab × dim) matrix —
-    vocab-bounded, never data-bounded."""
-    return word2vec_synonyms(spark, sf_dir, num_partitions=4, k=5)
+    lookup is a top-k over the (vocab × dim) matrix — vocab-bounded,
+    never data-bounded; the contract flags join the ≤5-row synonym frame
+    against the vocab counts, broadcast."""
+    from pyspark.ml.feature import RegexTokenizer, Word2Vec
+    from pyspark.sql import Window
+
+    out_schema = (
+        "top_token string, vocab_size long, n_neighbors long, "
+        "neighbors_in_vocab boolean, sims_in_unit_range boolean, "
+        "sims_nonincreasing boolean, excludes_probe boolean"
+    )
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 200) & F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    tokenized = (
+        RegexTokenizer(inputCol="text", outputCol="tokens", pattern=r"\W+")
+        .transform(docs)
+        .repartition(4, "doc_id")
+    )
+    counts = (
+        tokenized.select(F.explode("tokens").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # the probe token must cross the driver (findSynonyms takes a str);
+    # the vocab size rides along in the same 1-row action
+    head = (
+        counts.orderBy(F.desc("n"), F.asc("tok"))
+        .limit(1)
+        .crossJoin(
+            F.broadcast(
+                counts.filter(F.col("n") >= 2).agg(
+                    F.count(F.lit(1)).alias("vocab_size")
+                )
+            )
+        )
+        .collect()
+    )
+    if not head or head[0].n < 2 or head[0].vocab_size < 2:
+        # degenerate corpus: no trainable vocabulary (or no trainable
+        # CONTEXT) — the contract row with zero neighbors, flags
+        # trivially TRUE, mirroring the oracle's CASE arm
+        top_tok = head[0].tok if head else None
+        vsize = head[0].vocab_size if head else 0
+        return spark.createDataFrame(
+            [(top_tok, vsize, 0, True, True, True, True)], out_schema
+        )
+    top_token, vocab_size = head[0].tok, head[0].vocab_size
+
+    model = Word2Vec(
+        vectorSize=16, minCount=2, seed=42, numPartitions=4,
+        inputCol="tokens", outputCol="vec",
+    ).fit(tokenized)
+    syn = model.findSynonyms(top_token, 5).withColumn(
+        "pos", F.monotonically_increasing_id()
+    )
+    vocab_words = counts.filter(F.col("n") >= 2).select(
+        F.col("tok").alias("vword")
+    )
+    flags = (
+        syn.withColumn(
+            "prev_sim", F.lag("similarity").over(Window.orderBy("pos"))
+        )
+        .join(F.broadcast(vocab_words), syn.word == vocab_words.vword, "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_neighbors"),
+            F.coalesce(F.bool_and(F.col("vword").isNotNull()), F.lit(True)).alias(
+                "neighbors_in_vocab"
+            ),
+            F.coalesce(
+                F.bool_and(F.abs("similarity") <= 1.0 + 1e-9), F.lit(True)
+            ).alias("sims_in_unit_range"),
+            F.coalesce(
+                F.bool_and(
+                    F.col("prev_sim").isNull()
+                    | (F.col("similarity") <= F.col("prev_sim"))
+                ),
+                F.lit(True),
+            ).alias("sims_nonincreasing"),
+            F.coalesce(
+                F.bool_and(F.col("word") != F.lit(top_token)), F.lit(True)
+            ).alias("excludes_probe"),
+        )
+    )
+    return flags.select(
+        F.lit(top_token).alias("top_token"),
+        F.lit(vocab_size).cast("long").alias("vocab_size"),
+        F.col("n_neighbors").cast("long"),
+        "neighbors_in_vocab",
+        "sims_in_unit_range",
+        "sims_nonincreasing",
+        "excludes_probe",
+    )
 
 
 @query(
