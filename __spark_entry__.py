@@ -49,6 +49,21 @@ _FORCE_RECHECK: frozenset[str] = frozenset(
         # constant-TRUE trained-half flags) — code AND oracle changed in
         # sync; it must earn its first hash-green row this round.
         "text_word2vec_neighbors",
+        # r11: replay-file materialization amortized to session lifetime
+        # (_REPLAY_BUILT gate) + full-path state_tag — output-identical
+        # (same deterministic bytes, same mtime order), but changed code ⇒
+        # re-verify all four _replay_files consumers and the file-sink
+        # query whose scratch tag changed.
+        "streaming_watermark_late_drop",
+        "streaming_stateful_running_user_totals",
+        "streaming_foreachbatch_merge_upsert",
+        "streaming_dedup_within_watermark",
+        "streaming_parquet_sink_daily",
+        # r11: state-store partition count 8 → 2 for the replay harnesses
+        # (≤50 keys; store open/commit overhead dominated) — state
+        # partitioning is internal to the engine and the outputs are
+        # order-enforced, but changed code ⇒ re-verify.
+        "streaming_hourly_event_stats",
     }
 )
 
