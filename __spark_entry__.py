@@ -64,6 +64,12 @@ _FORCE_RECHECK: frozenset[str] = frozenset(
         # partitioning is internal to the engine and the outputs are
         # order-enforced, but changed code ⇒ re-verify.
         "streaming_hourly_event_stats",
+        # r11: compute-spread round-robin repartition before the codec
+        # stages (byte-based scan splits ran sf10's 500K docs on 2 tasks)
+        # — output-identical (presentation orderBy pins order), but
+        # changed code ⇒ re-verify.
+        "multimodal_image_features",
+        "multimodal_mixed_codec_features",
     }
 )
 

@@ -765,6 +765,14 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     output — not a digest proxy — is under the value-hash gate."""
     # a NULL body is a missing asset: dropped before decode (both sides)
     d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # Codec pipelines are COMPUTE-bound, not byte-bound: the text fixture
+    # is ~100 input bytes per ~ms of codec work, so byte-based scan
+    # splits undersubscribe the cluster ~100× (sf10 = 500 K docs arrived
+    # as 2 splits → 2 tasks for all Python work, r11). One round-robin
+    # spread of the cheap SOURCE TEXT (never the payloads) before
+    # synthesis sizes tasks to compute; the codec stages stay narrow
+    # from there (plan-gated: no hashpartitioning exchange).
+    d = d.repartition(spark.sparkContext.defaultParallelism)
     png = mm.synthesize_png_payloads(d, "doc_id", "text")
     media = mm.attach_media_columns(png, "media_id", "payload")
     return mm.extract_image_features(media).orderBy("media_id")
@@ -821,6 +829,11 @@ def multimodal_mixed_codec_features(spark: SparkSession, sf_dir: str) -> DataFra
     no shuffle before the presentation orderBy), one attach + one decode
     stage over the union."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # compute-spread round-robin of the source text before the codec
+    # stages (see multimodal_image_features — the JPEG branch is ~7 ms
+    # of Huffman+IDCT per ~300 input bytes, so byte-based splits ran the
+    # whole corpus on 2 tasks at sf10)
+    d = d.repartition(spark.sparkContext.defaultParallelism)
     png = mm.synthesize_png_payloads(
         d.filter(F.col("doc_id") % 2 == 0), "doc_id", "text"
     )

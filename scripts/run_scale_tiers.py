@@ -60,6 +60,9 @@ TIERS = {
         # (combinatorial pair totals — the minhash family's mass face)
         "sketch_quantile_shard_merge",
         "dedup_minhash_bucket_census",
+        # r11 append: Misra-Gries frequent-items shards (merge O(shards*K);
+        # the long-tail item space only ever exists inside the groupBys)
+        "sketch_topk_shard_merge",
     ]),
     # batch 2: global/partitioned windows, running totals, monthly trend,
     # sorted-fold entropy, sessionization, gap-fill, checksums,
@@ -232,11 +235,27 @@ TIERS = {
         # side flat in mass; the global-rank exact REFERENCE is the cost)
         "sketch_quantile_shard_merge",
     ]),
+    # sf100 batch 7 (round 11): the last two §2 families with no
+    # scale-tier row. Multimodal at 5 M docs — the claim to prove is
+    # Arrow-batched codec THROUGHPUT (the r11 compute-spread repartition
+    # is what makes this feasible: byte-based splits ran 500 K docs on 2
+    # tasks); snapshots at 150 M orders / 100 M events — the claim is
+    # manifest scaling (versioned commits, time travel, incremental CDC
+    # fold) at real fact-table mass. Plus the new Misra-Gries topk sketch
+    # (state O(K)/shard at any scale; the exact top-3 REFERENCE is the
+    # TakeOrdered cost).
+    "sf100-batch7": ("/tmp/sf100", [
+        "multimodal_image_features",
+        "multimodal_mixed_codec_features",
+        "snapshot_time_travel_orders",
+        "snapshot_cdc_upsert_history",
+        "sketch_topk_shard_merge",
+    ]),
 }
 #: aggregate tiers run every batch of a decade in order
 GROUPS = {
     "sf10": [f"sf10-batch{i}" for i in range(1, 6)],
-    "sf100": [f"sf100-batch{i}" for i in range(1, 7)],
+    "sf100": [f"sf100-batch{i}" for i in range(1, 8)],
 }
 
 

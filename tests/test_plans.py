@@ -429,11 +429,14 @@ def test_aqe_splits_skewed_join_partition(spark):
 
 #: r7: the multimodal codec pipelines must stay NARROW — synthesize,
 #: metadata, and decode are all mapInPandas/project stages over the same
-#: partitioning, so the only exchange in the plan is the final
-#: presentation orderBy (rangepartitioning). A hashpartitioning exchange
-#: appearing here would mean a shuffle crept between codec stages — at
-#: 100 TB that is moving every payload byte across the cluster for
-#: nothing.
+#: partitioning, so the only exchanges in the plan are the final
+#: presentation orderBy (rangepartitioning) and, as of r11, ONE
+#: deliberate round-robin spread of the cheap source text BEFORE
+#: synthesis (compute-bound pipelines split by rows, not input bytes —
+#: sf10's 500 K docs arrived as 2 scan splits). A hashpartitioning
+#: exchange appearing here would mean a shuffle crept BETWEEN codec
+#: stages — at 100 TB that is moving every payload byte across the
+#: cluster for nothing.
 MULTIMODAL_NARROW_QUERIES = [
     "multimodal_image_features",
     "multimodal_audio_features",
