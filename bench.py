@@ -146,6 +146,9 @@ HEADLINE = [
     # ≤K-counter summaries, groupBy-sum merge + re-prune, TakeOrdered
     # exact reference; completes the mergeable-summary set in the bench
     "sketch_topk_shard_merge",
+    # round 11: bottom-k (KMV) distinct sample shards — distinct-union +
+    # TakeOrdered merge, fully exact-gated (deterministic md5 bottom-K)
+    "sketch_bottomk_sample_shards",
 ]
 
 #: round-over-round regression reference (sum over that round's HEADLINE):

@@ -866,6 +866,154 @@ def sketch_topk_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: bottom-k (KMV) sample size: the merged sample keeps the K smallest
+#: md5 hashes over distinct keys; distinct-count estimate (K-1)/h_K
+#: (Bar-Yossef et al. 2002; mergeable per Cohen/Kaplan bottom-k theory).
+_KMV_K = 64
+
+
+@query(
+    "sketch_bottomk_sample_shards",
+    """
+    -- KMV is DETERMINISTIC given the hash, so unlike the HLL/DDSketch/
+    -- Misra-Gries entries this oracle states EVERY output column exactly
+    -- — no contract flags: both engines produce identical md5 hex
+    -- (lowercase), identical lexicographic bottom-K (hex order = numeric
+    -- order), and an identical IEEE estimate (one exact-constant
+    -- multiply + one divide on the same 60-bit integer)
+    WITH src AS (
+      SELECT l_partkey AS key, ((l_orderkey % 8) + 8) % 8 AS shard
+      FROM lineitem
+      WHERE l_partkey IS NOT NULL AND l_orderkey IS NOT NULL
+    ),
+    hashed AS (
+      SELECT key, md5(CAST(key AS VARCHAR)) AS h
+      FROM (SELECT DISTINCT key FROM src)
+    ),
+    ranked AS (
+      SELECT key, h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM hashed
+    ),
+    merged AS (SELECT key, h, rn FROM ranked WHERE rn <= 64)
+    SELECT
+      (SELECT COUNT(*) FROM src) AS n_rows,
+      (SELECT COUNT(DISTINCT shard) FROM src) AS n_shards,
+      (SELECT COUNT(*) FROM hashed) AS n_distinct_exact,
+      (SELECT COUNT(*) FROM merged) AS sample_size,
+      MIN(h) AS min_hash,
+      MAX(CASE WHEN rn = 1 THEN key END) AS min_key,
+      MAX(CASE WHEN rn = 64 THEN h END) AS kth_hash,
+      CASE WHEN (SELECT COUNT(*) FROM merged) < 64
+           THEN CAST((SELECT COUNT(*) FROM hashed) AS DOUBLE)
+           ELSE 63.0 * 1152921504606846976.0
+                / CAST(CAST(('0x' ||
+                    substr(MAX(CASE WHEN rn = 64 THEN h END), 1, 15))
+                    AS BIGINT) AS DOUBLE)
+      END AS est_distinct
+    FROM merged
+    """,
+    "sketch", "incremental", "stats", "sample",
+)
+def sketch_bottomk_sample_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable BOTTOM-K (KMV) distinct sample shards — the fifth member
+    of the mergeable-summary set, and the only one whose entire output sits
+    under the exact hash gate with NO contract flags: one bottom-K=64
+    sample of md5(l_partkey) per ingest shard (l_orderkey mod 8) is
+    persisted as plain (shard, key, hash) parquet; the merged sample is
+    the bottom-K of the union of shard samples — provably equal to the
+    bottom-K of the raw key space, because a hash in the global bottom-K
+    is necessarily in its own shard's bottom-K. The query answers the
+    K-th minimum, the sampled keys, and the KMV distinct-count estimate
+    (K-1)/h_K from the stored shards alone.
+
+    Why THIS sketch for 100 TB: state is ≤K (hash, key) pairs per shard
+    forever; merge is a distinct-union + TakeOrdered over ≤ shards·K
+    rows; and because the hash is a fixed public function (md5 hex, both
+    engines byte-identical), every artifact — sample membership, K-th
+    minimum, even the floating-point estimate (exact-constant multiply +
+    one IEEE divide of the same 60-bit integer) — is deterministic and
+    independently recomputable by any engine, which is what lets the
+    DuckDB oracle state the estimate itself rather than a tolerance
+    band. The sample doubles as a uniform distinct-key sample for
+    downstream estimation (the KMV property), unlike HLL whose state
+    answers only cardinality.
+
+    Reference parity: extends the same persisted-snapshot machinery as
+    the HLL/bitmap/DDSketch/Misra-Gries shards (the reference delegates
+    all summary state to HBase — ScoringServerScoreFunction.java); the
+    mergeable-summary set now covers cardinality (HLL ~2%, bitmap exact,
+    KMV sampled-exact), quantiles, and frequent items."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey").isNotNull() & F.col("l_orderkey").isNotNull()
+    )
+    src = li.select(
+        F.col("l_partkey").alias("key"),
+        F.pmod(F.col("l_orderkey"), F.lit(8)).alias("shard"),
+    )
+
+    path = _state_path(sf_dir, "kmv_partkey_shards.parquet")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        w = Window.partitionBy("shard").orderBy("h")
+        (
+            src.distinct()
+            .withColumn("h", F.md5(F.col("key").cast("string")))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _KMV_K)
+            .select("shard", "key", "h")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    shards = spark.read.parquet(path)
+
+    # merge: a key may sit in several shards' bottom-K with the same hash
+    # — dedupe, then the global bottom-K is a TakeOrdered over ≤ shards*K
+    # rows (hex order = numeric order; md5 makes the order total)
+    merged = (
+        shards.select("key", "h")
+        .distinct()
+        .orderBy("h")
+        .limit(_KMV_K)
+        .withColumn("rn", F.row_number().over(Window.orderBy("h")))
+    )
+
+    totals = src.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("shard").alias("n_shards"),
+    )
+    # exact reference side (the oracle's cost): one distinct over the key
+    # space; the sketch path above never touches it after the state build
+    exact = src.agg(F.count_distinct("key").alias("n_distinct_exact"))
+
+    sample = merged.agg(
+        F.count(F.lit(1)).alias("sample_size"),
+        F.min("h").alias("min_hash"),
+        F.max(F.when(F.col("rn") == 1, F.col("key"))).alias("min_key"),
+        F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).alias("kth_hash"),
+    )
+
+    out = totals.crossJoin(F.broadcast(exact)).crossJoin(F.broadcast(sample))
+    est = F.when(
+        F.col("sample_size") < _KMV_K,
+        F.col("n_distinct_exact").cast("double"),
+    ).otherwise(
+        F.lit(63.0 * float(16**15))
+        / F.conv(F.substring(F.col("kth_hash"), 1, 15), 16, 10)
+        .cast("long")
+        .cast("double")
+    )
+    return out.select(
+        "n_rows",
+        "n_shards",
+        "n_distinct_exact",
+        "sample_size",
+        "min_hash",
+        "min_key",
+        "kth_hash",
+        est.alias("est_distinct"),
+    )
+
+
 @query(
     "table_diff_checksum_buckets",
     """

@@ -548,3 +548,23 @@ def test_topk_sketch_merge_stays_small_side_broadcast(spark, sf_dir):
     assert "partial_sum" in plan, "shard weight merge lost map-side combine"
     assert "partial_count" in plan, "exact counts lost map-side combine"
     assert "BatchEvalPython" not in plan
+
+
+def test_bottomk_sketch_merge_is_takeordered_and_broadcast(spark, sf_dir):
+    """sketch_bottomk_sample_shards (r11): the merged bottom-K must be a
+    TakeOrdered top-k over the ≤ shards*K stored sample rows — never a
+    full global sort — and the one-row totals/exact/sample composition
+    joins must broadcast. The exact distinct reference keeps partial
+    aggregation; nothing touches Python."""
+    plan = executed_plan(spark, sf_dir, "sketch_bottomk_sample_shards")
+    assert "TakeOrderedAndProject" in plan, (
+        "merged bottom-K became a full global sort"
+    )
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, (
+        "a one-row composition join fell back to a shuffle join"
+    )
+    assert "BroadcastNestedLoopJoin" in plan, (
+        "one-row totals/exact/sample composition lost its broadcast"
+    )
+    assert "partial_count" in plan, "exact distinct lost partial aggregation"
+    assert "BatchEvalPython" not in plan
