@@ -60,9 +60,11 @@ TIERS = {
         # (combinatorial pair totals — the minhash family's mass face)
         "sketch_quantile_shard_merge",
         "dedup_minhash_bucket_census",
-        # r11 append: Misra-Gries frequent-items shards (merge O(shards*K);
+        # r11 appends: Misra-Gries frequent-items shards (merge O(shards*K);
         # the long-tail item space only ever exists inside the groupBys)
+        # and bottom-k KMV sample shards (distinct-union + TakeOrdered)
         "sketch_topk_shard_merge",
+        "sketch_bottomk_sample_shards",
     ]),
     # batch 2: global/partitioned windows, running totals, monthly trend,
     # sorted-fold entropy, sessionization, gap-fill, checksums,
@@ -250,6 +252,7 @@ TIERS = {
         "snapshot_time_travel_orders",
         "snapshot_cdc_upsert_history",
         "sketch_topk_shard_merge",
+        "sketch_bottomk_sample_shards",
     ]),
 }
 #: aggregate tiers run every batch of a decade in order
