@@ -32,44 +32,36 @@ def entry(spark: SparkSession) -> DataFrame:
 #: CORRECTNESS file lands with them green.
 _FORCE_RECHECK: frozenset[str] = frozenset(
     {
-        # Entries are added as code changes each round; all three r10
-        # entries (multimodal_mjpeg_motion, multimodal_mixed_codec_features,
-        # bucketed_join_colocated_revenue) earned fresh green rows in
-        # CORRECTNESS_r10 and were cleared per protocol.
+        # Entries are added as code changes each round; all ten r11
+        # entries earned fresh green rows in CORRECTNESS_r11 and were
+        # cleared per protocol.
         #
-        # r11 entries are appended below as this round's code changes land.
-        #
-        # r11: the bucketed-table cache tag switched from basename to the
-        # full-path state_tag (r10 ADVICE — basename collisions under the
-        # session-lifetime catalog gate). Output-identical, but the
-        # protocol is mechanical: changed code ⇒ re-verify.
+        # r12: the bucketed-table catalog identifier gained a stable
+        # hash suffix of the raw state_tag (r11 ADVICE — '.'→'_'
+        # stripping re-narrowed the key space). The table NAMES change,
+        # so the write→catalog→read→join path re-runs fresh this
+        # session: re-verify.
         "bucketed_join_colocated_revenue",
-        # r11: text_word2vec_neighbors converted from rows-only to a
-        # structure-contract oracle (one-row deterministic summary +
-        # constant-TRUE trained-half flags) — code AND oracle changed in
-        # sync; it must earn its first hash-green row this round.
+        # r12: sims_in_unit_range epsilon 1e-9 → 1e-6 (r11 ADVICE —
+        # float32 cosine arithmetic can exceed 1.0 by ~1e-7, which would
+        # flip the constant-TRUE contract flag). Changed flag expression
+        # ⇒ re-verify.
         "text_word2vec_neighbors",
-        # r11: replay-file materialization amortized to session lifetime
-        # (_REPLAY_BUILT gate) + full-path state_tag — output-identical
-        # (same deterministic bytes, same mtime order), but changed code ⇒
-        # re-verify all four _replay_files consumers and the file-sink
-        # query whose scratch tag changed.
+        # r12: _replay_files reuse path now validates every expected
+        # batchN.parquet before serving a cached replay dir, and
+        # purge_derived_state clears replay dirs + _REPLAY_BUILT keys
+        # via the new purge hook (both r11 ADVICE). Build path
+        # byte-identical, but changed code ⇒ re-verify all four
+        # _replay_files consumers.
         "streaming_watermark_late_drop",
         "streaming_stateful_running_user_totals",
         "streaming_foreachbatch_merge_upsert",
         "streaming_dedup_within_watermark",
-        "streaming_parquet_sink_daily",
-        # r11: state-store partition count 8 → 2 for the replay harnesses
-        # (≤50 keys; store open/commit overhead dominated) — state
-        # partitioning is internal to the engine and the outputs are
-        # order-enforced, but changed code ⇒ re-verify.
-        "streaming_hourly_event_stats",
-        # r11: compute-spread round-robin repartition before the codec
-        # stages (byte-based scan splits ran sf10's 500K docs on 2 tasks)
-        # — output-identical (presentation orderBy pins order), but
-        # changed code ⇒ re-verify.
-        "multimodal_image_features",
-        "multimodal_mixed_codec_features",
+        # NOT force-rechecked despite the state_tag canonicalization
+        # (normpath+abspath prepended): every caller passes canonical
+        # absolute paths for which the tag is byte-identical — pinned by
+        # tests/test_state.py::test_state_tag_canonicalization — so no
+        # query's derived-state location or output can change.
     }
 )
 

@@ -730,9 +730,9 @@ def sketch_topk_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     The exact global top-3 is the REFERENCE side's cost: TakeOrdered
     top-k (no full sort); the sketch path above never ranks the full
     item space. Reference parity: kiji-scoring keeps no sketch state —
-    this extends the same persisted-snapshot machinery its scoring
-    server delegates to HBase (ScoringServerScoreFunction.java) into
-    mergeable per-shard summaries."""
+    this extends the same persisted-metatable machinery its freshness
+    manager uses for durable records (KijiFreshnessManager.java:235-239,
+    mMetaTable.putValue) into mergeable per-shard summaries."""
     from pyspark.sql import Window
 
     src = _mg_item(load_table(spark, sf_dir, "lineitem"))
@@ -938,8 +938,9 @@ def sketch_bottomk_sample_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     answers only cardinality.
 
     Reference parity: extends the same persisted-snapshot machinery as
-    the HLL/bitmap/DDSketch/Misra-Gries shards (the reference delegates
-    all summary state to HBase — ScoringServerScoreFunction.java); the
+    the HLL/bitmap/DDSketch/Misra-Gries shards (the reference persists
+    its durable state to the HBase-backed metatable —
+    KijiFreshnessManager.java:235-239, mMetaTable.putValue); the
     mergeable-summary set now covers cardinality (HLL ~2%, bitmap exact,
     KMV sampled-exact), quantiles, and frequent items."""
     from pyspark.sql import Window

@@ -17,6 +17,7 @@ data in parquet first (``sources.write_parquet``).
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 
@@ -521,9 +522,16 @@ def bucketed_join_colocated_revenue(spark: SparkSession, sf_dir: str) -> DataFra
     # Tag by the FULL path like every other per-dataset cache (state_tag),
     # not the basename: with the session-lifetime catalog gate, two
     # dataset dirs sharing a basename within one session must not serve
-    # each other's bucketed tables (r10 ADVICE). Dots stripped for the
-    # catalog identifier.
-    tag = state_tag(sf_dir).replace(".", "_")
+    # each other's bucketed tables (r10 ADVICE). Dots must be stripped
+    # for the catalog identifier, which re-narrows the key space
+    # ('/x/sf0.1' vs '/x/sf0_1' would collide) — so a short stable hash
+    # of the RAW tag is appended to keep the identifier collision-free
+    # (r11 ADVICE).
+    raw_tag = state_tag(sf_dir)
+    tag = "{}_{}".format(
+        raw_tag.replace(".", "_"),
+        hashlib.sha256(raw_tag.encode()).hexdigest()[:8],
+    )
     base = os.path.join(tempfile.gettempdir(), f"kss_bucketed_{state_tag(sf_dir)}")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
     li = load_table(spark, sf_dir, "lineitem").select(

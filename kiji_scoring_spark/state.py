@@ -23,23 +23,48 @@ import tempfile
 
 
 def state_tag(sf_dir: str) -> str:
-    """Canonical per-dataset cache tag: the full path, '/'→'_'.
+    """Canonical per-dataset cache tag: the normalized full path, '/'→'_'.
 
-    Identical to the historical ``_state_path`` tagging so existing
-    scratch dirs stay valid. Never tag by basename — two tier dirs named
-    alike (e.g. ``/tmp/a/sf10`` and ``/tmp/b/sf10``) must not share
-    derived state (ADVICE r10, queries_sources.py bucketed tables).
+    The path is canonicalized first (ADVICE r11): alias spellings of the
+    same dataset dir — ``/tmp//sf100``, ``/tmp/./sf100``, a relative
+    path — must map to ONE tag, or ``purge_derived_state`` called with
+    one spelling misses derived state created under another (re-opening
+    the r10 stale-state class). ``abspath`` + ``normpath`` only, NOT
+    ``realpath``: symlink resolution would silently retag every dataset
+    reached through a symlinked mount. For the already-canonical
+    absolute paths every caller passes today, the tag is byte-identical
+    to the historical ``_state_path`` tagging, so existing scratch dirs
+    stay valid (no cache-tag migration). Never tag by basename — two
+    tier dirs named alike (e.g. ``/tmp/a/sf10`` and ``/tmp/b/sf10``)
+    must not share derived state (ADVICE r10, queries_sources.py
+    bucketed tables).
     """
-    return sf_dir.strip("/").replace("/", "_")
+    return os.path.normpath(os.path.abspath(sf_dir)).strip("/").replace("/", "_")
+
+
+#: Extra per-dataset purge hooks, registered by modules that own derived
+#: state this module cannot see (e.g. queries_ml's replay dirs and its
+#: in-memory ``_REPLAY_BUILT`` gate — ADVICE r11: an in-process rebuild
+#: would otherwise serve stale replays). Each hook takes (sf_dir, tag).
+#: Only modules actually imported in-process register — which is exactly
+#: the set whose in-memory caches can be stale.
+_PURGE_HOOKS: list = []
+
+
+def register_purge_hook(fn) -> None:
+    """Register a callable(sf_dir, tag) run by ``purge_derived_state``."""
+    if fn not in _PURGE_HOOKS:
+        _PURGE_HOOKS.append(fn)
 
 
 def purge_derived_state(sf_dir: str) -> None:
     """Drop every persisted-state scratch dir keyed to ``sf_dir``.
 
-    Covers all ``kiji_scoring_spark_*`` scratch roots plus the
-    session-lifetime bucketed-table dirs (``kss_bucketed_<tag>``). Call
-    after rewriting data under an existing path; harmless when nothing
-    exists.
+    Covers all ``kiji_scoring_spark_*`` scratch roots, the
+    session-lifetime bucketed-table dirs (``kss_bucketed_<tag>``), and
+    any registered module hooks (replay dirs + their in-memory gates).
+    Call after rewriting data under an existing path; harmless when
+    nothing exists.
     """
     tag = state_tag(sf_dir)
     tmp = tempfile.gettempdir()
@@ -50,3 +75,5 @@ def purge_derived_state(sf_dir: str) -> None:
     bucketed = os.path.join(tmp, f"kss_bucketed_{tag}")
     if os.path.isdir(bucketed):
         shutil.rmtree(bucketed, ignore_errors=True)
+    for hook in _PURGE_HOOKS:
+        hook(sf_dir, tag)
