@@ -149,6 +149,11 @@ HEADLINE = [
     # round 11: bottom-k (KMV) distinct sample shards — distinct-union +
     # TakeOrdered merge, fully exact-gated (deterministic md5 bottom-K)
     "sketch_bottomk_sample_shards",
+    # round 12: streaming-ingest KMV maintenance — foreachBatch fold of
+    # per-micro-batch bottom-K samples through versioned parquet state
+    # (fold == one-shot sketch under the exact gate); joins the replay
+    # group so the fold harness's fixed cost can't regress silently
+    "streaming_sketch_incremental_merge",
 ]
 
 #: round-over-round regression reference (sum over that round's HEADLINE):

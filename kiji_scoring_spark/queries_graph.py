@@ -38,8 +38,12 @@ _STATE_CACHE = os.path.join(tempfile.gettempdir(), "kiji_scoring_spark_state")
 
 
 def _state_path(sf_dir: str, name: str) -> str:
-    tag = sf_dir.strip("/").replace("/", "_")
-    return os.path.join(_STATE_CACHE, tag, name)
+    # state_tag (not a local spelling) so alias paths of one dataset dir
+    # share a tag and purge_derived_state always finds this state (r11
+    # ADVICE); byte-identical for canonical absolute paths.
+    from .state import state_tag
+
+    return os.path.join(_STATE_CACHE, state_tag(sf_dir), name)
 
 
 @query(

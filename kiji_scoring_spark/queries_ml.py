@@ -915,7 +915,13 @@ _REPLAY_BUILT: set = set()
 
 #: every replay prefix ever passed to _replay_files — kept in sync so the
 #: purge hook below can find the on-disk dirs without scanning /tmp.
-_REPLAY_PREFIXES = ("kss_latedrop", "kss_stateful", "kss_febmerge", "kss_dedupww")
+_REPLAY_PREFIXES = (
+    "kss_latedrop",
+    "kss_stateful",
+    "kss_febmerge",
+    "kss_dedupww",
+    "kss_kmvfold",
+)
 
 
 def _purge_replay_state(sf_dir: str, tag: str) -> None:
@@ -1307,6 +1313,208 @@ def streaming_foreachbatch_merge_upsert(spark: SparkSession, sf_dir: str) -> Dat
     return (
         spark.read.parquet(os.path.join(state_base, f"v{last_version['v']}"))
         .orderBy("user_id")
+    )
+
+
+@query(
+    "streaming_sketch_incremental_merge",
+    """
+    -- Streaming KMV maintenance: the oracle computes the bottom-K
+    -- sketch DIRECTLY over the whole stream (b1 UNION b2 UNION b3 = all
+    -- qualifying rows); the Spark side FOLDS it one micro-batch at a
+    -- time through persisted state. Exact-value equality under the hash
+    -- gate is precisely the PODS-2012 mergeability property
+    -- fold(fold(s, b1), b2) == sketch(b1 UNION b2) — the design
+    -- argument every batch-built sketch shard family rests on, here
+    -- demonstrated under continuous ingest. KMV is deterministic given
+    -- the hash (md5 hex), so every column is stated exactly — no
+    -- contract flags.
+    WITH e AS (
+      SELECT user_id AS key, ts FROM events WHERE user_id IS NOT NULL
+    ), mx AS (
+      SELECT max(ts) AS m FROM e
+    ), meta AS (
+      SELECT COUNT(*) AS n_rows,
+        COUNT(DISTINCT CASE WHEN ts >= m - INTERVAL 10 DAY THEN 0
+                            WHEN ts >= m - INTERVAL 20 DAY THEN 1
+                            ELSE 2 END) AS n_nonempty_batches
+      FROM e, mx
+    ), hashed AS (
+      SELECT key, md5(CAST(key AS VARCHAR)) AS h
+      FROM (SELECT DISTINCT key FROM e)
+    ), ranked AS (
+      SELECT key, h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM hashed
+    ), merged AS (
+      SELECT key, h, rn FROM ranked WHERE rn <= 64
+    ), sample AS (
+      SELECT COUNT(*) AS sample_size,
+        MIN(h) AS min_hash,
+        MAX(CASE WHEN rn = 1 THEN key END) AS min_key,
+        MAX(CASE WHEN rn = 64 THEN h END) AS kth_hash
+      FROM merged
+    )
+    SELECT meta.n_rows, meta.n_nonempty_batches, sample.sample_size,
+      sample.min_hash, sample.min_key, sample.kth_hash,
+      CASE WHEN sample.sample_size < 64
+           THEN CAST(sample.sample_size AS DOUBLE)
+           ELSE 63.0 * 1152921504606846976.0
+                / CAST(CAST(('0x' || substr(sample.kth_hash, 1, 15))
+                    AS BIGINT) AS DOUBLE)
+      END AS est_distinct
+    FROM meta, sample
+    """,
+    "streaming", "sketch", "incremental", "sink",
+)
+def streaming_sketch_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-ingest sketch maintenance (§2.F × §2.C composition): a
+    foreachBatch pipeline where each micro-batch of the three-tranche
+    event replay folds its own bottom-K=64 KMV sample into versioned
+    parquet sketch state — new = bottomK(prev ∪ bottomK(batch)) — and
+    the final answer (sample membership, K-th minimum, KMV distinct
+    estimate, row/batch meta) is derived from the LAST state version
+    alone, never from the raw stream. The DuckDB oracle computes the
+    same sketch over the union of all batches directly, so the exact
+    hash gate proves fold(fold(s,b1),b2) == sketch(b1∪b2) — the
+    mergeability property (Agarwal et al., PODS 2012) the whole
+    HLL/bitmap/DDSketch/Misra-Gries/KMV shard family's continuous-ingest
+    design argument rests on, demonstrated under real StreamingQuery
+    ingest rather than asserted. Shard-vs-fold equivalence over random
+    splits is additionally pinned by tests/test_sketch_incremental.py.
+
+    When distinct keys stay under K the state holds EVERY distinct hash,
+    so the exact count IS the sample size (the sf0.001/one-row/empty
+    tiers take this arm); past K the (K-1)/h_K estimator applies (the
+    sf0.01 driver gate takes this one, 150 distinct users > 64).
+
+    Scale: per-batch work is one distinct + TakeOrdered(K) over the
+    micro-batch plus a ≤2K-row union against state — state is ≤K
+    (hash, key) pairs forever, independent of stream length; the
+    versioned dirs give the same atomic-swap discipline as the
+    foreachBatch MERGE sink. Reference parity: this is the reference's
+    continuously-maintained freshness metadata pattern
+    (KijiFreshnessManager.java:235-239 mMetaTable.putValue — durable
+    summaries updated per write, readable at any time) re-expressed as
+    mergeable sketch state under Structured Streaming."""
+    import shutil
+    import tempfile
+
+    from .state import state_tag
+
+    K = 64  # matches the batch KMV family (_KMV_K) and the oracle's 64
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    src = ev.select(
+        F.col("user_id").alias("key"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    # tranche bounds derived IN-PLAN (no driver-side collect), exactly
+    # the latedrop pattern: three deterministic mtime-ordered batches
+    mx = src.agg(F.max("ts").alias("m"))
+    evm = src.crossJoin(mx)
+    cut10 = F.col("m") - F.expr("INTERVAL 10 DAYS")
+    cut20 = F.col("m") - F.expr("INTERVAL 20 DAYS")
+    b0 = evm.filter(F.col("ts") >= cut10).select("key")
+    b1 = evm.filter((F.col("ts") >= cut20) & (F.col("ts") < cut10)).select("key")
+    b2 = evm.filter(F.col("ts") < cut20).select("key")
+    base = _replay_files("kss_kmvfold", sf_dir, (b0, b1, b2))
+
+    # checkpoint + sketch state are per-RUN scratch (a reused checkpoint
+    # would mark every replay file already-committed and run ZERO
+    # batches) — same discipline as the foreachBatch MERGE sink
+    run_base = os.path.join(
+        tempfile.gettempdir(), f"kss_kmvfold_run_{state_tag(sf_dir)}"
+    )
+    shutil.rmtree(run_base, ignore_errors=True)
+    state_base = os.path.join(run_base, "state")
+    last_version = {"v": -1}
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        batch_sketch = (
+            batch_df.select("key")
+            .distinct()
+            .withColumn("h", F.md5(F.col("key").cast("string")))
+            .orderBy("h")
+            .limit(K)
+        )
+        batch_meta = batch_df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) > 0).cast("long").alias("n_nonempty_batches"),
+        )
+        if last_version["v"] >= 0:
+            prev_dir = os.path.join(state_base, f"v{last_version['v']}")
+            prev = sess.read.parquet(os.path.join(prev_dir, "sketch"))
+            # a key seen in several batches carries the same hash —
+            # distinct-union, then the fold keeps the global bottom-K
+            folded = (
+                prev.unionByName(batch_sketch)
+                .distinct()
+                .orderBy("h")
+                .limit(K)
+            )
+            prev_meta = sess.read.parquet(os.path.join(prev_dir, "meta"))
+            meta = (
+                prev_meta.unionByName(batch_meta)
+                .agg(
+                    F.sum("n_rows").alias("n_rows"),
+                    F.sum("n_nonempty_batches").alias("n_nonempty_batches"),
+                )
+            )
+        else:
+            folded, meta = batch_sketch, batch_meta
+        # versioned dir = atomic swap: both halves materialize fully
+        # before last_version advances; a failed batch leaves state intact
+        new_dir = os.path.join(state_base, f"v{batch_id}")
+        folded.write.parquet(os.path.join(new_dir, "sketch"))
+        meta.write.parquet(os.path.join(new_dir, "meta"))
+        last_version["v"] = batch_id
+
+    stream = (
+        spark.readStream.schema("key long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(base, "stream"))
+    )
+    with _state_partitions(spark, 2):
+        q = (
+            stream.writeStream.foreachBatch(fold_batch)
+            .option("checkpointLocation", os.path.join(run_base, "cp"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    final_dir = os.path.join(state_base, f"v{last_version['v']}")
+    sketch = spark.read.parquet(os.path.join(final_dir, "sketch"))
+    meta = spark.read.parquet(os.path.join(final_dir, "meta"))
+
+    from pyspark.sql import Window
+
+    ranked = sketch.withColumn("rn", F.row_number().over(Window.orderBy("h")))
+    sample = ranked.agg(
+        F.count(F.lit(1)).alias("sample_size"),
+        F.min("h").alias("min_hash"),
+        F.max(F.when(F.col("rn") == 1, F.col("key"))).alias("min_key"),
+        F.max(F.when(F.col("rn") == K, F.col("h"))).alias("kth_hash"),
+    )
+    out = meta.crossJoin(F.broadcast(sample))
+    # under K distinct the state IS the distinct key set — the exact
+    # count comes from state alone, no raw-data second pass
+    est = F.when(
+        F.col("sample_size") < K, F.col("sample_size").cast("double")
+    ).otherwise(
+        F.lit(63.0 * float(16**15))
+        / F.conv(F.substring(F.col("kth_hash"), 1, 15), 16, 10)
+        .cast("long")
+        .cast("double")
+    )
+    return out.select(
+        "n_rows",
+        "n_nonempty_batches",
+        "sample_size",
+        "min_hash",
+        "min_key",
+        "kth_hash",
+        est.alias("est_distinct"),
     )
 
 

@@ -35,7 +35,7 @@ def _materialized(spark: SparkSession, sf_dir: str, name: str, fmt: str) -> Data
     """Write-once copy of a testdata table in ``fmt``, read back with the
     parquet schema (so column types survive the text round-trip)."""
     src = load_table(spark, sf_dir, name)
-    tag = sf_dir.strip("/").replace("/", "_")
+    tag = state_tag(sf_dir)
     path = os.path.join(_FORMAT_CACHE, tag, f"{name}.{fmt}")
     done = os.path.join(path, "_SUCCESS")
     if not os.path.exists(done):
@@ -267,7 +267,7 @@ def parquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
     )
-    tag = sf_dir.strip("/").replace("/", "_")
+    tag = state_tag(sf_dir)
     path = os.path.join(_FORMAT_CACHE, tag, "lineitem_sink.parquet")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         write_parquet(
@@ -319,7 +319,7 @@ def dpp_partitioned_orders_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle is the equivalent static filter — value parity proves
     pruning lost no rows."""
     o = load_table(spark, sf_dir, "orders")
-    tag = sf_dir.strip("/").replace("/", "_")
+    tag = state_tag(sf_dir)
     path = os.path.join(_FORMAT_CACHE, tag, "orders_by_priority.parquet")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         from .sources import write_parquet

@@ -22,6 +22,7 @@ from .operators.dedup import _shingles_of_words
 from .queries import query
 from .queries_pipeline import _minhash_oracle_sql
 from .sources import load_table
+from .state import state_tag
 
 #: DuckDB mirror of operators.dedup shingling (3-word shingles)
 _SHINGLE_SQL = (
@@ -438,7 +439,7 @@ def binaryfile_scan_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned source. Bounded here to 100 files so the one-time
     materialization cost is constant across scale factors."""
     d = load_table(spark, sf_dir, "documents")
-    tag = sf_dir.strip("/").replace("/", "_")
+    tag = state_tag(sf_dir)
     path = os.path.join(_BINARY_CACHE, tag, "docs_txt")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         (

@@ -568,3 +568,21 @@ def test_bottomk_sketch_merge_is_takeordered_and_broadcast(spark, sf_dir):
     )
     assert "partial_count" in plan, "exact distinct lost partial aggregation"
     assert "BatchEvalPython" not in plan
+
+
+def test_streaming_sketch_fold_final_plan_is_takeordered_broadcast(spark, sf_dir):
+    """streaming_sketch_incremental_merge (r12): the returned plan reads
+    the ≤K-row folded state + one-row meta — the sample ranking must be
+    a window over ≤K rows with the meta×sample composition a broadcast
+    (never a shuffle join), and nothing touches Python. The per-batch
+    fold plans inside foreachBatch are TakeOrdered(K) by construction
+    (orderBy().limit() on a micro-batch); the state files they leave
+    behind are what this final plan consumes."""
+    plan = executed_plan(spark, sf_dir, "streaming_sketch_incremental_merge")
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, (
+        "meta x sample one-row composition fell back to a shuffle join"
+    )
+    assert "BroadcastNestedLoopJoin" in plan, (
+        "meta x sample composition lost its broadcast"
+    )
+    assert "BatchEvalPython" not in plan
