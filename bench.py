@@ -352,9 +352,23 @@ def main() -> None:
     # pushed the 69-query JSON line out of it ("parsed": null). Console
     # progress must be off BEFORE the SparkContext exists, and the JSON
     # must be the only thing this process ever writes to stdout.
+    # RAM-backed streaming scratch (r12): the replay group's cost is 99%
+    # fixed micro-batch machinery (REGIMES.md overhead decomposition);
+    # the slice that is NOT scheduler work is WAL/offset-log/state-store
+    # /replay-file IO, so the bench points it at tmpfs — measuring the
+    # machinery, not /tmp disk latency. Output-identical (placement
+    # only); with the env unset every path is byte-identical to before
+    # (pinned by tests/test_state.py::test_stream_scratch_root_default).
+    # java.io.tmpdir moves the memory-sink queries' TEMP checkpoints
+    # (Spark creates those under the JVM tmpdir, not the Python one).
+    scratch = os.environ.setdefault("KSS_STREAM_SCRATCH", "/dev/shm/kss_stream")
+    os.makedirs(scratch, exist_ok=True)
     spark = get_spark(
         app_name="kiji-scoring-spark-bench",
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            "spark.driver.extraJavaOptions": f"-Djava.io.tmpdir={scratch}",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 

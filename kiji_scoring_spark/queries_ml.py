@@ -930,12 +930,11 @@ def _purge_replay_state(sf_dir: str, tag: str) -> None:
     in-memory ``_REPLAY_BUILT`` gate, or the next replay run would serve
     micro-batches derived from the pre-rebuild data."""
     import shutil
-    import tempfile
 
     for prefix in _REPLAY_PREFIXES:
         _REPLAY_BUILT.discard((prefix, tag))
         shutil.rmtree(
-            os.path.join(tempfile.gettempdir(), f"{prefix}_{tag}"),
+            os.path.join(_state_module.stream_scratch_root(), f"{prefix}_{tag}"),
             ignore_errors=True,
         )
 
@@ -958,13 +957,12 @@ def _replay_files(prefix: str, sf_dir: str, parts) -> str:
     per session. Tagged by the full dataset path (state_tag), not the
     basename, so same-named dataset dirs never share replays."""
     import shutil
-    import tempfile
 
     from .state import state_tag
 
     assert prefix in _REPLAY_PREFIXES, f"unregistered replay prefix {prefix!r}"
     tag = state_tag(sf_dir)
-    base = os.path.join(tempfile.gettempdir(), f"{prefix}_{tag}")
+    base = os.path.join(_state_module.stream_scratch_root(), f"{prefix}_{tag}")
     stream_dir = os.path.join(base, "stream")
     key = (prefix, tag)
     if key in _REPLAY_BUILT:
@@ -1250,12 +1248,11 @@ def streaming_foreachbatch_merge_upsert(spark: SparkSession, sf_dir: str) -> Dat
     # batches), so they live OUTSIDE the session-lifetime replay dir and
     # are cleared on entry
     import shutil
-    import tempfile
 
     from .state import state_tag
 
     run_base = os.path.join(
-        tempfile.gettempdir(), f"kss_febmerge_run_{state_tag(sf_dir)}"
+        _state_module.stream_scratch_root(), f"kss_febmerge_run_{state_tag(sf_dir)}"
     )
     shutil.rmtree(run_base, ignore_errors=True)
     state_base = os.path.join(run_base, "state")
@@ -1396,7 +1393,6 @@ def streaming_sketch_incremental_merge(spark: SparkSession, sf_dir: str) -> Data
     summaries updated per write, readable at any time) re-expressed as
     mergeable sketch state under Structured Streaming."""
     import shutil
-    import tempfile
 
     from .state import state_tag
 
@@ -1422,7 +1418,7 @@ def streaming_sketch_incremental_merge(spark: SparkSession, sf_dir: str) -> Data
     # would mark every replay file already-committed and run ZERO
     # batches) — same discipline as the foreachBatch MERGE sink
     run_base = os.path.join(
-        tempfile.gettempdir(), f"kss_kmvfold_run_{state_tag(sf_dir)}"
+        _state_module.stream_scratch_root(), f"kss_kmvfold_run_{state_tag(sf_dir)}"
     )
     shutil.rmtree(run_base, ignore_errors=True)
     state_base = os.path.join(run_base, "state")
@@ -1661,7 +1657,6 @@ def streaming_parquet_sink_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     so downstream readers never see partial output. Sink/checkpoint
     dirs are cleared per call — repeated runs are deterministic."""
     import shutil
-    import tempfile
 
     ev_schema = load_table(spark, sf_dir, "events").schema
     stream = _stream_events(spark, sf_dir)
@@ -1687,7 +1682,7 @@ def streaming_parquet_sink_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a SINK, so it is rebuilt every run by design — reusing a checkpoint
     # would skip the processing under test
     base = os.path.join(
-        tempfile.gettempdir(), f"kss_stream_sink_{state_tag(sf_dir)}"
+        _state_module.stream_scratch_root(), f"kss_stream_sink_{state_tag(sf_dir)}"
     )
     shutil.rmtree(base, ignore_errors=True)
     out, cp = os.path.join(base, "out"), os.path.join(base, "cp")

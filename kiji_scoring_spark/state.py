@@ -42,6 +42,22 @@ def state_tag(sf_dir: str) -> str:
     return os.path.normpath(os.path.abspath(sf_dir)).strip("/").replace("/", "_")
 
 
+def stream_scratch_root() -> str:
+    """Root for STREAMING scratch (replay files, checkpoints, versioned
+    fold/merge state, file-sink output): ``$KSS_STREAM_SCRATCH`` when
+    set, else the process tempdir. The replay harnesses' cost is ~99%
+    fixed micro-batch machinery (REGIMES.md overhead decomposition), a
+    measurable slice of which is WAL/offset-log/state-store file IO —
+    bench.py points this at a RAM-backed dir (/dev/shm) so the bench
+    measures scheduler machinery, not /tmp disk latency. Purely a
+    placement knob: the bytes written and results are identical."""
+    root = os.environ.get("KSS_STREAM_SCRATCH")
+    if root:
+        os.makedirs(root, exist_ok=True)
+        return root
+    return tempfile.gettempdir()
+
+
 #: Extra per-dataset purge hooks, registered by modules that own derived
 #: state this module cannot see (e.g. queries_ml's replay dirs and its
 #: in-memory ``_REPLAY_BUILT`` gate — ADVICE r11: an in-process rebuild

@@ -85,3 +85,19 @@ def test_purge_clears_replay_gate_and_dirs(tmp_path):
     purge_derived_state(ds)
     assert (prefix, tag) not in queries_ml._REPLAY_BUILT
     assert not os.path.isdir(replay_dir)
+
+
+def test_stream_scratch_root_default(monkeypatch):
+    """With KSS_STREAM_SCRATCH unset, streaming scratch paths are
+    byte-identical to the historical tempdir placement — the driver
+    gate (which never sets the env) sees literally unchanged behavior,
+    which is why the r12 placement knob needed no force-recheck."""
+    monkeypatch.delenv("KSS_STREAM_SCRATCH", raising=False)
+    assert state.stream_scratch_root() == tempfile.gettempdir()
+
+
+def test_stream_scratch_root_env(monkeypatch, tmp_path):
+    target = str(tmp_path / "ram_scratch")
+    monkeypatch.setenv("KSS_STREAM_SCRATCH", target)
+    assert state.stream_scratch_root() == target
+    assert os.path.isdir(target)  # created on demand
