@@ -105,6 +105,10 @@ TIERS = {
         # measured sub-linear: 2.9 s sf0.1 / 2.7 s sf1 / 6.5 s sf10)
         "text_bpe_merge_mining",
         "text_bpe_tokenize_corpus",
+        # r12 append: streaming KMV fold over the 10 M-event replay —
+        # the state-stays-≤K claim exercised at 1000× the driver corpus
+        # (first green run 2026-08-16, 31 s standalone)
+        "streaming_sketch_incremental_merge",
     ]),
     # batch 4: six heavy TPC-H shapes, BFS + triangle counting over the
     # 60 M-row copurchase graph, both salted operators, Z-order tiling,
