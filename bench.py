@@ -154,6 +154,10 @@ HEADLINE = [
     # (fold == one-shot sketch under the exact gate); joins the replay
     # group so the fold harness's fixed cost can't regress silently
     "streaming_sketch_incremental_merge",
+    # round 12: product-quantization ADC top-k — persisted integer codes
+    # + broadcast LUT joins (codes-only query path, zero corpus
+    # shuffles); benched so the index-build + ADC path can't regress
+    "similarity_pq_adc_topk",
 ]
 
 #: round-over-round regression reference (sum over that round's HEADLINE):

@@ -1537,3 +1537,224 @@ def similarity_ivf_deterministic_seeds(spark: SparkSession, sf_dir: str) -> Data
         .filter(F.col("rn") <= 5)
         .orderBy("query_id", "rn")
     )
+
+
+_PQ_SUB = 8      # subspaces
+_PQ_SUBDIM = _EMBED_DIM // _PQ_SUB  # dims per subspace (8)
+
+# DuckDB fragments for the PQ oracle: integer quantization q = round(x*100)
+# and a per-subspace squared distance between two quantized lists. All
+# arithmetic is BIGINT, so both engines are bit-identical at any magnitude.
+_PQ_Q_SQL = (
+    "list_transform(range(1, 65), i -> "
+    "CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 100) AS BIGINT))"
+)
+
+
+def _pq_subdist_sql(left: str, right: str) -> str:
+    """Σ over a subspace (columns ss*8+1 .. ss*8+8) of squared diffs."""
+    return (
+        "CAST(list_sum(list_transform(range(1, 9), i -> "
+        f"({left}[sub.ss*8 + i] - {right}[sub.ss*8 + i]) * "
+        f"({left}[sub.ss*8 + i] - {right}[sub.ss*8 + i]))) AS BIGINT)"
+    )
+
+
+@query(
+    "similarity_pq_adc_topk",
+    f"""
+    -- Product quantization with integer-exact arithmetic: quantize to
+    -- q = round(x*100) BIGINT, 8 subspaces x 8 dims, a deterministic
+    -- 16-entry codebook (vec_id % 31 = 0, < 496 -- the IVF-seeds trick),
+    -- codes = per-subspace argmin, ADC top-10 from codes + LUT only.
+    WITH src AS (
+      SELECT vec_id, {_PQ_Q_SQL} AS q
+      FROM embeddings
+      WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+        AND len(embedding) = 64
+    ),
+    cb AS (
+      SELECT vec_id AS cb_id, q FROM src
+      WHERE vec_id % 31 = 0 AND vec_id < 496
+    ),
+    probe AS (
+      SELECT vec_id AS probe_id, q AS pq FROM src
+      WHERE NOT (vec_id % 31 = 0 AND vec_id < 496)
+      ORDER BY vec_id LIMIT 1
+    ),
+    sub AS (SELECT unnest(range(0, 8)) AS ss),
+    codes AS (
+      SELECT vec_id, ss, cb_id FROM (
+        SELECT s.vec_id, sub.ss, c.cb_id,
+          ROW_NUMBER() OVER (PARTITION BY s.vec_id, sub.ss
+            ORDER BY {_pq_subdist_sql("s.q", "c.q")}, c.cb_id) AS rn
+        FROM src s CROSS JOIN cb c CROSS JOIN sub
+      ) t WHERE rn = 1
+    ),
+    lut AS (
+      SELECT c.cb_id, sub.ss,
+        {_pq_subdist_sql("c.q", "p.pq")} AS pd
+      FROM cb c CROSS JOIN probe p CROSS JOIN sub
+    ),
+    adc AS (
+      SELECT codes.vec_id AS neighbor_id,
+        CAST(SUM(lut.pd) AS BIGINT) AS adc_dist
+      FROM codes
+      JOIN lut ON codes.ss = lut.ss AND codes.cb_id = lut.cb_id
+      CROSS JOIN probe
+      WHERE codes.vec_id <> probe.probe_id
+      GROUP BY codes.vec_id
+    ),
+    top AS (
+      SELECT neighbor_id, adc_dist,
+        ROW_NUMBER() OVER (ORDER BY adc_dist, neighbor_id) AS rn
+      FROM adc
+    )
+    SELECT t.neighbor_id, t.adc_dist,
+      CAST(list_sum(list_transform(range(1, 65), i ->
+        (s.q[i] - p.pq[i]) * (s.q[i] - p.pq[i]))) AS BIGINT) AS exact_dist,
+      t.rn
+    FROM top t
+    JOIN src s ON s.vec_id = t.neighbor_id
+    CROSS JOIN probe p
+    WHERE t.rn <= 10
+    ORDER BY t.rn
+    """,
+    "similarity", "pipeline", "sketch",
+)
+def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN under the FULL hash gate — the compression
+    path a 100 TB vector corpus actually ships (Jégou et al., TPAMI 2011:
+    store 8 one-byte codes per vector instead of 64 floats; answer
+    queries from codes + a per-probe lookup table, touching the raw
+    vectors only to rescore the winners). Every stage is integer-exact so
+    the oracle states every value: vectors quantize to q = round(x·100)
+    BIGINT (the int8-style quantization step itself part of the
+    technique); the codebook is DETERMINISTIC — the 16 corpus vectors
+    with vec_id % 31 = 0 (< 496), the same seeds-not-kmeans trick that
+    put IVF under the hash gate (similarity_ivf_deterministic_seeds);
+    codes are per-subspace argmin of exact BIGINT squared distances with
+    cb_id tie-break; the ADC top-10 ranks on exact BIGINT sums.
+
+    The PQ INDEX (vec_id, c0..c7) is persisted once per corpus — the
+    same build-once-query-forever state discipline as the sketch shard
+    family — and the query phase reads CODES ONLY: the probe's 8×16
+    lookup table broadcasts, the ADC distance is 8 broadcast hash joins
+    + a column sum (zero shuffles over the corpus), and the top-10 is a
+    TakeOrdered. The raw corpus is touched once more only to attach the
+    winners' exact quantized distances (a 10-row broadcast join back) —
+    the output's own compression-quality report: adc_dist vs exact_dist
+    per winner is the PQ reconstruction error, stated exactly.
+
+    Scale: codes are 8 longs per vector (vs 64 floats — 97% smaller at
+    byte-width parity with real uint8 codes); the encode pass is one
+    broadcast nested-loop against 16 codebook rows with map-side
+    partial min_by (one 1-row-per-vector shuffle, paid once at index
+    build); ADC never shuffles. Reference parity: kiji-scoring persists
+    derived per-entity artifacts to the metatable
+    (KijiFreshnessManager.java:235-239) — the codes table is that
+    pattern for embeddings."""
+    import os
+
+    from .queries_graph import _state_path
+
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id").isNotNull()
+        & F.col("embedding").isNotNull()
+        & (F.size("embedding") == _EMBED_DIM)
+    )
+    q = e.select(
+        "vec_id",
+        *[
+            F.round(F.col("embedding")[i].cast("double") * 100)
+            .cast("long")
+            .alias(f"q{i}")
+            for i in range(_EMBED_DIM)
+        ],
+    )
+    is_cb = (F.col("vec_id") % 31 == 0) & (F.col("vec_id") < 496)
+    cb = q.filter(is_cb).select(
+        F.col("vec_id").alias("cb_id"),
+        *[F.col(f"q{i}").alias(f"cq{i}") for i in range(_EMBED_DIM)],
+    )
+
+    def subdist(l_tpl: str, r_tpl: str, ss: int):
+        return functools.reduce(
+            operator.add,
+            [
+                (F.col(l_tpl.format(i)) - F.col(r_tpl.format(i)))
+                * (F.col(l_tpl.format(i)) - F.col(r_tpl.format(i)))
+                for i in range(ss * _PQ_SUBDIM, (ss + 1) * _PQ_SUBDIM)
+            ],
+        )
+
+    path = _state_path(sf_dir, "pq_codes_embeddings.parquet")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        enc = q.crossJoin(F.broadcast(cb))
+        (
+            enc.groupBy("vec_id")
+            .agg(
+                *[
+                    F.min_by(
+                        "cb_id", F.struct(subdist("q{}", "cq{}", s), F.col("cb_id"))
+                    ).alias(f"c{s}")
+                    for s in range(_PQ_SUB)
+                ]
+            )
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    codes = spark.read.parquet(path)
+
+    probe = (
+        q.filter(~is_cb)
+        .orderBy("vec_id")
+        .limit(1)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            *[F.col(f"q{i}").alias(f"pq{i}") for i in range(_EMBED_DIM)],
+        )
+    )
+    lut = cb.crossJoin(F.broadcast(probe)).select(
+        "cb_id",
+        "probe_id",
+        *[subdist("cq{}", "pq{}", s).alias(f"pd{s}") for s in range(_PQ_SUB)],
+    )
+
+    adc = codes
+    for s in range(_PQ_SUB):
+        lut_s = lut.select(
+            F.col("cb_id").alias(f"k{s}"),
+            *(["probe_id"] if s == 0 else []),
+            f"pd{s}",
+        )
+        adc = adc.join(F.broadcast(lut_s), F.col(f"c{s}") == F.col(f"k{s}"))
+    adc_dist = functools.reduce(
+        operator.add, [F.col(f"pd{s}") for s in range(_PQ_SUB)]
+    )
+    top = (
+        adc.filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            adc_dist.alias("adc_dist"),
+        )
+        .orderBy("adc_dist", "neighbor_id")
+        .limit(10)
+        .withColumn(
+            "rn", F.row_number().over(Window.orderBy("adc_dist", "neighbor_id"))
+        )
+    )
+    exact = functools.reduce(
+        operator.add,
+        [
+            (F.col(f"q{i}") - F.col(f"pq{i}")) * (F.col(f"q{i}") - F.col(f"pq{i}"))
+            for i in range(_EMBED_DIM)
+        ],
+    )
+    return (
+        F.broadcast(top)
+        .join(q, F.col("vec_id") == F.col("neighbor_id"))
+        .crossJoin(F.broadcast(probe.drop("probe_id")))
+        .select("neighbor_id", "adc_dist", exact.alias("exact_dist"), "rn")
+        .orderBy("rn")
+    )

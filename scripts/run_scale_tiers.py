@@ -236,6 +236,9 @@ TIERS = {
         "dedup_incremental_new_vs_corpus",
         "similarity_bucketed_ann",
         "similarity_sparse_inverted_index",
+        # r12 append: PQ ADC top-k at 2 M vectors — the codes-only query
+        # path + integer-exact oracle at 4000x the driver corpus
+        "similarity_pq_adc_topk",
         "corpus_prep_end_to_end",
         # r10 append: DDSketch quantile shards at 150 M orders (sketch
         # side flat in mass; the global-rank exact REFERENCE is the cost)

@@ -586,3 +586,22 @@ def test_streaming_sketch_fold_final_plan_is_takeordered_broadcast(spark, sf_dir
         "meta x sample composition lost its broadcast"
     )
     assert "BatchEvalPython" not in plan
+
+
+def test_pq_adc_query_phase_is_broadcast_only(spark, sf_dir):
+    """similarity_pq_adc_topk (r12): the ADC query phase reads the
+    persisted codes table and must never shuffle-join the corpus — the
+    probe LUT joins are broadcast hash joins, the one-row probe
+    compositions broadcast nested-loop, the top-10 a TakeOrdered, and
+    nothing touches Python. (The tiny exchanges that remain feed the
+    1-row probe limit and the 10-row winner window, not corpus data.)"""
+    QUERIES["similarity_pq_adc_topk"].fn(spark, sf_dir).count()  # build codes
+    plan = executed_plan(spark, sf_dir, "similarity_pq_adc_topk")
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, (
+        "a PQ query-phase join fell back to a shuffle join"
+    )
+    assert "BroadcastHashJoin" in plan, "LUT joins lost their broadcast"
+    assert "TakeOrderedAndProject" in plan, (
+        "ADC top-10 became a full global sort"
+    )
+    assert "BatchEvalPython" not in plan
