@@ -109,6 +109,10 @@ TIERS = {
         # the state-stays-≤K claim exercised at 1000× the driver corpus
         # (first green run 2026-08-16, 31 s standalone)
         "streaming_sketch_incremental_merge",
+        # r12 append: PQ ADC top-k with the full DuckDB oracle at 200 K
+        # vectors — the largest tier where the oracle's encode replay is
+        # feasible (sf100 is engine-side only: scripts/assert_pq_adc.py)
+        "similarity_pq_adc_topk",
     ]),
     # batch 4: six heavy TPC-H shapes, BFS + triangle counting over the
     # 60 M-row copurchase graph, both salted operators, Z-order tiling,
@@ -236,13 +240,19 @@ TIERS = {
         "dedup_incremental_new_vs_corpus",
         "similarity_bucketed_ann",
         "similarity_sparse_inverted_index",
-        # r12 append: PQ ADC top-k at 2 M vectors — the codes-only query
-        # path + integer-exact oracle at 4000x the driver corpus
-        "similarity_pq_adc_topk",
         "corpus_prep_end_to_end",
         # r10 append: DDSketch quantile shards at 150 M orders (sketch
         # side flat in mass; the global-rank exact REFERENCE is the cost)
         "sketch_quantile_shard_merge",
+        # similarity_pq_adc_topk is deliberately absent at THIS tier
+        # (probed r12): the ENGINE side is codes-only and fine, but the
+        # DuckDB ORACLE's encode replay is a 2M x 16 x 8 cross join
+        # whose spill exceeded the rig's disk — the same oracle-cost
+        # (not plan-defect) class as the absent pair-materializing
+        # minhash queries above. PQ's sf100 evidence is engine-side:
+        # scripts/assert_pq_adc.py (2 M vectors, Spark-internal exact
+        # reference + recall floor); the full oracle runs through sf10
+        # (200 K vectors) in sf10-batch3.
     ]),
     # sf100 batch 7 (round 11): the last two §2 families with no
     # scale-tier row. Multimodal at 5 M docs — the claim to prove is
