@@ -1639,12 +1639,14 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     The PQ INDEX (vec_id, c0..c7) is persisted once per corpus — the
     same build-once-query-forever state discipline as the sketch shard
     family — and the query phase reads CODES ONLY: the probe's 8×16
-    lookup table broadcasts, the ADC distance is 8 broadcast hash joins
-    + a column sum (zero shuffles over the corpus), and the top-10 is a
-    TakeOrdered. The raw corpus is touched once more only to attach the
-    winners' exact quantized distances (a 10-row broadcast join back) —
-    the output's own compression-quality report: adc_dist vs exact_dist
-    per winner is the PQ reconstruction error, stated exactly.
+    lookup table collapses into ONE broadcast row of per-subspace maps
+    and the ADC distance is pure try_element_at lookups in the scan
+    (zero joins over the corpus — the register-resident-LUT shape real
+    ADC implementations use), with the top-10 a TakeOrdered. The raw
+    corpus is touched once more only to attach the winners' exact
+    quantized distances (a 10-row broadcast join back) — the output's
+    own compression-quality report: adc_dist vs exact_dist per winner
+    is the PQ reconstruction error, stated exactly.
 
     Scale: codes are 8 longs per vector (vs 64 floats — 97% smaller at
     byte-width parity with real uint8 codes); the encode pass is one
@@ -1715,25 +1717,42 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[F.col(f"q{i}").alias(f"pq{i}") for i in range(_EMBED_DIM)],
         )
     )
+    # The probe subtree (scan → sort → limit(1)) feeds both the LUT and
+    # the final exact join-back; lazy localCheckpoint shares one
+    # execution across consumers (the triangle_count pattern — persist/
+    # unpersist around a lazy plan is a no-op cache; see verify notes).
+    probe = probe.localCheckpoint(eager=False)
     lut = cb.crossJoin(F.broadcast(probe)).select(
         "cb_id",
         "probe_id",
         *[subdist("cq{}", "pq{}", s).alias(f"pd{s}") for s in range(_PQ_SUB)],
     )
-
-    adc = codes
-    for s in range(_PQ_SUB):
-        lut_s = lut.select(
-            F.col("cb_id").alias(f"k{s}"),
-            *(["probe_id"] if s == 0 else []),
-            f"pd{s}",
-        )
-        adc = adc.join(F.broadcast(lut_s), F.col(f"c{s}") == F.col(f"k{s}"))
+    # Textbook ADC: the per-subspace LUT collapses into ONE broadcast row
+    # of maps (cb_id → partial distance) and the scan does pure map
+    # lookups — zero joins over the corpus, which is both the local win
+    # (one broadcast instead of eight join stages) and the real ADC
+    # implementation shape (a register-resident table indexed by code).
+    # try_element_at per the engine's ANSI convention; every code was
+    # produced from this codebook, so the lookup never actually misses.
+    lut_row = lut.groupBy().agg(
+        F.first("probe_id").alias("probe_id"),
+        *[
+            F.map_from_entries(
+                F.collect_list(F.struct("cb_id", f"pd{s}"))
+            ).alias(f"m{s}")
+            for s in range(_PQ_SUB)
+        ],
+    )
     adc_dist = functools.reduce(
-        operator.add, [F.col(f"pd{s}") for s in range(_PQ_SUB)]
+        operator.add,
+        [
+            F.try_element_at(F.col(f"m{s}"), F.col(f"c{s}"))
+            for s in range(_PQ_SUB)
+        ],
     )
     top = (
-        adc.filter(F.col("vec_id") != F.col("probe_id"))
+        codes.crossJoin(F.broadcast(lut_row))
+        .filter(F.col("vec_id") != F.col("probe_id"))
         .select(
             F.col("vec_id").alias("neighbor_id"),
             adc_dist.alias("adc_dist"),

@@ -591,8 +591,10 @@ def test_streaming_sketch_fold_final_plan_is_takeordered_broadcast(spark, sf_dir
 def test_pq_adc_query_phase_is_broadcast_only(spark, sf_dir):
     """similarity_pq_adc_topk (r12): the ADC query phase reads the
     persisted codes table and must never shuffle-join the corpus — the
-    probe LUT joins are broadcast hash joins, the one-row probe
-    compositions broadcast nested-loop, the top-10 a TakeOrdered, and
+    LUT rides a ONE-ROW broadcast of per-subspace maps (pure
+    try_element_at lookups in the scan, zero corpus joins — the
+    register-resident-LUT shape real ADC uses), the winners' exact
+    join-back is a broadcast hash join, the top-10 a TakeOrdered, and
     nothing touches Python. (The tiny exchanges that remain feed the
     1-row probe limit and the 10-row winner window, not corpus data.)"""
     QUERIES["similarity_pq_adc_topk"].fn(spark, sf_dir).count()  # build codes
@@ -600,7 +602,12 @@ def test_pq_adc_query_phase_is_broadcast_only(spark, sf_dir):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, (
         "a PQ query-phase join fell back to a shuffle join"
     )
-    assert "BroadcastHashJoin" in plan, "LUT joins lost their broadcast"
+    assert "BroadcastHashJoin" in plan, (
+        "the winners' exact join-back lost its broadcast"
+    )
+    assert "BroadcastNestedLoopJoin" in plan, (
+        "the one-row LUT-map composition lost its broadcast"
+    )
     assert "TakeOrderedAndProject" in plan, (
         "ADC top-10 became a full global sort"
     )
