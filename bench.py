@@ -158,6 +158,11 @@ HEADLINE = [
     # + broadcast LUT joins (codes-only query path, zero corpus
     # shuffles); benched so the index-build + ADC path can't regress
     "similarity_pq_adc_topk",
+    # round 12: theta-sketch set operations — intersection/union
+    # estimates from persisted bottom-K samples alone (O(K) set algebra,
+    # no raw-population join); completes the mergeable-summary family's
+    # set-operation face in the bench
+    "sketch_theta_set_ops",
 ]
 
 #: round-over-round regression reference (sum over that round's HEADLINE):

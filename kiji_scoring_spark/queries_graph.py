@@ -1020,6 +1020,248 @@ def sketch_bottomk_sample_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sketch_theta_set_ops",
+    """
+    -- Theta-sketch set operations over deterministic bottom-K samples:
+    -- θ = min over populations of (K-th hash if the sample is full,
+    -- else 1 = exact mode, spelled NULL); every sample entry below θ is
+    -- a uniform sample of its population below θ, so |A∩B| and |A∪B|
+    -- estimate as n_below/θ. md5 makes every artifact — samples, θ,
+    -- below-θ counts, even the IEEE estimates (exact power-of-two
+    -- multiply + one divide) — exactly stateable by both engines.
+    WITH src AS (
+      SELECT o_custkey AS key,
+        CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS in_a,
+        CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END AS in_b
+      FROM orders WHERE o_custkey IS NOT NULL
+    ),
+    pops AS (
+      SELECT key, MAX(in_a) AS in_a, MAX(in_b) AS in_b FROM src GROUP BY key
+    ),
+    hashed AS (
+      SELECT key, in_a, in_b, md5(CAST(key AS VARCHAR)) AS h FROM pops
+    ),
+    sampa AS (
+      SELECT key, h FROM (
+        SELECT key, h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+        FROM hashed WHERE in_a = 1) t WHERE rn <= 64
+    ),
+    sampb AS (
+      SELECT key, h FROM (
+        SELECT key, h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+        FROM hashed WHERE in_b = 1) t WHERE rn <= 64
+    ),
+    stats AS (
+      SELECT
+        (SELECT COUNT(*) FROM hashed WHERE in_a = 1) AS n_a_exact,
+        (SELECT COUNT(*) FROM hashed WHERE in_b = 1) AS n_b_exact,
+        (SELECT COUNT(*) FROM hashed WHERE in_a = 1 AND in_b = 1)
+          AS n_inter_exact,
+        (SELECT COUNT(*) FROM hashed WHERE in_a = 1 OR in_b = 1)
+          AS n_union_exact,
+        (SELECT COUNT(*) FROM sampa) AS sample_a,
+        (SELECT COUNT(*) FROM sampb) AS sample_b,
+        (SELECT MAX(h) FROM sampa) AS kth_a,
+        (SELECT MAX(h) FROM sampb) AS kth_b
+    ),
+    theta AS (
+      SELECT *,
+        CASE WHEN sample_a >= 64 AND sample_b >= 64 THEN least(kth_a, kth_b)
+             WHEN sample_a >= 64 THEN kth_a
+             WHEN sample_b >= 64 THEN kth_b
+             ELSE NULL END AS theta_hex
+      FROM stats
+    ),
+    interb AS (
+      SELECT COUNT(*) AS n_inter_below
+      FROM sampa a JOIN sampb b ON a.key = b.key
+      CROSS JOIN theta t
+      WHERE t.theta_hex IS NULL OR a.h < t.theta_hex
+    ),
+    unionb AS (
+      SELECT COUNT(DISTINCT u.key) AS n_union_below
+      FROM (SELECT key, h FROM sampa UNION ALL SELECT key, h FROM sampb) u
+      CROSS JOIN theta t
+      WHERE t.theta_hex IS NULL OR u.h < t.theta_hex
+    )
+    SELECT t.n_a_exact, t.n_b_exact, t.n_inter_exact, t.n_union_exact,
+      t.sample_a, t.sample_b, t.theta_hex,
+      i.n_inter_below, u.n_union_below,
+      CASE WHEN t.theta_hex IS NULL THEN CAST(i.n_inter_below AS DOUBLE)
+           ELSE CAST(i.n_inter_below AS DOUBLE) * 1152921504606846976.0
+                / CAST(CAST(('0x' || substr(t.theta_hex, 1, 15)) AS BIGINT)
+                       AS DOUBLE)
+      END AS est_intersection,
+      CASE WHEN t.theta_hex IS NULL THEN CAST(u.n_union_below AS DOUBLE)
+           ELSE CAST(u.n_union_below AS DOUBLE) * 1152921504606846976.0
+                / CAST(CAST(('0x' || substr(t.theta_hex, 1, 15)) AS BIGINT)
+                       AS DOUBLE)
+      END AS est_union
+    FROM theta t, interb i, unionb u
+    """,
+    "sketch", "stats", "sample", "setops",
+)
+def sketch_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch SET OPERATIONS (Datasketches' generalization of KMV):
+    intersection and union cardinalities of two key populations —
+    customers who placed a 1-URGENT order vs customers who placed a
+    5-LOW one (~75% overlap) — estimated from their persisted bottom-K=64
+    samples ALONE, never from a join of the raw populations. θ is the
+    smaller K-th minimum of the two full samples (1 ≡ NULL exact mode
+    when a population fits inside K); every sample hash below θ is a
+    uniform sample of its population below θ, a key of A∩B below θ is
+    necessarily in BOTH samples, so |A∩B| ≈ n_inter_below/θ and
+    |A∪B| ≈ n_union_below/θ. Because the hash is the fixed public md5,
+    both engines state every artifact exactly — samples, θ, below-θ
+    counts, and the IEEE estimates (a power-of-two multiply, exponent
+    arithmetic only, then one divide of the same 60-bit prefix) — the
+    sketch_bottomk_sample_shards contract extended from one population
+    to the set algebra.
+
+    Why this matters at 100 TB: audience overlap, cross-corpus
+    contamination, dedup-rate-between-snapshots — all "how big is the
+    intersection" questions — answer in O(K) from per-corpus samples
+    that were built independently, with no join (or even co-location)
+    of the raw key spaces. The exact side here is the oracle's cost and
+    the estimate's quality witness, not the serving path.
+
+    Reference parity: extends the persisted-metatable pattern
+    (KijiFreshnessManager.java:235-239, mMetaTable.putValue) like the
+    rest of the mergeable-summary family; set-op estimation is the
+    capability HBase-era kiji delegated to offline MapReduce joins."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey").isNotNull()
+    )
+    src = o.select(
+        F.col("o_custkey").alias("key"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("in_a"),
+        F.when(F.col("o_orderpriority") == "5-LOW", 1).otherwise(0).alias("in_b"),
+    )
+
+    path = _state_path(sf_dir, "theta_custkey_samples.parquet")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        pops = src.groupBy("key").agg(
+            F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")
+        )
+        hashed = pops.withColumn("h", F.md5(F.col("key").cast("string")))
+        w = Window.partitionBy("pop").orderBy("h")
+        samples = (
+            hashed.filter(F.col("in_a") == 1)
+            .select(F.lit("a").alias("pop"), "key", "h")
+            .unionByName(
+                hashed.filter(F.col("in_b") == 1)
+                .select(F.lit("b").alias("pop"), "key", "h")
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _KMV_K)
+            .select("pop", "key", "h")
+        )
+        samples.write.mode("overwrite").parquet(path)
+    samples = spark.read.parquet(path)
+    sampa = samples.filter(F.col("pop") == "a").select("key", "h")
+    sampb = samples.filter(F.col("pop") == "b").select("key", "h")
+
+    # exact reference side (the oracle's cost): one distinct pass over
+    # the key space; the sketch path never touches it after state build
+    pops = src.groupBy("key").agg(
+        F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")
+    )
+    # COUNT-style semantics: SUM over zero rows is NULL in Spark but the
+    # oracle's COUNT(*) is 0 — coalesce so the empty regime agrees
+    exact = pops.agg(
+        F.coalesce(F.sum("in_a"), F.lit(0)).cast("long").alias("n_a_exact"),
+        F.coalesce(F.sum("in_b"), F.lit(0)).cast("long").alias("n_b_exact"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("in_a") == 1) & (F.col("in_b") == 1), 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        ).cast("long").alias("n_inter_exact"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("in_a") == 1) | (F.col("in_b") == 1), 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        ).cast("long").alias("n_union_exact"),
+    )
+
+    stats = (
+        sampa.agg(
+            F.count(F.lit(1)).alias("sample_a"), F.max("h").alias("kth_a")
+        )
+        .crossJoin(
+            F.broadcast(
+                sampb.agg(
+                    F.count(F.lit(1)).alias("sample_b"),
+                    F.max("h").alias("kth_b"),
+                )
+            )
+        )
+    )
+    theta = stats.select(
+        "*",
+        F.when(
+            (F.col("sample_a") >= _KMV_K) & (F.col("sample_b") >= _KMV_K),
+            F.least("kth_a", "kth_b"),
+        )
+        .when(F.col("sample_a") >= _KMV_K, F.col("kth_a"))
+        .when(F.col("sample_b") >= _KMV_K, F.col("kth_b"))
+        .alias("theta_hex"),
+    )
+
+    below_pred = F.col("theta_hex").isNull() | (F.col("h") < F.col("theta_hex"))
+    interb = (
+        sampa.join(F.broadcast(sampb.select("key")), "key")
+        .crossJoin(F.broadcast(theta.select("theta_hex")))
+        .filter(below_pred)
+        .agg(F.count(F.lit(1)).alias("n_inter_below"))
+    )
+    unionb = (
+        sampa.unionByName(sampb)
+        .crossJoin(F.broadcast(theta.select("theta_hex")))
+        .filter(below_pred)
+        .agg(F.count_distinct("key").alias("n_union_below"))
+    )
+
+    def est(n_col: str):
+        prefix = (
+            F.conv(F.substring(F.col("theta_hex"), 1, 15), 16, 10)
+            .cast("long")
+            .cast("double")
+        )
+        return F.when(
+            F.col("theta_hex").isNull(), F.col(n_col).cast("double")
+        ).otherwise(
+            F.col(n_col).cast("double") * F.lit(float(16**15)) / prefix
+        )
+
+    out = (
+        exact.crossJoin(F.broadcast(theta))
+        .crossJoin(F.broadcast(interb))
+        .crossJoin(F.broadcast(unionb))
+    )
+    return out.select(
+        "n_a_exact",
+        "n_b_exact",
+        "n_inter_exact",
+        "n_union_exact",
+        "sample_a",
+        "sample_b",
+        "theta_hex",
+        "n_inter_below",
+        "n_union_below",
+        est("n_inter_below").alias("est_intersection"),
+        est("n_union_below").alias("est_union"),
+    )
+
+
+@query(
     "table_diff_checksum_buckets",
     """
     WITH base AS (

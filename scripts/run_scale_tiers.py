@@ -65,6 +65,9 @@ TIERS = {
         # and bottom-k KMV sample shards (distinct-union + TakeOrdered)
         "sketch_topk_shard_merge",
         "sketch_bottomk_sample_shards",
+        # r12 append: theta-sketch set ops over ~150 K distinct custkeys
+        # (first green run 2026-08-16, 17 s standalone at sf10)
+        "sketch_theta_set_ops",
     ]),
     # batch 2: global/partitioned windows, running totals, monthly trend,
     # sorted-fold entropy, sessionization, gap-fill, checksums,
@@ -270,6 +273,11 @@ TIERS = {
         "snapshot_cdc_upsert_history",
         "sketch_topk_shard_merge",
         "sketch_bottomk_sample_shards",
+        # r12 append: theta-sketch set ops at 15 M distinct custkeys /
+        # 150 M orders — EXECUTED standalone green 2026-08-16 (31 s,
+        # full DuckDB oracle) before being listed here, so the tier
+        # table never implies an unrun row (the r11 bookkeeping lesson)
+        "sketch_theta_set_ops",
     ]),
 }
 #: aggregate tiers run every batch of a decade in order

@@ -612,3 +612,24 @@ def test_pq_adc_query_phase_is_broadcast_only(spark, sf_dir):
         "ADC top-10 became a full global sort"
     )
     assert "BatchEvalPython" not in plan
+
+
+def test_theta_set_ops_composition_is_broadcast_only(spark, sf_dir):
+    """sketch_theta_set_ops (r12): the set-op phase works over two ≤K-row
+    persisted samples and one-row aggregates — the sample-intersection
+    join must broadcast (never shuffle), every one-row composition is a
+    broadcast nested-loop, the exact reference keeps map-side partial
+    aggregation, and nothing touches Python."""
+    plan = executed_plan(spark, sf_dir, "sketch_theta_set_ops")
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, (
+        "a sample/one-row composition join fell back to a shuffle join"
+    )
+    assert "BroadcastHashJoin" in plan, (
+        "the sample-intersection join lost its broadcast"
+    )
+    assert "BroadcastNestedLoopJoin" in plan, (
+        "one-row stats/theta/exact composition lost its broadcast"
+    )
+    assert "partial_count" in plan, "sample stats lost partial aggregation"
+    assert "partial_sum" in plan, "exact reference lost map-side combine"
+    assert "BatchEvalPython" not in plan
