@@ -32,36 +32,30 @@ def entry(spark: SparkSession) -> DataFrame:
 #: CORRECTNESS file lands with them green.
 _FORCE_RECHECK: frozenset[str] = frozenset(
     {
-        # Entries are added as code changes each round; all ten r11
-        # entries earned fresh green rows in CORRECTNESS_r11 and were
+        # Entries are added as code changes each round; all six r12
+        # entries earned fresh green rows in CORRECTNESS_r12 and were
         # cleared per protocol.
         #
-        # r12: the bucketed-table catalog identifier gained a stable
-        # hash suffix of the raw state_tag (r11 ADVICE — '.'→'_'
-        # stripping re-narrowed the key space). The table NAMES change,
-        # so the write→catalog→read→join path re-runs fresh this
-        # session: re-verify.
-        "bucketed_join_colocated_revenue",
-        # r12: sims_in_unit_range epsilon 1e-9 → 1e-6 (r11 ADVICE —
-        # float32 cosine arithmetic can exceed 1.0 by ~1e-7, which would
-        # flip the constant-TRUE contract flag). Changed flag expression
-        # ⇒ re-verify.
-        "text_word2vec_neighbors",
-        # r12: _replay_files reuse path now validates every expected
-        # batchN.parquet before serving a cached replay dir, and
-        # purge_derived_state clears replay dirs + _REPLAY_BUILT keys
-        # via the new purge hook (both r11 ADVICE). Build path
-        # byte-identical, but changed code ⇒ re-verify all four
-        # _replay_files consumers.
-        "streaming_watermark_late_drop",
-        "streaming_stateful_running_user_totals",
-        "streaming_foreachbatch_merge_upsert",
-        "streaming_dedup_within_watermark",
-        # NOT force-rechecked despite the state_tag canonicalization
-        # (normpath+abspath prepended): every caller passes canonical
-        # absolute paths for which the tag is byte-identical — pinned by
-        # tests/test_state.py::test_state_tag_canonicalization — so no
-        # query's derived-state location or output can change.
+        # r13: the three persisted-sketch state builds were rewritten
+        # from a single low-cardinality window rank (the r12 verdict's
+        # one scale flaw: a single-task sort of n/groups rows) to
+        # _grouped_top_k — per-Spark-partition bottom-K, then a rank
+        # over the <= partitions*K survivors. Output byte-identical by
+        # the mergeability lemma (A/B-verified at sf0.001 + sf0.01 and
+        # pinned by tests/test_grouped_topk.py), but changed build code
+        # ⇒ re-verify all three.
+        "sketch_theta_set_ops",
+        "sketch_bottomk_sample_shards",
+        "sketch_topk_shard_merge",
+        # r13: the tranche-bound crossJoin(mx) gained an explicit
+        # F.broadcast pin (r12 verdict #3). Plan-level only, but changed
+        # code ⇒ re-verify.
+        "streaming_sketch_incremental_merge",
+        # r13 (r12 ADVICE): streaming_parquet_sink_daily's scratch base
+        # moved tempfile.gettempdir() → stream_scratch_root() in r12 but
+        # was not re-verified then; the protocol is mechanical, so it
+        # re-verifies now.
+        "streaming_parquet_sink_daily",
     }
 )
 

@@ -370,7 +370,23 @@ def main() -> None:
     # (pinned by tests/test_state.py::test_stream_scratch_root_default).
     # java.io.tmpdir moves the memory-sink queries' TEMP checkpoints
     # (Spark creates those under the JVM tmpdir, not the Python one).
-    scratch = os.environ.setdefault("KSS_STREAM_SCRATCH", "/dev/shm/kss_stream")
+    # Per-PID namespace (r12 ADVICE: two sessions sharing one fixed
+    # /dev/shm path could rmtree each other's replay dirs mid-stream)
+    # with a tempdir fallback for hosts without a writable /dev/shm
+    # (r12 ADVICE: macOS, some containers); the dir is this process's
+    # alone, so it is removed at exit rather than left to accumulate.
+    if "KSS_STREAM_SCRATCH" not in os.environ:
+        import atexit
+        import tempfile
+
+        ram = "/dev/shm"
+        base = ram if os.path.isdir(ram) and os.access(ram, os.W_OK) else (
+            tempfile.gettempdir()
+        )
+        pid_scratch = os.path.join(base, f"kss_stream_{os.getpid()}")
+        os.environ["KSS_STREAM_SCRATCH"] = pid_scratch
+        atexit.register(shutil.rmtree, pid_scratch, ignore_errors=True)
+    scratch = os.environ["KSS_STREAM_SCRATCH"]
     os.makedirs(scratch, exist_ok=True)
     spark = get_spark(
         app_name="kiji-scoring-spark-bench",

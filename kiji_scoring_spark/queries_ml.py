@@ -1406,7 +1406,9 @@ def streaming_sketch_incremental_merge(spark: SparkSession, sf_dir: str) -> Data
     # tranche bounds derived IN-PLAN (no driver-side collect), exactly
     # the latedrop pattern: three deterministic mtime-ordered batches
     mx = src.agg(F.max("ts").alias("m"))
-    evm = src.crossJoin(mx)
+    # broadcast PINNED, not left to AQE (r12 verdict #3): parity with
+    # every other one-row-aggregate composition in the sketch family
+    evm = src.crossJoin(F.broadcast(mx))
     cut10 = F.col("m") - F.expr("INTERVAL 10 DAYS")
     cut20 = F.col("m") - F.expr("INTERVAL 20 DAYS")
     b0 = evm.filter(F.col("ts") >= cut10).select("key")

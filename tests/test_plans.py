@@ -633,3 +633,95 @@ def test_theta_set_ops_composition_is_broadcast_only(spark, sf_dir):
     assert "partial_count" in plan, "sample stats lost partial aggregation"
     assert "partial_sum" in plan, "exact reference lost map-side combine"
     assert "BatchEvalPython" not in plan
+
+
+def _build_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _sketch_build_frames(spark, sf_dir):
+    """The three persisted-sketch state builds, as written to parquet."""
+    from pyspark.sql import functions as F
+
+    from kiji_scoring_spark.queries_graph import (
+        _kmv_bottomk_build,
+        _mg_item,
+        _mg_shard_build,
+        _theta_sample_build,
+    )
+    from kiji_scoring_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey").isNotNull() & F.col("l_orderkey").isNotNull()
+    )
+    kmv_src = li.select(
+        F.col("l_partkey").alias("key"),
+        F.pmod(F.col("l_orderkey"), F.lit(8)).alias("shard"),
+    )
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey").isNotNull())
+    theta_src = o.select(
+        F.col("o_custkey").alias("key"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("in_a"),
+        F.when(F.col("o_orderpriority") == "5-LOW", 1).otherwise(0).alias("in_b"),
+    )
+    mg_src = _mg_item(load_table(spark, sf_dir, "lineitem"))
+    return {
+        "kmv_bottomk": _kmv_bottomk_build(kmv_src),
+        "theta_samples": _theta_sample_build(theta_src),
+        "mg_shards": _mg_shard_build(mg_src),
+    }
+
+
+def test_sketch_state_builds_have_no_single_task_population_sort(spark, sf_dir):
+    """r12 verdict's one scale flaw: the theta/bottom-k/Misra-Gries state
+    builds ranked each population with a window keyed by a LOW-CARDINALITY
+    group (2 pops / 8 shards) — a single-task sort of n/groups rows at a
+    100 TB key space. The r13 `_grouped_top_k` rewrite must show in the
+    executed plan:
+
+    - exactly two rank windows, and the one that sees the FULL population
+      (the deeper one) is keyed by (group, _slice=spark_partition_id()) —
+      as many parallel sort tasks as input partitions, each bounded by
+      its partition's rows;
+    - the group-only window sits ABOVE it, so its input is only the
+      stage-1 survivors (<= partitions*K rows per group);
+    - Catalyst's rank-limit pushdown (WindowGroupLimit Partial) fires
+      below BOTH exchanges, so no shuffle carries more than K rows per
+      group per upstream partition.
+    """
+    import re
+
+    for name, df in _sketch_build_frames(spark, sf_dir).items():
+        plan = _build_plan(df)
+        lines = plan.splitlines()
+        win_idx = [
+            i for i, l in enumerate(lines) if re.search(r"\bWindow \[row_number", l)
+        ]
+        # a build consumed twice (Misra-Gries' ck1 + kept branches)
+        # duplicates the whole subtree: windows come in (outer, inner)
+        # pairs, outer (final, group-only) printed above its inner
+        # (sliced, full-population) one
+        group_wins = [i for i in win_idx if "_slice" not in lines[i]]
+        slice_wins = [i for i in win_idx if "_slice" in lines[i]]
+        assert group_wins and len(group_wins) == len(slice_wins), (
+            f"{name}: rank windows don't pair group-only with sliced "
+            f"({len(group_wins)} vs {len(slice_wins)})"
+        )
+        for outer in group_wins:
+            inner = next((j for j in slice_wins if j > outer), None)
+            assert inner is not None, (
+                f"{name}: a per-group rank window has no per-Spark-partition "
+                "stage below it — single-task population sort is back"
+            )
+            # the exchange feeding the final window must sit BETWEEN the
+            # two — i.e. it shuffles stage-1 survivors, not the population
+            assert any(
+                "Exchange hashpartitioning" in lines[i] and "_slice" not in lines[i]
+                for i in range(outer, inner)
+            ), f"{name}: no survivor exchange between the paired rank windows"
+        partials = [l for l in lines if "WindowGroupLimit" in l and "Partial" in l]
+        assert len(partials) >= 2 * len(group_wins), (
+            f"{name}: WindowGroupLimit Partial did not fire below every "
+            f"exchange (got {len(partials)}, want >= {2 * len(group_wins)})"
+        )
+        assert "BatchEvalPython" not in plan

@@ -79,7 +79,11 @@ def test_purge_clears_replay_gate_and_dirs(tmp_path):
     os.makedirs(ds)
     tag = state_tag(ds)
     prefix = queries_ml._REPLAY_PREFIXES[0]
-    replay_dir = os.path.join(tempfile.gettempdir(), f"{prefix}_{tag}", "stream")
+    # via stream_scratch_root(), NOT tempfile.gettempdir() (r12 ADVICE):
+    # the purge hook removes dirs under the scratch root, so with
+    # KSS_STREAM_SCRATCH exported (e.g. after a bench run) a literal
+    # tempdir spelling would assert against the wrong location
+    replay_dir = os.path.join(state.stream_scratch_root(), f"{prefix}_{tag}", "stream")
     os.makedirs(replay_dir, exist_ok=True)
     queries_ml._REPLAY_BUILT.add((prefix, tag))
     purge_derived_state(ds)
