@@ -921,6 +921,7 @@ _REPLAY_PREFIXES = (
     "kss_febmerge",
     "kss_dedupww",
     "kss_kmvfold",
+    "kss_famfold",
 )
 
 
@@ -1513,6 +1514,383 @@ def streaming_sketch_incremental_merge(spark: SparkSession, sf_dir: str) -> Data
         "min_key",
         "kth_hash",
         est.alias("est_distinct"),
+    )
+
+
+@query(
+    "streaming_sketch_family_fold",
+    """
+    -- Streaming maintenance of the WHOLE mergeable-sketch family under
+    -- one foreachBatch fold: HLL (register-max union), DDSketch
+    -- (bucket-count sum), and Misra-Gries (weight-sum + re-prune) state
+    -- folded one micro-batch at a time. HLL and DDSketch folds are
+    -- EXACTLY one-shot-equivalent (max/sum are associative on identical
+    -- inputs); MG's fold keeps the n/(K+1) error bound (Agarwal et al.,
+    -- PODS 2012). The oracle states the exact references — row/batch
+    -- meta, distinct users, pinned-rank percentiles, heavy-item count,
+    -- exact top-1 — plus constant-TRUE contract flags that Spark
+    -- computes from the REAL folded state (the
+    -- sketch_hll_shard_union / sketch_quantile_shard_merge /
+    -- sketch_topk_shard_merge contract, under continuous ingest).
+    WITH e AS (
+      SELECT user_id AS key, value AS v, ts,
+        CASE WHEN ((user_id % 10) + 10) % 10 < 6
+             THEN ((user_id % 7) + 7) % 7
+             ELSE 100 + ((event_id % 4096) + 4096) % 4096 END AS item
+      FROM events
+      WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+        AND value IS NOT NULL AND value > 0
+    ), mx AS (SELECT max(ts) AS m FROM e),
+    meta AS (
+      SELECT COUNT(*) AS n_rows,
+        COUNT(DISTINCT CASE WHEN ts >= m - INTERVAL 10 DAY THEN 0
+                            WHEN ts >= m - INTERVAL 20 DAY THEN 1
+                            ELSE 2 END) AS n_nonempty_batches
+      FROM e, mx
+    ),
+    ranks AS (
+      SELECT CAST(CEIL(0.5  * n_rows) AS BIGINT) AS r50,
+        CAST(CEIL(0.9  * n_rows) AS BIGINT) AS r90,
+        CAST(CEIL(0.99 * n_rows) AS BIGINT) AS r99
+      FROM meta
+    ),
+    ordered AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM e),
+    pex AS (
+      SELECT
+        MAX(CASE WHEN rn = (SELECT r50 FROM ranks) THEN v END) AS p50_exact,
+        MAX(CASE WHEN rn = (SELECT r90 FROM ranks) THEN v END) AS p90_exact,
+        MAX(CASE WHEN rn = (SELECT r99 FROM ranks) THEN v END) AS p99_exact
+      FROM ordered
+    ),
+    cnts AS (SELECT item, COUNT(*) AS cnt FROM e GROUP BY item),
+    heavy AS (
+      SELECT COUNT(*) AS n_heavy FROM cnts, meta
+      WHERE cnt > 2.0 * n_rows / 65.0
+    ),
+    t1 AS (SELECT item, cnt FROM cnts ORDER BY cnt DESC, item LIMIT 1),
+    t1a AS (SELECT MAX(item) AS top1_item, MAX(cnt) AS top1_cnt FROM t1)
+    SELECT meta.n_rows, meta.n_nonempty_batches,
+      (SELECT COUNT(DISTINCT key) FROM e) AS exact_users,
+      TRUE AS hll_ok,
+      pex.p50_exact, pex.p90_exact, pex.p99_exact,
+      TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok,
+      heavy.n_heavy, t1a.top1_item, t1a.top1_cnt,
+      TRUE AS no_overestimate, TRUE AS recovered_all_heavy,
+      TRUE AS heavy_within_band, TRUE AS summary_within_k
+    FROM meta, pex, heavy, t1a
+    """,
+    "streaming", "sketch", "incremental", "sink",
+)
+def streaming_sketch_family_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-ingest maintenance of the REST of the mergeable-sketch
+    family (r12 verdict #3 follow-through): one foreachBatch pipeline
+    folds an HLL distinct sketch (user_id), a DDSketch log-bucket
+    histogram (value), AND a Misra-Gries frequent-items summary (a
+    Zipf-ish derived item) into versioned parquet state, one micro-batch
+    of the three-tranche event replay at a time — closing the family's
+    last asserted-not-demonstrated property: the batch shard stores
+    (sketch_hll_shard_union, sketch_quantile_shard_merge,
+    sketch_topk_shard_merge) argue continuous-ingest viability FROM
+    mergeability; here the same merges run under a real StreamingQuery.
+
+    Fold laws, per member: HLL unions register-wise max and DDSketch
+    sums integer bucket counts — both folds are EXACTLY equal to the
+    one-shot sketch of the unioned stream (associative, commutative,
+    verified by tests/test_sketch_incremental.py alongside the r12 KMV
+    fold); Misra-Gries folds by weight-sum + one re-prune, which is NOT
+    one-shot-equal but keeps the summary <= K rows with every weight an
+    underestimate by <= n/(K+1) — so the answer contract (heavy items
+    all recovered, weights within 2n/(K+1), never overestimating) holds
+    at any batch count, and THOSE are the gated outputs.
+
+    State size forever: 1 binary HLL row (~2.5 KB) + O(log-buckets)
+    integer rows + <= K weight rows — independent of stream length.
+    Per-batch work: three narrow aggregates of the micro-batch plus
+    O(state)-row unions; the in-batch MG prune ranks with the scale-safe
+    ``_grouped_top_k`` (never a single-task sort of the batch's item
+    space). Exact references (distinct users, pinned-rank percentiles,
+    heavy set, top-1) are the ORACLE's cost, computed once from the
+    static table — the serving path reads state alone.
+
+    Reference parity: the reference's continuously-maintained freshness
+    metadata (KijiFreshnessManager.java:235-239, mMetaTable.putValue)
+    re-expressed as a family of mergeable sketch states under Structured
+    Streaming."""
+    import math
+    import shutil
+
+    from pyspark.sql import Window
+
+    from .queries_graph import (
+        _DDSKETCH_ALPHA,
+        _DDSKETCH_GAMMA,
+        _MG_K,
+        _grouped_top_k,
+    )
+    from .state import state_tag
+
+    K = _MG_K  # 64 counters, matching the batch MG shards and the oracle
+    ln_g = math.log(_DDSKETCH_GAMMA)
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("event_id").isNotNull()
+        & F.col("value").isNotNull()
+        & (F.col("value") > 0)
+    )
+    src = ev.select(
+        F.col("user_id").alias("key"),
+        F.col("value").alias("v"),
+        # Zipf-ish derived item: a 7-item heavy head over ~60% of rows,
+        # a 4096-item tail over the rest (the sketch_topk_shard_merge
+        # pattern); pmod keeps negatives oracle-identical
+        F.when(
+            F.pmod(F.col("user_id"), F.lit(10)) < 6,
+            F.pmod(F.col("user_id"), F.lit(7)),
+        )
+        .otherwise(F.lit(100) + F.pmod(F.col("event_id"), F.lit(4096)))
+        .cast("long")
+        .alias("item"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    mx = src.agg(F.max("ts").alias("m"))
+    evm = src.crossJoin(F.broadcast(mx))
+    cut10 = F.col("m") - F.expr("INTERVAL 10 DAYS")
+    cut20 = F.col("m") - F.expr("INTERVAL 20 DAYS")
+    cols = ["key", "v", "item"]
+    b0 = evm.filter(F.col("ts") >= cut10).select(*cols)
+    b1 = evm.filter((F.col("ts") >= cut20) & (F.col("ts") < cut10)).select(*cols)
+    b2 = evm.filter(F.col("ts") < cut20).select(*cols)
+    base = _replay_files("kss_famfold", sf_dir, (b0, b1, b2))
+
+    run_base = os.path.join(
+        _state_module.stream_scratch_root(), f"kss_famfold_run_{state_tag(sf_dir)}"
+    )
+    shutil.rmtree(run_base, ignore_errors=True)
+    state_base = os.path.join(run_base, "state")
+    last_version = {"v": -1}
+
+    def mg_prune(weights: DataFrame) -> DataFrame:
+        """One Misra-Gries prune: top-K weights decremented by the
+        (K+1)-th. Runs over a micro-batch's FULL item space, so the rank
+        is the scale-safe per-partition one."""
+        ranked = _grouped_top_k(
+            weights, [], [F.col("w").desc(), F.col("item").asc()], K + 1, "rn"
+        )
+        wk1 = ranked.agg(
+            F.coalesce(
+                F.max(F.when(F.col("rn") == K + 1, F.col("w"))), F.lit(0)
+            ).alias("wk1")
+        )
+        return (
+            ranked.filter(F.col("rn") <= K)
+            .crossJoin(F.broadcast(wk1))
+            .select("item", (F.col("w") - F.col("wk1")).alias("weight"))
+            .filter(F.col("weight") > 0)
+        )
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        b_hll = batch_df.agg(F.hll_sketch_agg("key").alias("sk"))
+        b_dd = (
+            batch_df.select(F.ceil(F.log("v") / F.lit(ln_g)).alias("bkt"))
+            .groupBy("bkt")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        b_mg = mg_prune(
+            batch_df.groupBy("item").agg(F.count(F.lit(1)).alias("w"))
+        )
+        b_meta = batch_df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) > 0).cast("long").alias("n_nonempty_batches"),
+        )
+        if last_version["v"] >= 0:
+            prev_dir = os.path.join(state_base, f"v{last_version['v']}")
+            hll = (
+                sess.read.parquet(os.path.join(prev_dir, "hll"))
+                .unionByName(b_hll)
+                .agg(F.hll_union_agg("sk").alias("sk"))
+            )
+            dd = (
+                sess.read.parquet(os.path.join(prev_dir, "dd"))
+                .unionByName(b_dd)
+                .groupBy("bkt")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+            mg = mg_prune(
+                sess.read.parquet(os.path.join(prev_dir, "mg"))
+                .select("item", F.col("weight").alias("w"))
+                .unionByName(b_mg.select("item", F.col("weight").alias("w")))
+                .groupBy("item")
+                .agg(F.sum("w").alias("w"))
+            )
+            meta = (
+                sess.read.parquet(os.path.join(prev_dir, "meta"))
+                .unionByName(b_meta)
+                .agg(
+                    F.sum("n_rows").alias("n_rows"),
+                    F.sum("n_nonempty_batches").alias("n_nonempty_batches"),
+                )
+            )
+        else:
+            hll, dd, mg, meta = b_hll, b_dd, b_mg, b_meta
+        # versioned dir = atomic swap: all four members materialize fully
+        # before last_version advances; a failed batch leaves state intact
+        new_dir = os.path.join(state_base, f"v{batch_id}")
+        hll.write.parquet(os.path.join(new_dir, "hll"))
+        dd.write.parquet(os.path.join(new_dir, "dd"))
+        mg.write.parquet(os.path.join(new_dir, "mg"))
+        meta.write.parquet(os.path.join(new_dir, "meta"))
+        last_version["v"] = batch_id
+
+    stream = (
+        spark.readStream.schema("key long, v double, item long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(base, "stream"))
+    )
+    with _state_partitions(spark, 2):
+        q = (
+            stream.writeStream.foreachBatch(fold_batch)
+            .option("checkpointLocation", os.path.join(run_base, "cp"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    final_dir = os.path.join(state_base, f"v{last_version['v']}")
+    meta = spark.read.parquet(os.path.join(final_dir, "meta")).select(
+        "n_rows",
+        "n_nonempty_batches",
+        F.ceil(F.lit(0.5) * F.col("n_rows")).alias("r50"),
+        F.ceil(F.lit(0.9) * F.col("n_rows")).alias("r90"),
+        F.ceil(F.lit(0.99) * F.col("n_rows")).alias("r99"),
+    )
+    hll_state = spark.read.parquet(os.path.join(final_dir, "hll"))
+    dd_state = spark.read.parquet(os.path.join(final_dir, "dd"))
+    mg_state = spark.read.parquet(os.path.join(final_dir, "mg"))
+
+    # exact references (the oracle's cost): one pass over the static
+    # table; the folded state never touches it
+    exact_users = src.agg(F.count_distinct("key").alias("exact_users"))
+    ranked_v = src.select("v").withColumn(
+        "rn", F.row_number().over(Window.orderBy("v"))
+    )
+    pex = ranked_v.crossJoin(F.broadcast(meta)).agg(
+        F.max(F.when(F.col("rn") == F.col("r50"), F.col("v"))).alias("p50_exact"),
+        F.max(F.when(F.col("rn") == F.col("r90"), F.col("v"))).alias("p90_exact"),
+        F.max(F.when(F.col("rn") == F.col("r99"), F.col("v"))).alias("p99_exact"),
+    )
+    cnts = src.groupBy("item").agg(F.count(F.lit(1)).alias("cnt"))
+    heavy_cnts = cnts.crossJoin(F.broadcast(meta.select("n_rows"))).filter(
+        F.col("cnt") > 2.0 * F.col("n_rows") / (K + 1.0)
+    )
+    t1 = (
+        cnts.orderBy(F.col("cnt").desc(), F.col("item").asc())
+        .limit(1)
+        .agg(F.max("item").alias("top1_item"), F.max("cnt").alias("top1_cnt"))
+    )
+
+    # contract flags from the REAL folded state
+    hll_flag = (
+        hll_state.crossJoin(F.broadcast(exact_users))
+        .select(
+            F.coalesce(
+                F.abs(F.hll_sketch_estimate("sk") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users"),
+                F.lit(True),
+            ).alias("hll_ok")
+        )
+    )
+    cum = dd_state.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    g = _DDSKETCH_GAMMA
+
+    def rep(bucket_col: str):
+        return F.pow(F.lit(g), F.col(bucket_col)) * (2.0 / (g + 1.0))
+
+    dd_est = (
+        cum.crossJoin(F.broadcast(meta))
+        .agg(
+            F.min(F.when(F.col("cum") >= F.col("r50"), F.col("bkt"))).alias("b50"),
+            F.min(F.when(F.col("cum") >= F.col("r90"), F.col("bkt"))).alias("b90"),
+            F.min(F.when(F.col("cum") >= F.col("r99"), F.col("bkt"))).alias("b99"),
+        )
+        .select(
+            rep("b50").alias("p50_est"),
+            rep("b90").alias("p90_est"),
+            rep("b99").alias("p99_est"),
+        )
+    )
+    band = 2.5 * _DDSKETCH_ALPHA
+
+    def dd_ok(q: str):
+        return F.coalesce(
+            F.abs(F.col(f"{q}_est") - F.col(f"{q}_exact"))
+            <= band * F.col(f"{q}_exact"),
+            F.lit(True),
+        ).alias(f"{q}_ok")
+
+    # MG flags: weights never overestimate; every heavy item recovered
+    # with weight within 2n/(K+1); summary <= K rows. All joins against
+    # the <= K-row state broadcast.
+    mg_vs_exact = cnts.join(F.broadcast(mg_state), "item", "inner")
+    no_over = mg_vs_exact.agg(
+        F.coalesce(F.min(F.col("weight") <= F.col("cnt")), F.lit(True)).alias(
+            "no_overestimate"
+        )
+    )
+    heavy_join = heavy_cnts.join(F.broadcast(mg_state), "item", "left")
+    heavy_flags = heavy_join.agg(
+        F.count(F.lit(1)).alias("n_heavy"),
+        F.coalesce(F.min(F.col("weight").isNotNull()), F.lit(True)).alias(
+            "recovered_all_heavy"
+        ),
+        F.coalesce(
+            F.min(
+                (F.col("cnt") - F.coalesce(F.col("weight"), F.lit(0)))
+                * F.lit(K + 1)
+                <= 2 * F.col("n_rows")
+            ),
+            F.lit(True),
+        ).alias("heavy_within_band"),
+    )
+    within_k = mg_state.agg(
+        (F.count(F.lit(1)) <= K).alias("summary_within_k")
+    )
+
+    out = (
+        meta.select("n_rows", "n_nonempty_batches")
+        .crossJoin(F.broadcast(exact_users))
+        .crossJoin(F.broadcast(hll_flag))
+        .crossJoin(F.broadcast(pex))
+        .crossJoin(F.broadcast(dd_est))
+        .crossJoin(F.broadcast(heavy_flags))
+        .crossJoin(F.broadcast(t1))
+        .crossJoin(F.broadcast(no_over))
+        .crossJoin(F.broadcast(within_k))
+    )
+    return out.select(
+        "n_rows",
+        "n_nonempty_batches",
+        "exact_users",
+        "hll_ok",
+        "p50_exact",
+        "p90_exact",
+        "p99_exact",
+        dd_ok("p50"),
+        dd_ok("p90"),
+        dd_ok("p99"),
+        "n_heavy",
+        "top1_item",
+        "top1_cnt",
+        "no_overestimate",
+        "recovered_all_heavy",
+        "heavy_within_band",
+        "summary_within_k",
     )
 
 

@@ -725,3 +725,26 @@ def test_sketch_state_builds_have_no_single_task_population_sort(spark, sf_dir):
             f"exchange (got {len(partials)}, want >= {2 * len(group_wins)})"
         )
         assert "BatchEvalPython" not in plan
+
+
+def test_streaming_family_fold_final_plan_is_broadcast_only(spark, sf_dir):
+    """streaming_sketch_family_fold (r13): the returned plan reads the
+    folded HLL/DDSketch/MG state (1 + O(buckets) + <=K rows) plus the
+    one-pass exact references — every composition join must broadcast
+    (never shuffle-join), the <=K-row MG-vs-exact joins must be broadcast
+    hash joins, the exact top-1 a TakeOrdered, and nothing touches
+    Python."""
+    plan = executed_plan(spark, sf_dir, "streaming_sketch_family_fold")
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, (
+        "a state/one-row composition join fell back to a shuffle join"
+    )
+    assert "BroadcastHashJoin" in plan, (
+        "the MG-summary-vs-exact-counts join lost its broadcast"
+    )
+    assert "BroadcastNestedLoopJoin" in plan, (
+        "a one-row flag/meta composition lost its broadcast"
+    )
+    assert "TakeOrderedAndProject" in plan, (
+        "the exact top-1 became a full global sort"
+    )
+    assert "BatchEvalPython" not in plan
