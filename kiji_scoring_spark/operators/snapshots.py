@@ -191,6 +191,16 @@ def read_snapshot(
         if version is None:
             raise FileNotFoundError(f"no snapshot versions at {path}")
     m = _read_manifest(path, version)
+    return _read_dirs(spark, path, m["dirs"], m.get("schema"), version)
+
+
+def _read_dirs(
+    spark: SparkSession,
+    path: str,
+    dirs: list[str],
+    schema_json: str | None,
+    version: int,
+) -> DataFrame:
     # each data dir is its own hive-partitioned (or flat) root, so read
     # them separately and union — one multi-path read would demand a
     # shared basePath the independent commit dirs don't have. Filters
@@ -207,25 +217,63 @@ def read_snapshot(
 
     parts = [
         spark.read.option("mergeSchema", "true").parquet(os.path.join(path, d))
-        for d in m["dirs"]
+        for d in dirs
         if has_files(d)
     ]
     if not parts:
-        # a version composed entirely of empty commits: reconstruct the
+        # a dir-set composed entirely of empty commits: reconstruct the
         # empty table from the manifest's schema
         from pyspark.sql.types import StructType
 
-        schema = m.get("schema")
-        if schema is None:
+        if schema_json is None:
             raise FileNotFoundError(
                 f"version {version} at {path} has no data files and no "
                 "recorded schema"
             )
-        return spark.createDataFrame([], StructType.fromJson(json.loads(schema)))
+        return spark.createDataFrame([], StructType.fromJson(json.loads(schema_json)))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p, allowMissingColumns=True)
     return out
+
+
+def read_delta(
+    spark: SparkSession, path: str, from_version: int, to_version: int | None = None
+) -> DataFrame:
+    """Read ONLY the rows added between two published versions — the
+    incremental-consumption primitive: `to_version`'s file-set minus
+    `from_version`'s, read at FILE level (no anti-join, no scan of the
+    base data). For an append-only lineage the dirs a version adds ARE
+    its row delta, so "what did this ingest batch bring" costs
+    O(delta), however large the table has grown — the shape every
+    per-arrival pipeline check (contamination, dedup rate, quality
+    drift) needs at 100 TB. Every commit in (from, to] must be an
+    append: an overwrite breaks the added-dirs == added-rows identity,
+    and this refuses loudly rather than return a wrong delta."""
+    if to_version is None:
+        to_version = latest_version(path)
+        if to_version is None:
+            raise FileNotFoundError(f"no snapshot versions at {path}")
+    if not 0 <= from_version <= to_version:
+        raise ValueError(
+            f"bad delta range: from={from_version} to={to_version}"
+        )
+    for v in range(from_version + 1, to_version + 1):
+        m_v = _read_manifest(path, v)
+        # the table-CREATING commit (parent None) adds every row it
+        # writes whatever its op; any later overwrite discards dirs and
+        # breaks the identity
+        if m_v["op"] != "append" and m_v.get("parent") is not None:
+            raise ValueError(
+                f"version {v} at {path} is op={m_v['op']!r}: a delta read "
+                "is only defined over an append-only lineage"
+            )
+    base: set[str] = (
+        set(_read_manifest(path, from_version)["dirs"]) if from_version else set()
+    )
+    m = _read_manifest(path, to_version)
+    new_dirs = [d for d in m["dirs"] if d not in base]
+    return _read_dirs(spark, path, new_dirs, m.get("schema"), to_version)
 
 
 def compact_snapshot(spark: SparkSession, path: str, target_files: int) -> int:

@@ -1268,3 +1268,227 @@ def text_bpe_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("freq").alias("n_occurrences"))
         .orderBy("token")
     )
+
+
+@query(
+    "contamination_delta_theta_overlap",
+    f"""
+    -- Incremental corpus-diff contamination (r12 verdict stretch): the
+    -- DELTA between two corpus snapshot versions is checked for
+    -- benchmark overlap from bottom-K=64 theta samples of its distinct
+    -- shingles vs a PERSISTED eval-set sample — built independently,
+    -- never a join of the raw shingle spaces. md5 makes every sketch
+    -- artifact (samples, theta, below-theta count, the IEEE estimate)
+    -- exactly stateable by both engines; the exact side is the oracle's
+    -- cost and the estimate's quality witness.
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id >= 25
+    ),
+    delta_docs AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM corpus
+      WHERE ((doc_id % 10) + 10) % 10 >= 8
+    ),
+    eval_docs AS (
+      SELECT doc_id, string_split(text, ' ') AS w
+      FROM documents WHERE doc_id < 25
+    ),
+    a AS (
+      SELECT DISTINCT s FROM (
+        SELECT unnest({_SHINGLE_SQL}) AS s FROM delta_docs
+      )
+    ),
+    b AS (
+      SELECT DISTINCT s FROM (
+        SELECT unnest({_SHINGLE_SQL}) AS s FROM eval_docs
+      )
+    ),
+    ah AS (SELECT s, md5(s) AS h FROM a),
+    bh AS (SELECT s, md5(s) AS h FROM b),
+    sampa AS (
+      SELECT s, h FROM (
+        SELECT s, h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM ah
+      ) WHERE rn <= 64
+    ),
+    sampb AS (
+      SELECT s, h FROM (
+        SELECT s, h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM bh
+      ) WHERE rn <= 64
+    ),
+    stats AS (
+      SELECT
+        (SELECT COUNT(*) FROM sampa) AS sample_a,
+        (SELECT MAX(h) FROM sampa) AS kth_a,
+        (SELECT COUNT(*) FROM sampb) AS sample_b,
+        (SELECT MAX(h) FROM sampb) AS kth_b
+    ),
+    theta AS (
+      SELECT sample_a, sample_b,
+        CASE WHEN sample_a >= 64 AND sample_b >= 64 THEN LEAST(kth_a, kth_b)
+             WHEN sample_a >= 64 THEN kth_a
+             WHEN sample_b >= 64 THEN kth_b END AS theta_hex
+      FROM stats
+    ),
+    interb AS (
+      SELECT COUNT(*) AS n_inter_below
+      FROM sampa x JOIN sampb y USING (s), theta t
+      WHERE t.theta_hex IS NULL OR x.h < t.theta_hex
+    ),
+    ex AS (
+      SELECT
+        (SELECT COUNT(*) FROM delta_docs) AS n_delta_docs,
+        (SELECT COUNT(*) FROM a) AS n_a_exact,
+        (SELECT COUNT(*) FROM b) AS n_b_exact,
+        (SELECT COUNT(*) FROM a JOIN b USING (s)) AS n_inter_exact
+    )
+    SELECT ex.n_delta_docs, ex.n_a_exact, ex.n_b_exact, ex.n_inter_exact,
+      ex.n_inter_exact > 0 AS contaminated_exact,
+      t.sample_a, t.sample_b, t.theta_hex, i.n_inter_below,
+      CASE WHEN t.theta_hex IS NULL THEN CAST(i.n_inter_below AS DOUBLE)
+           ELSE CAST(i.n_inter_below AS DOUBLE) * 1152921504606846976.0
+                / CAST(CAST(('0x' || substr(t.theta_hex, 1, 15))
+                    AS BIGINT) AS DOUBLE)
+      END AS est_intersection
+    FROM ex, theta t, interb i
+    """,
+    "pipeline", "contamination", "sketch", "snapshot", "incremental",
+)
+def contamination_delta_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did THIS ingest batch leak benchmarks? — the per-arrival question
+    a 100 TB pipeline asks, answered in O(K) from sketches (r12 verdict
+    stretch: snapshot diff x theta set-ops). The training corpus lives
+    as a versioned snapshot table; a new ingest lands as an APPEND
+    commit; ``read_delta`` reads ONLY the appended files (file-level —
+    no anti-join, no scan of the base corpus, however large it has
+    grown); the delta's distinct-shingle space is bottom-K=64 sampled
+    and intersected with the eval set's PERSISTED sample via the theta
+    estimator |A∩B| ~ n_inter_below/theta. Per arrival the cost is
+    O(delta) to sketch the batch + O(K) to answer; the eval sample was
+    built once, independently — the raw shingle spaces are never
+    joined (or even co-located).
+
+    The exact side (delta docs, exact distinct shingles each side, the
+    exact intersection, the contaminated flag) is the ORACLE's cost and
+    the estimate's quality witness; the md5-deterministic sketch
+    artifacts (samples, theta, below-theta count, IEEE estimate) are
+    stated exactly by both engines — the sketch_theta_set_ops contract
+    composed with the snapshot format. The delta sample build ranks
+    with the scale-safe per-partition ``_grouped_top_k``.
+
+    Reference parity: composes the persisted-metatable pattern
+    (KijiFreshnessManager.java:235-239, mMetaTable.putValue) with the
+    snapshot machinery; per-ingest decontamination is the capability
+    HBase-era kiji delegated to offline MapReduce joins."""
+    from .operators.snapshots import commit_snapshot, latest_version, read_delta
+    from .queries_graph import _KMV_K, _grouped_top_k, _state_path
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") >= 25).select("doc_id", "text")
+
+    snap = _state_path(sf_dir, "documents_corpus_snapshots")
+    if latest_version(snap) is None:
+        # v1 = the standing corpus; v2 = the new ingest batch (append)
+        commit_snapshot(
+            corpus.filter(F.pmod(F.col("doc_id"), F.lit(10)) < 8),
+            snap,
+            mode="overwrite",
+        )
+        commit_snapshot(
+            corpus.filter(F.pmod(F.col("doc_id"), F.lit(10)) >= 8), snap
+        )
+    delta = read_delta(spark, snap, 1, 2)
+
+    def shingle_set(docs: DataFrame) -> DataFrame:
+        return (
+            docs.select(F.split(F.col("text"), " ").alias("w"))
+            .select(
+                F.explode(
+                    F.array_distinct(_shingles_of_words(F.col("w"), 3))
+                ).alias("s")
+            )
+            .distinct()
+            .withColumn("h", F.md5(F.col("s")))
+        )
+
+    # eval sample: persisted ONCE per dataset, before/independent of any
+    # ingest — the serving path never rebuilds it
+    epath = _state_path(sf_dir, "eval_shingle_theta.parquet")
+    if not os.path.exists(os.path.join(epath, "_SUCCESS")):
+        _grouped_top_k(
+            shingle_set(d.filter(F.col("doc_id") < 25)),
+            [],
+            [F.col("h")],
+            _KMV_K,
+            "rn",
+        ).select("s", "h").write.mode("overwrite").parquet(epath)
+    sampb = spark.read.parquet(epath)
+
+    a_set = shingle_set(delta)
+    sampa = _grouped_top_k(a_set, [], [F.col("h")], _KMV_K, "rn").select("s", "h")
+
+    stats = (
+        sampa.agg(F.count(F.lit(1)).alias("sample_a"), F.max("h").alias("kth_a"))
+        .crossJoin(
+            F.broadcast(
+                sampb.agg(
+                    F.count(F.lit(1)).alias("sample_b"),
+                    F.max("h").alias("kth_b"),
+                )
+            )
+        )
+    )
+    theta = stats.select(
+        "sample_a",
+        "sample_b",
+        F.when(
+            (F.col("sample_a") >= _KMV_K) & (F.col("sample_b") >= _KMV_K),
+            F.least("kth_a", "kth_b"),
+        )
+        .when(F.col("sample_a") >= _KMV_K, F.col("kth_a"))
+        .when(F.col("sample_b") >= _KMV_K, F.col("kth_b"))
+        .alias("theta_hex"),
+    )
+    interb = (
+        sampa.join(F.broadcast(sampb.select("s")), "s")
+        .crossJoin(F.broadcast(theta.select("theta_hex")))
+        .filter(F.col("theta_hex").isNull() | (F.col("h") < F.col("theta_hex")))
+        .agg(F.count(F.lit(1)).alias("n_inter_below"))
+    )
+
+    # exact references (the oracle's cost): the eval side is
+    # benchmark-sized, so its distinct-shingle set broadcasts
+    b_set = shingle_set(d.filter(F.col("doc_id") < 25))
+    ex = (
+        delta.agg(F.count(F.lit(1)).alias("n_delta_docs"))
+        .crossJoin(F.broadcast(a_set.agg(F.count(F.lit(1)).alias("n_a_exact"))))
+        .crossJoin(F.broadcast(b_set.agg(F.count(F.lit(1)).alias("n_b_exact"))))
+        .crossJoin(
+            F.broadcast(
+                a_set.join(F.broadcast(b_set.select("s")), "s").agg(
+                    F.count(F.lit(1)).alias("n_inter_exact")
+                )
+            )
+        )
+    )
+
+    est = F.when(
+        F.col("theta_hex").isNull(), F.col("n_inter_below").cast("double")
+    ).otherwise(
+        F.col("n_inter_below").cast("double")
+        * F.lit(float(16**15))
+        / F.conv(F.substring(F.col("theta_hex"), 1, 15), 16, 10)
+        .cast("long")
+        .cast("double")
+    )
+    out = ex.crossJoin(F.broadcast(theta)).crossJoin(F.broadcast(interb))
+    return out.select(
+        "n_delta_docs",
+        "n_a_exact",
+        "n_b_exact",
+        "n_inter_exact",
+        (F.col("n_inter_exact") > 0).alias("contaminated_exact"),
+        "sample_a",
+        "sample_b",
+        "theta_hex",
+        "n_inter_below",
+        est.alias("est_intersection"),
+    )

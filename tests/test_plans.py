@@ -748,3 +748,23 @@ def test_streaming_family_fold_final_plan_is_broadcast_only(spark, sf_dir):
         "the exact top-1 became a full global sort"
     )
     assert "BatchEvalPython" not in plan
+
+
+def test_delta_theta_contamination_is_broadcast_only(spark, sf_dir):
+    """contamination_delta_theta_overlap (r13): the set-op phase works
+    over two <=K-row samples and one-row aggregates, and the exact
+    reference's eval side is benchmark-sized — every join must broadcast
+    (never shuffle-join) and nothing touches Python. The delta itself
+    arrives by FILE-level snapshot read (read_delta), so no anti-join
+    appears anywhere."""
+    plan = executed_plan(spark, sf_dir, "contamination_delta_theta_overlap")
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, (
+        "a sample/eval composition join fell back to a shuffle join"
+    )
+    assert "BroadcastHashJoin" in plan, (
+        "the sample-intersection / eval-reference join lost its broadcast"
+    )
+    assert "BroadcastNestedLoopJoin" in plan, (
+        "a one-row stats/theta composition lost its broadcast"
+    )
+    assert "BatchEvalPython" not in plan

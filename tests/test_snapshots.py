@@ -310,3 +310,57 @@ def test_commit_never_deletes_claim_dir(spark, table_path, monkeypatch):
         (2, "b"),
         (2, "b"),
     ]
+
+
+def test_read_delta_is_only_the_appended_rows(spark, table_path):
+    v1 = sn.commit_snapshot(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"),
+        table_path,
+        mode="overwrite",
+    )
+    v2 = sn.commit_snapshot(
+        spark.createDataFrame([(3, "c")], "k int, v string"), table_path
+    )
+    v3 = sn.commit_snapshot(
+        spark.createDataFrame([(4, "d"), (5, "e")], "k int, v string"), table_path
+    )
+    assert rows(sn.read_delta(spark, table_path, v1, v2)) == [(3, "c")]
+    assert rows(sn.read_delta(spark, table_path, v2, v3)) == [(4, "d"), (5, "e")]
+    assert rows(sn.read_delta(spark, table_path, v1)) == [
+        (3, "c"),
+        (4, "d"),
+        (5, "e"),
+    ]
+    # from_version == to_version: an empty (but well-typed) delta
+    empty = sn.read_delta(spark, table_path, v3, v3)
+    assert empty.count() == 0 and set(empty.columns) == {"k", "v"}
+    # from_version 0: the delta is the whole table
+    assert len(rows(sn.read_delta(spark, table_path, 0, v3))) == 5
+
+
+def test_read_delta_refuses_overwrite_lineage(spark, table_path):
+    v1 = sn.commit_snapshot(
+        spark.createDataFrame([(1, "a")], "k int, v string"),
+        table_path,
+        mode="overwrite",
+    )
+    v2 = sn.commit_snapshot(
+        spark.createDataFrame([(9, "z")], "k int, v string"),
+        table_path,
+        mode="overwrite",
+    )
+    with pytest.raises(ValueError, match="append-only"):
+        sn.read_delta(spark, table_path, v1, v2)
+
+
+def test_read_delta_empty_append_reconstructs_schema(spark, table_path):
+    v1 = sn.commit_snapshot(
+        spark.createDataFrame([(1, "a")], "k int, v string"),
+        table_path,
+        mode="overwrite",
+    )
+    v2 = sn.commit_snapshot(
+        spark.createDataFrame([], "k int, v string"), table_path
+    )
+    d = sn.read_delta(spark, table_path, v1, v2)
+    assert d.count() == 0 and set(d.columns) == {"k", "v"}
