@@ -163,6 +163,15 @@ HEADLINE = [
     # no raw-population join); completes the mergeable-summary family's
     # set-operation face in the bench
     "sketch_theta_set_ops",
+    # round 13: streaming maintenance of the rest of the mergeable
+    # family (HLL register-max + DDSketch bucket-sum + Misra-Gries
+    # weight-fold through one foreachBatch pipeline) — joins the replay
+    # group so the three-member fold harness can't regress silently
+    "streaming_sketch_family_fold",
+    # round 13: per-ingest contamination — file-level snapshot delta
+    # read + theta set-op against the persisted eval sample (O(K) serve
+    # path); benched so the delta-scan + sketch compose can't regress
+    "contamination_delta_theta_overlap",
 ]
 
 #: round-over-round regression reference (sum over that round's HEADLINE):

@@ -1689,6 +1689,30 @@ def streaming_sketch_family_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("weight") > 0)
         )
 
+    #: all four members live in ONE union-schema state file per version —
+    #: one write job per micro-batch instead of four (the replay-floor
+    #: decomposition showed ~0.3 s FIXED cost per job; at 4 members × N
+    #: batches that dominated the fold's wall-clock, and at scale the
+    #: members are tiny anyway)
+    state_cols = [
+        "member",
+        "sk",
+        "bkt",
+        "cnt",
+        "item",
+        "weight",
+        "n_rows",
+        "n_nonempty_batches",
+    ]
+
+    def as_member(df: DataFrame, member: str) -> DataFrame:
+        missing = [c for c in state_cols if c not in df.columns and c != "member"]
+        out = df.select(F.lit(member).alias("member"), "*")
+        for c in missing:
+            typ = "binary" if c == "sk" else "long"
+            out = out.withColumn(c, F.lit(None).cast(typ))
+        return out.select(*state_cols)
+
     def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
         b_hll = batch_df.agg(F.hll_sketch_agg("key").alias("sk"))
@@ -1705,27 +1729,32 @@ def streaming_sketch_family_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)) > 0).cast("long").alias("n_nonempty_batches"),
         )
         if last_version["v"] >= 0:
-            prev_dir = os.path.join(state_base, f"v{last_version['v']}")
+            prev = sess.read.parquet(
+                os.path.join(state_base, f"v{last_version['v']}")
+            )
             hll = (
-                sess.read.parquet(os.path.join(prev_dir, "hll"))
+                prev.filter(F.col("member") == "hll")
+                .select("sk")
                 .unionByName(b_hll)
                 .agg(F.hll_union_agg("sk").alias("sk"))
             )
             dd = (
-                sess.read.parquet(os.path.join(prev_dir, "dd"))
+                prev.filter(F.col("member") == "dd")
+                .select("bkt", "cnt")
                 .unionByName(b_dd)
                 .groupBy("bkt")
                 .agg(F.sum("cnt").alias("cnt"))
             )
             mg = mg_prune(
-                sess.read.parquet(os.path.join(prev_dir, "mg"))
+                prev.filter(F.col("member") == "mg")
                 .select("item", F.col("weight").alias("w"))
                 .unionByName(b_mg.select("item", F.col("weight").alias("w")))
                 .groupBy("item")
                 .agg(F.sum("w").alias("w"))
             )
             meta = (
-                sess.read.parquet(os.path.join(prev_dir, "meta"))
+                prev.filter(F.col("member") == "meta")
+                .select("n_rows", "n_nonempty_batches")
                 .unionByName(b_meta)
                 .agg(
                     F.sum("n_rows").alias("n_rows"),
@@ -1735,12 +1764,15 @@ def streaming_sketch_family_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             hll, dd, mg, meta = b_hll, b_dd, b_mg, b_meta
         # versioned dir = atomic swap: all four members materialize fully
-        # before last_version advances; a failed batch leaves state intact
-        new_dir = os.path.join(state_base, f"v{batch_id}")
-        hll.write.parquet(os.path.join(new_dir, "hll"))
-        dd.write.parquet(os.path.join(new_dir, "dd"))
-        mg.write.parquet(os.path.join(new_dir, "mg"))
-        meta.write.parquet(os.path.join(new_dir, "meta"))
+        # (ONE write job) before last_version advances; a failed batch
+        # leaves state intact
+        state = (
+            as_member(hll, "hll")
+            .unionByName(as_member(dd, "dd"))
+            .unionByName(as_member(mg, "mg"))
+            .unionByName(as_member(meta, "meta"))
+        )
+        state.write.parquet(os.path.join(state_base, f"v{batch_id}"))
         last_version["v"] = batch_id
 
     stream = (
@@ -1757,17 +1789,17 @@ def streaming_sketch_family_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
 
-    final_dir = os.path.join(state_base, f"v{last_version['v']}")
-    meta = spark.read.parquet(os.path.join(final_dir, "meta")).select(
+    final = spark.read.parquet(os.path.join(state_base, f"v{last_version['v']}"))
+    meta = final.filter(F.col("member") == "meta").select(
         "n_rows",
         "n_nonempty_batches",
         F.ceil(F.lit(0.5) * F.col("n_rows")).alias("r50"),
         F.ceil(F.lit(0.9) * F.col("n_rows")).alias("r90"),
         F.ceil(F.lit(0.99) * F.col("n_rows")).alias("r99"),
     )
-    hll_state = spark.read.parquet(os.path.join(final_dir, "hll"))
-    dd_state = spark.read.parquet(os.path.join(final_dir, "dd"))
-    mg_state = spark.read.parquet(os.path.join(final_dir, "mg"))
+    hll_state = final.filter(F.col("member") == "hll").select("sk")
+    dd_state = final.filter(F.col("member") == "dd").select("bkt", "cnt")
+    mg_state = final.filter(F.col("member") == "mg").select("item", "weight")
 
     # exact references (the oracle's cost): one pass over the static
     # table; the folded state never touches it

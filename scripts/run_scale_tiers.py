@@ -112,6 +112,10 @@ TIERS = {
         # the state-stays-≤K claim exercised at 1000× the driver corpus
         # (first green run 2026-08-16, 31 s standalone)
         "streaming_sketch_incremental_merge",
+        # r13 append: the three-member family fold (HLL + DDSketch + MG
+        # through one foreachBatch pipeline) over the same 10 M-event
+        # replay; the oracle's global-rank percentiles are its cost
+        "streaming_sketch_family_fold",
         # r12 append: PQ ADC top-k with the full DuckDB oracle at 200 K
         # vectors — the largest tier where the oracle's encode replay is
         # feasible (sf100 is engine-side only: scripts/assert_pq_adc.py)
@@ -153,6 +157,11 @@ TIERS = {
         "cdc_apply_changes_ordered",
         "table_diff_checksum_buckets",
         "funnel_pattern_no_error_between",
+        # r13 append: per-ingest contamination via snapshot delta +
+        # theta set-ops over the 500 K-doc corpus (the diff family's
+        # sketch face; the exact shingle intersection is the oracle's
+        # cost)
+        "contamination_delta_theta_overlap",
     ]),
     # sf100 batch 1: flagship exact-decimal pipelines + the string-bridge
     # trio at ~10^21 unscaled — magnitude-invariance of the correctly-
