@@ -172,6 +172,10 @@ HEADLINE = [
     # read + theta set-op against the persisted eval sample (O(K) serve
     # path); benched so the delta-scan + sketch compose can't regress
     "contamination_delta_theta_overlap",
+    # round 13: IVF-PQ — hive-partitioned inverted lists + dynamic
+    # partition pruning for the 2-cell routing, PQ ADC over the probed
+    # cells only; benched so the pruned-scan shape can't regress
+    "similarity_ivfpq_pruned_adc_topk",
 ]
 
 #: round-over-round regression reference (sum over that round's HEADLINE):

@@ -1777,3 +1777,305 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("neighbor_id", "adc_dist", exact.alias("exact_dist"), "rn")
         .orderBy("rn")
     )
+
+
+#: IVF coarse cells for the IVF-PQ composition: <=32 deterministic seed
+#: vectors (vec_id % 37 = 0, < 37*32) — a FIXED cell count, so the
+#: inverted lists stay O(N/32) rows and the hive-partition layout stays
+#: 32 dirs at any corpus size (vec_id % 100 would grow the cell count
+#: linearly with the corpus — death by tiny partitions at 2 M vectors).
+_IVFPQ_SEED_MOD = 37
+_IVFPQ_SEED_CAP = 37 * 32
+
+_PQ_FULLDIST_SQL = (
+    "CAST(list_sum(list_transform(range(1, 65), i -> "
+    "({l}[i] - {r}[i]) * ({l}[i] - {r}[i]))) AS BIGINT)"
+)
+
+
+@query(
+    "similarity_ivfpq_pruned_adc_topk",
+    f"""
+    -- IVF x PQ, both integer-exact: <=32 deterministic seed cells
+    -- (vec_id % 37 = 0, < 1184), full-vector BIGINT assignment with
+    -- seed_id tie-break; the SAME deterministic 16-entry PQ codebook
+    -- and per-subspace codes as similarity_pq_adc_topk; the query
+    -- probes its 2 nearest cells and ADC-ranks ONLY their codes.
+    WITH src AS (
+      SELECT vec_id, {_PQ_Q_SQL} AS q
+      FROM embeddings
+      WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+        AND len(embedding) = 64
+    ),
+    cb AS (
+      SELECT vec_id AS cb_id, q FROM src
+      WHERE vec_id % 31 = 0 AND vec_id < 496
+    ),
+    seeds AS (
+      SELECT vec_id AS seed_id, q AS sq FROM src
+      WHERE vec_id % {_IVFPQ_SEED_MOD} = 0 AND vec_id < {_IVFPQ_SEED_CAP}
+    ),
+    probe AS (
+      SELECT vec_id AS probe_id, q AS pq FROM src
+      WHERE NOT (vec_id % 31 = 0 AND vec_id < 496)
+      ORDER BY vec_id LIMIT 1
+    ),
+    sub AS (SELECT unnest(range(0, 8)) AS ss),
+    asg AS (
+      SELECT vec_id, cell FROM (
+        SELECT s.vec_id, d.seed_id AS cell,
+          ROW_NUMBER() OVER (PARTITION BY s.vec_id
+            ORDER BY {_PQ_FULLDIST_SQL.format(l="s.q", r="d.sq")}, d.seed_id
+          ) AS rn
+        FROM src s CROSS JOIN seeds d
+      ) t WHERE rn = 1
+    ),
+    pcells AS (
+      SELECT cell FROM (
+        SELECT d.seed_id AS cell,
+          ROW_NUMBER() OVER (
+            ORDER BY {_PQ_FULLDIST_SQL.format(l="p.pq", r="d.sq")}, d.seed_id
+          ) AS rn
+        FROM seeds d CROSS JOIN probe p
+      ) t WHERE rn <= 2
+    ),
+    codes AS (
+      SELECT vec_id, ss, cb_id FROM (
+        SELECT s.vec_id, sub.ss, c.cb_id,
+          ROW_NUMBER() OVER (PARTITION BY s.vec_id, sub.ss
+            ORDER BY {_pq_subdist_sql("s.q", "c.q")}, c.cb_id) AS rn
+        FROM src s CROSS JOIN cb c CROSS JOIN sub
+      ) t WHERE rn = 1
+    ),
+    lut AS (
+      SELECT c.cb_id, sub.ss,
+        {_pq_subdist_sql("c.q", "p.pq")} AS pd
+      FROM cb c CROSS JOIN probe p CROSS JOIN sub
+    ),
+    adc AS (
+      SELECT codes.vec_id AS neighbor_id, a.cell,
+        CAST(SUM(lut.pd) AS BIGINT) AS adc_dist
+      FROM codes
+      JOIN asg a ON a.vec_id = codes.vec_id
+      JOIN pcells pc ON pc.cell = a.cell
+      JOIN lut ON codes.ss = lut.ss AND codes.cb_id = lut.cb_id
+      CROSS JOIN probe
+      WHERE codes.vec_id <> probe.probe_id
+      GROUP BY codes.vec_id, a.cell
+    ),
+    top AS (
+      SELECT neighbor_id, cell, adc_dist,
+        ROW_NUMBER() OVER (ORDER BY adc_dist, neighbor_id) AS rn
+      FROM adc
+    )
+    SELECT t.neighbor_id, t.cell, t.adc_dist,
+      CAST(list_sum(list_transform(range(1, 65), i ->
+        (s.q[i] - p.pq[i]) * (s.q[i] - p.pq[i]))) AS BIGINT) AS exact_dist,
+      t.rn
+    FROM top t
+    JOIN src s ON s.vec_id = t.neighbor_id
+    CROSS JOIN probe p
+    WHERE t.rn <= 10
+    ORDER BY t.rn
+    """,
+    "similarity", "pipeline", "sketch", "incremental",
+)
+def similarity_ivfpq_pruned_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the composition production ANN systems actually deploy
+    (Jégou et al., TPAMI 2011; FAISS's IVFPQ): a coarse inverted-file
+    quantizer routes the query to a few cells, and product-quantization
+    codes rank ONLY those cells' vectors. Both layers reuse this repo's
+    hash-gate tricks: cells are <=32 DETERMINISTIC seed vectors with
+    exact BIGINT full-vector assignment (the
+    similarity_ivf_deterministic_seeds trick, integer-exact here), codes
+    are the same deterministic 16-entry codebook + per-subspace argmin
+    as similarity_pq_adc_topk — so assignment, routing, encoding, ADC
+    ranking, and the winners' exact distances are ALL stated exactly by
+    the DuckDB oracle.
+
+    The Spark-native part: the persisted codes table is written
+    PARTITIONED BY cell, so the inverted lists ARE hive partitions, and
+    the probe's 2-cell routing joins the scan on the partition column —
+    Catalyst's dynamic partition pruning turns "search two cells" into
+    "read two directories" at FILE level (plan-gated). That is the IVF
+    promise expressed in Spark's own storage machinery: at 2 M vectors
+    the ADC pass reads ~6% of the codes, and at 100 TB the unprobed
+    inverted lists are never opened. Cell count is FIXED (<=32), so
+    lists grow with the corpus but the layout never fragments.
+
+    Scale: index build is one broadcast pass against 16 codebook rows +
+    one against <=32 seed rows (paid once, the sketch-family state
+    discipline); the query phase is one broadcast LUT row + map lookups
+    over the two probed partitions + TakeOrdered(10) + a 10-row exact
+    join-back. Zero corpus shuffles after the build. Reference parity:
+    the codes-with-cell table extends the persisted-metatable pattern
+    (KijiFreshnessManager.java:235-239, mMetaTable.putValue) exactly as
+    the PQ and sketch-shard stores do."""
+    import os
+
+    from .queries_graph import _state_path
+
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id").isNotNull()
+        & F.col("embedding").isNotNull()
+        & (F.size("embedding") == _EMBED_DIM)
+    )
+    q = e.select(
+        "vec_id",
+        *[
+            F.round(F.col("embedding")[i].cast("double") * 100)
+            .cast("long")
+            .alias(f"q{i}")
+            for i in range(_EMBED_DIM)
+        ],
+    )
+    is_cb = (F.col("vec_id") % 31 == 0) & (F.col("vec_id") < 496)
+    cb = q.filter(is_cb).select(
+        F.col("vec_id").alias("cb_id"),
+        *[F.col(f"q{i}").alias(f"cq{i}") for i in range(_EMBED_DIM)],
+    )
+    is_seed = (F.col("vec_id") % _IVFPQ_SEED_MOD == 0) & (
+        F.col("vec_id") < _IVFPQ_SEED_CAP
+    )
+    seeds = q.filter(is_seed).select(
+        F.col("vec_id").alias("seed_id"),
+        *[F.col(f"q{i}").alias(f"sq{i}") for i in range(_EMBED_DIM)],
+    )
+
+    def subdist(l_tpl: str, r_tpl: str, ss: int):
+        return functools.reduce(
+            operator.add,
+            [
+                (F.col(l_tpl.format(i)) - F.col(r_tpl.format(i)))
+                * (F.col(l_tpl.format(i)) - F.col(r_tpl.format(i)))
+                for i in range(ss * _PQ_SUBDIM, (ss + 1) * _PQ_SUBDIM)
+            ],
+        )
+
+    def fulldist(l_tpl: str, r_tpl: str):
+        return functools.reduce(
+            operator.add,
+            [
+                (F.col(l_tpl.format(i)) - F.col(r_tpl.format(i)))
+                * (F.col(l_tpl.format(i)) - F.col(r_tpl.format(i)))
+                for i in range(_EMBED_DIM)
+            ],
+        )
+
+    codes_schema = (
+        "vec_id long, "
+        + ", ".join(f"c{s} long" for s in range(_PQ_SUB))
+        + ", cell long"
+    )
+    path = _state_path(sf_dir, "ivfpq_codes_embeddings.parquet")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        enc = (
+            q.crossJoin(F.broadcast(cb))
+            .groupBy("vec_id")
+            .agg(
+                *[
+                    F.min_by(
+                        "cb_id", F.struct(subdist("q{}", "cq{}", s), F.col("cb_id"))
+                    ).alias(f"c{s}")
+                    for s in range(_PQ_SUB)
+                ]
+            )
+        )
+        cells = (
+            q.crossJoin(F.broadcast(seeds))
+            .groupBy("vec_id")
+            .agg(
+                F.min_by(
+                    "seed_id", F.struct(fulldist("q{}", "sq{}"), F.col("seed_id"))
+                ).alias("cell")
+            )
+        )
+        (
+            enc.join(cells, "vec_id")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(path)
+        )
+    # explicit schema: (a) the hive partition column must read back as
+    # LONG, not the inferred INT of its path strings; (b) an EMPTY corpus
+    # writes a partitioned dir with no data files, which schema inference
+    # cannot read but an explicit schema can (empty scan)
+    codes = spark.read.schema(codes_schema).parquet(path)
+
+    probe = (
+        q.filter(~is_cb)
+        .orderBy("vec_id")
+        .limit(1)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            *[F.col(f"q{i}").alias(f"pq{i}") for i in range(_EMBED_DIM)],
+        )
+    )
+    probe = probe.localCheckpoint(eager=False)
+    # routing: the probe's 2 nearest cells by exact BIGINT distance —
+    # <=32 seed rows, one broadcast, deterministic (dist, seed_id) order
+    pcells = (
+        seeds.crossJoin(F.broadcast(probe))
+        .select(
+            F.col("seed_id").alias("cell"),
+            fulldist("sq{}", "pq{}").alias("sd"),
+        )
+        .orderBy("sd", "cell")
+        .limit(2)
+        .select("cell")
+    )
+    # the join key IS the partition column: dynamic partition pruning
+    # reads only the two probed cells' directories (plan-gated)
+    cand = codes.join(F.broadcast(pcells), "cell")
+
+    lut = cb.crossJoin(F.broadcast(probe)).select(
+        "cb_id",
+        "probe_id",
+        *[subdist("cq{}", "pq{}", s).alias(f"pd{s}") for s in range(_PQ_SUB)],
+    )
+    lut_row = lut.groupBy().agg(
+        F.first("probe_id").alias("probe_id"),
+        *[
+            F.map_from_entries(
+                F.collect_list(F.struct("cb_id", f"pd{s}"))
+            ).alias(f"m{s}")
+            for s in range(_PQ_SUB)
+        ],
+    )
+    adc_dist = functools.reduce(
+        operator.add,
+        [
+            F.try_element_at(F.col(f"m{s}"), F.col(f"c{s}"))
+            for s in range(_PQ_SUB)
+        ],
+    )
+    top = (
+        cand.crossJoin(F.broadcast(lut_row))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            "cell",
+            adc_dist.alias("adc_dist"),
+        )
+        .orderBy("adc_dist", "neighbor_id")
+        .limit(10)
+        .withColumn(
+            "rn", F.row_number().over(Window.orderBy("adc_dist", "neighbor_id"))
+        )
+    )
+    exact = functools.reduce(
+        operator.add,
+        [
+            (F.col(f"q{i}") - F.col(f"pq{i}")) * (F.col(f"q{i}") - F.col(f"pq{i}"))
+            for i in range(_EMBED_DIM)
+        ],
+    )
+    return (
+        F.broadcast(top)
+        .join(q, F.col("vec_id") == F.col("neighbor_id"))
+        .crossJoin(F.broadcast(probe.drop("probe_id")))
+        .select(
+            "neighbor_id", "cell", "adc_dist", exact.alias("exact_dist"), "rn"
+        )
+        .orderBy("rn")
+    )

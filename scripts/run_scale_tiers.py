@@ -120,6 +120,10 @@ TIERS = {
         # vectors — the largest tier where the oracle's encode replay is
         # feasible (sf100 is engine-side only: scripts/assert_pq_adc.py)
         "similarity_pq_adc_topk",
+        # r13 append: IVF-PQ (hive-partition inverted lists + DPP-pruned
+        # ADC); same oracle-cost ceiling as PQ — the encode replay caps
+        # the full-oracle tier at 200 K vectors
+        "similarity_ivfpq_pruned_adc_topk",
     ]),
     # batch 4: six heavy TPC-H shapes, BFS + triangle counting over the
     # 60 M-row copurchase graph, both salted operators, Z-order tiling,

@@ -768,3 +768,27 @@ def test_delta_theta_contamination_is_broadcast_only(spark, sf_dir):
         "a one-row stats/theta composition lost its broadcast"
     )
     assert "BatchEvalPython" not in plan
+
+
+def test_ivfpq_scan_is_partition_pruned_broadcast_only(spark, sf_dir):
+    """similarity_ivfpq_pruned_adc_topk (r13): the inverted lists are
+    hive partitions of the codes table, and the 2-cell routing must
+    reach the scan as DYNAMIC PARTITION PRUNING — "search two cells" ==
+    "read two directories". The rest is the PQ contract: no shuffle
+    joins anywhere (broadcast LUT row, broadcast join-back), top-10 a
+    TakeOrdered, no Python."""
+    QUERIES["similarity_ivfpq_pruned_adc_topk"].fn(spark, sf_dir).count()  # build
+    plan = executed_plan(spark, sf_dir, "similarity_ivfpq_pruned_adc_topk")
+    assert "dynamicpruning" in plan, (
+        "the cell-routing join is not pruning the codes scan's partitions"
+    )
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, (
+        "an IVF-PQ query-phase join fell back to a shuffle join"
+    )
+    assert "BroadcastHashJoin" in plan, (
+        "the cell routing / winner join-back lost its broadcast"
+    )
+    assert "TakeOrderedAndProject" in plan, (
+        "ADC top-10 became a full global sort"
+    )
+    assert "BatchEvalPython" not in plan
