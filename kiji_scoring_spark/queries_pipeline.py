@@ -1779,13 +1779,16 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: IVF coarse cells for the IVF-PQ composition: <=32 deterministic seed
-#: vectors (vec_id % 37 = 0, < 37*32) — a FIXED cell count, so the
-#: inverted lists stay O(N/32) rows and the hive-partition layout stays
-#: 32 dirs at any corpus size (vec_id % 100 would grow the cell count
-#: linearly with the corpus — death by tiny partitions at 2 M vectors).
-_IVFPQ_SEED_MOD = 37
-_IVFPQ_SEED_CAP = 37 * 32
+#: IVF coarse cells for the IVF-PQ composition: the 32 corpus vectors
+#: with the SMALLEST md5(vec_id) — a FIXED cell count (inverted lists
+#: stay O(N/32) rows, 32 hive dirs at any corpus size) whose members are
+#: uniformly SPREAD over the id space. Spread matters: the replicated
+#: scale tiers remap vec_id to base*1000+copy, so any "lowest ids" rule
+#: (vec_id < K, probed r13) selects seeds that are all copies of one or
+#: two distinct base embeddings — the seed set collapses and one cell
+#: swallows half the corpus. md5 order is deterministic, SQL-replicable,
+#: and a TakeOrdered (never a global sort) on the Spark side.
+_IVFPQ_NCELLS = 32
 
 _PQ_FULLDIST_SQL = (
     "CAST(list_sum(list_transform(range(1, 65), i -> "
@@ -1796,8 +1799,10 @@ _PQ_FULLDIST_SQL = (
 @query(
     "similarity_ivfpq_pruned_adc_topk",
     f"""
-    -- IVF x PQ, both integer-exact: <=32 deterministic seed cells
-    -- (vec_id % 37 = 0, < 1184), full-vector BIGINT assignment with
+    -- IVF x PQ, both integer-exact: <=32 deterministic seed cells (the
+    -- corpus vectors with smallest md5(vec_id) — id-space-uniform, so
+    -- replicated-tier id remaps can't collapse the seed set onto copies
+    -- of one base vector), full-vector BIGINT assignment with
     -- seed_id tie-break; the SAME deterministic 16-entry PQ codebook
     -- and per-subspace codes as similarity_pq_adc_topk; the query
     -- probes its 2 nearest cells and ADC-ranks ONLY their codes.
@@ -1812,8 +1817,10 @@ _PQ_FULLDIST_SQL = (
       WHERE vec_id % 31 = 0 AND vec_id < 496
     ),
     seeds AS (
-      SELECT vec_id AS seed_id, q AS sq FROM src
-      WHERE vec_id % {_IVFPQ_SEED_MOD} = 0 AND vec_id < {_IVFPQ_SEED_CAP}
+      SELECT vec_id AS seed_id, q AS sq FROM (
+        SELECT vec_id, q FROM src
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_IVFPQ_NCELLS}
+      )
     ),
     probe AS (
       SELECT vec_id AS probe_id, q AS pq FROM src
@@ -1885,8 +1892,11 @@ def similarity_ivfpq_pruned_adc_topk(spark: SparkSession, sf_dir: str) -> DataFr
     (Jégou et al., TPAMI 2011; FAISS's IVFPQ): a coarse inverted-file
     quantizer routes the query to a few cells, and product-quantization
     codes rank ONLY those cells' vectors. Both layers reuse this repo's
-    hash-gate tricks: cells are <=32 DETERMINISTIC seed vectors with
-    exact BIGINT full-vector assignment (the
+    hash-gate tricks: cells are <=32 DETERMINISTIC seed vectors — the
+    corpus vectors with the smallest md5(vec_id), id-space-uniform so a
+    replicated tier's id remap cannot collapse the seeds onto copies of
+    one base embedding (probed r13: a lowest-ids rule put HALF the 2 M
+    corpus in one cell) — with exact BIGINT full-vector assignment (the
     similarity_ivf_deterministic_seeds trick, integer-exact here), codes
     are the same deterministic 16-entry codebook + per-subspace argmin
     as similarity_pq_adc_topk — so assignment, routing, encoding, ADC
@@ -1934,12 +1944,15 @@ def similarity_ivfpq_pruned_adc_topk(spark: SparkSession, sf_dir: str) -> DataFr
         F.col("vec_id").alias("cb_id"),
         *[F.col(f"q{i}").alias(f"cq{i}") for i in range(_EMBED_DIM)],
     )
-    is_seed = (F.col("vec_id") % _IVFPQ_SEED_MOD == 0) & (
-        F.col("vec_id") < _IVFPQ_SEED_CAP
-    )
-    seeds = q.filter(is_seed).select(
-        F.col("vec_id").alias("seed_id"),
-        *[F.col(f"q{i}").alias(f"sq{i}") for i in range(_EMBED_DIM)],
+    # 32 seeds by smallest md5(vec_id): TakeOrdered, never a global sort
+    seeds = (
+        q.withColumn("sh", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("sh", "vec_id")
+        .limit(_IVFPQ_NCELLS)
+        .select(
+            F.col("vec_id").alias("seed_id"),
+            *[F.col(f"q{i}").alias(f"sq{i}") for i in range(_EMBED_DIM)],
+        )
     )
 
     def subdist(l_tpl: str, r_tpl: str, ss: int):

@@ -45,8 +45,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from kiji_scoring_spark.queries import QUERIES  # noqa: E402
 from kiji_scoring_spark.queries_pipeline import (  # noqa: E402
     _EMBED_DIM,
-    _IVFPQ_SEED_CAP,
-    _IVFPQ_SEED_MOD,
+    _IVFPQ_NCELLS,
 )
 from kiji_scoring_spark.session import get_spark  # noqa: E402
 from kiji_scoring_spark.sources import load_table  # noqa: E402
@@ -98,11 +97,14 @@ def main() -> int:
             *[F.col(f"q{i}").alias(f"pq{i}") for i in range(_EMBED_DIM)],
         )
     ).localCheckpoint(eager=False)
-    seeds = q.filter(
-        (F.col("vec_id") % _IVFPQ_SEED_MOD == 0) & (F.col("vec_id") < _IVFPQ_SEED_CAP)
-    ).select(
-        F.col("vec_id").alias("seed_id"),
-        *[F.col(f"q{i}").alias(f"sq{i}") for i in range(_EMBED_DIM)],
+    seeds = (
+        q.withColumn("sh", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("sh", "vec_id")
+        .limit(_IVFPQ_NCELLS)
+        .select(
+            F.col("vec_id").alias("seed_id"),
+            *[F.col(f"q{i}").alias(f"sq{i}") for i in range(_EMBED_DIM)],
+        )
     )
 
     def dist(l_tpl: str, r_tpl: str):
