@@ -176,6 +176,10 @@ HEADLINE = [
     # partition pruning for the 2-cell routing, PQ ADC over the probed
     # cells only; benched so the pruned-scan shape can't regress
     "similarity_ivfpq_pruned_adc_topk",
+    # round 13: streaming ANN-index ingest — per-batch encode + append
+    # into the partitioned inverted lists, DPP-pruned probe over the
+    # accumulated index; joins the replay group
+    "streaming_ann_index_ingest",
 ]
 
 #: round-over-round regression reference (sum over that round's HEADLINE):

@@ -922,6 +922,7 @@ _REPLAY_PREFIXES = (
     "kss_dedupww",
     "kss_kmvfold",
     "kss_famfold",
+    "kss_annidx",
 )
 
 
@@ -1923,6 +1924,220 @@ def streaming_sketch_family_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         "recovered_all_heavy",
         "heavy_within_band",
         "summary_within_k",
+    )
+
+
+def _ann_ingest_oracle() -> str:
+    from .queries_pipeline import (
+        _IVFPQ_NCELLS,
+        _PQ_FULLDIST_SQL,
+        _PQ_Q_SQL,
+        _pq_subdist_sql,
+    )
+
+    return f"""
+    -- Streaming ANN-index maintenance: the oracle encodes the WHOLE
+    -- corpus one-shot (the union of every ingest batch) and answers the
+    -- IVF-PQ probe from it; the Spark side built the SAME index by
+    -- appending each micro-batch's codes into the hive-partitioned
+    -- inverted lists. Encode is per-vector deterministic, so
+    -- ingest-fold == one-shot EXACTLY — the index analog of the sketch
+    -- folds' mergeability gate. Meta (rows ingested, non-empty batches)
+    -- is derivable from the index itself.
+    WITH src AS (
+      SELECT vec_id, {_PQ_Q_SQL} AS q
+      FROM embeddings
+      WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+        AND len(embedding) = 64
+    ),
+    cb AS (
+      SELECT vec_id AS cb_id, q FROM src
+      WHERE vec_id % 31 = 0 AND vec_id < 496
+    ),
+    seeds AS (
+      SELECT vec_id AS seed_id, q AS sq FROM (
+        SELECT vec_id, q FROM src
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_IVFPQ_NCELLS}
+      )
+    ),
+    probe AS (
+      SELECT vec_id AS probe_id, q AS pq FROM src
+      WHERE NOT (vec_id % 31 = 0 AND vec_id < 496)
+      ORDER BY vec_id LIMIT 1
+    ),
+    sub AS (SELECT unnest(range(0, 8)) AS ss),
+    asg AS (
+      SELECT vec_id, cell FROM (
+        SELECT s.vec_id, d.seed_id AS cell,
+          ROW_NUMBER() OVER (PARTITION BY s.vec_id
+            ORDER BY {_PQ_FULLDIST_SQL.format(l="s.q", r="d.sq")}, d.seed_id
+          ) AS rn
+        FROM src s CROSS JOIN seeds d
+      ) t WHERE rn = 1
+    ),
+    pcells AS (
+      SELECT cell FROM (
+        SELECT d.seed_id AS cell,
+          ROW_NUMBER() OVER (
+            ORDER BY {_PQ_FULLDIST_SQL.format(l="p.pq", r="d.sq")}, d.seed_id
+          ) AS rn
+        FROM seeds d CROSS JOIN probe p
+      ) t WHERE rn <= 2
+    ),
+    codes AS (
+      SELECT vec_id, ss, cb_id FROM (
+        SELECT s.vec_id, sub.ss, c.cb_id,
+          ROW_NUMBER() OVER (PARTITION BY s.vec_id, sub.ss
+            ORDER BY {_pq_subdist_sql("s.q", "c.q")}, c.cb_id) AS rn
+        FROM src s CROSS JOIN cb c CROSS JOIN sub
+      ) t WHERE rn = 1
+    ),
+    lut AS (
+      SELECT c.cb_id, sub.ss,
+        {_pq_subdist_sql("c.q", "p.pq")} AS pd
+      FROM cb c CROSS JOIN probe p CROSS JOIN sub
+    ),
+    adc AS (
+      SELECT codes.vec_id AS neighbor_id, a.cell,
+        CAST(SUM(lut.pd) AS BIGINT) AS adc_dist
+      FROM codes
+      JOIN asg a ON a.vec_id = codes.vec_id
+      JOIN pcells pc ON pc.cell = a.cell
+      JOIN lut ON codes.ss = lut.ss AND codes.cb_id = lut.cb_id
+      CROSS JOIN probe
+      WHERE codes.vec_id <> probe.probe_id
+      GROUP BY codes.vec_id, a.cell
+    ),
+    top AS (
+      SELECT neighbor_id, cell, adc_dist,
+        ROW_NUMBER() OVER (ORDER BY adc_dist, neighbor_id) AS rn
+      FROM adc
+    ),
+    meta AS (
+      SELECT COUNT(*) AS n_ingested,
+        COUNT(DISTINCT ((vec_id % 3) + 3) % 3) AS n_batches
+      FROM src
+    )
+    SELECT t.neighbor_id, t.cell, t.adc_dist,
+      CAST(list_sum(list_transform(range(1, 65), i ->
+        (s.q[i] - p.pq[i]) * (s.q[i] - p.pq[i]))) AS BIGINT) AS exact_dist,
+      t.rn, m.n_ingested, m.n_batches
+    FROM top t
+    JOIN src s ON s.vec_id = t.neighbor_id
+    CROSS JOIN probe p
+    CROSS JOIN meta m
+    WHERE t.rn <= 10
+    ORDER BY t.rn
+    """
+
+
+@query(
+    "streaming_ann_index_ingest",
+    _ann_ingest_oracle(),
+    "streaming", "similarity", "incremental", "sink",
+)
+def streaming_ann_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN-INDEX maintenance (§2.F × §2.G): embedding vectors
+    arrive in micro-batches, and each batch is ENCODED (PQ codes +
+    IVF cell) against the fixed broadcast codebook/seeds and APPENDED
+    into the hive-partitioned inverted lists — the index a 100 TB
+    pipeline keeps warm as new embeddings land, absorbed per arrival
+    with no rebuild and no touch of the existing lists (an append adds
+    part-files inside the cell directories). The final probe answers
+    from the ACCUMULATED index via the same DPP-pruned ADC as
+    similarity_ivfpq_pruned_adc_topk; because encode is a per-vector
+    deterministic function, ingest-fold == one-shot index EXACTLY, and
+    the oracle (which encodes the whole corpus directly) proves it
+    under the hash gate — the index analog of the sketch folds'
+    mergeability property, under real StreamingQuery ingest.
+
+    Per-batch work: two broadcast passes over the micro-batch (16
+    codebook rows, <=32 seed rows, map-side partial min_by) + one
+    partitioned append — never a scan of the standing index. Query
+    phase: routing broadcast + dynamic partition pruning + TakeOrdered.
+    Meta (rows ingested, non-empty ingest batches) is derived from the
+    index itself, so it is oracle-stateable. Reference parity: the
+    continuously-maintained derived-artifact pattern
+    (KijiFreshnessManager.java:235-239, mMetaTable.putValue) applied to
+    an ANN index."""
+    import shutil
+
+    from .queries_pipeline import (
+        _EMBED_DIM,
+        _IVFPQ_CODES_SCHEMA,
+        _ivfpq_cb,
+        _ivfpq_encode,
+        _ivfpq_query_phase,
+        _ivfpq_quantize,
+        _ivfpq_seeds,
+    )
+    from .state import state_tag
+
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id").isNotNull()
+        & F.col("embedding").isNotNull()
+        & (F.size("embedding") == _EMBED_DIM)
+    )
+    q = _ivfpq_quantize(e)
+    cb = _ivfpq_cb(q)
+    seeds = _ivfpq_seeds(q)
+
+    # three deterministic ingest batches by key residue (embeddings
+    # carry no timestamp); quantization is row-local so the replay
+    # streams the quantized columns directly
+    qcols = ["vec_id"] + [f"q{i}" for i in range(_EMBED_DIM)]
+    parts = tuple(
+        q.filter(F.pmod(F.col("vec_id"), F.lit(3)) == r).select(*qcols)
+        for r in range(3)
+    )
+    base = _replay_files("kss_annidx", sf_dir, parts)
+
+    run_base = os.path.join(
+        _state_module.stream_scratch_root(), f"kss_annidx_run_{state_tag(sf_dir)}"
+    )
+    shutil.rmtree(run_base, ignore_errors=True)
+    codes_dir = os.path.join(run_base, "codes")
+
+    # the index CONFIGURATION (codebook + seeds) is fixed before ingest
+    # begins — persisted once so every micro-batch encodes against the
+    # same broadcast tables, the way a real pipeline pins its trained
+    # quantizers
+    cb.write.parquet(os.path.join(run_base, "cb"))
+    seeds.write.parquet(os.path.join(run_base, "seeds"))
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        bcb = sess.read.parquet(os.path.join(run_base, "cb"))
+        bseeds = sess.read.parquet(os.path.join(run_base, "seeds"))
+        _ivfpq_encode(batch_df, bcb, bseeds).write.mode("append").partitionBy(
+            "cell"
+        ).parquet(codes_dir)
+
+    stream = (
+        spark.readStream.schema(", ".join(f"{c} long" for c in qcols))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(base, "stream"))
+    )
+    with _state_partitions(spark, 2):
+        sq = (
+            stream.writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", os.path.join(run_base, "cp"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination()
+
+    codes = spark.read.schema(_IVFPQ_CODES_SCHEMA).parquet(codes_dir)
+    meta = codes.agg(
+        F.count(F.lit(1)).alias("n_ingested"),
+        F.count_distinct(F.pmod(F.col("vec_id"), F.lit(3))).alias("n_batches"),
+    )
+    # re-impose the rank order: the meta crossJoin does not preserve the
+    # query phase's ORDER BY rn
+    return (
+        _ivfpq_query_phase(q, cb, seeds, codes)
+        .crossJoin(F.broadcast(meta))
+        .orderBy("rn")
     )
 
 

@@ -1796,6 +1796,186 @@ _PQ_FULLDIST_SQL = (
 )
 
 
+def _ivfpq_subdist(l_tpl: str, r_tpl: str, ss: int):
+    """Exact BIGINT squared distance over one PQ subspace's columns."""
+    return functools.reduce(
+        operator.add,
+        [
+            (F.col(l_tpl.format(i)) - F.col(r_tpl.format(i)))
+            * (F.col(l_tpl.format(i)) - F.col(r_tpl.format(i)))
+            for i in range(ss * _PQ_SUBDIM, (ss + 1) * _PQ_SUBDIM)
+        ],
+    )
+
+
+def _ivfpq_fulldist(l_tpl: str, r_tpl: str):
+    """Exact BIGINT squared distance over all 64 quantized columns."""
+    return functools.reduce(
+        operator.add,
+        [
+            (F.col(l_tpl.format(i)) - F.col(r_tpl.format(i)))
+            * (F.col(l_tpl.format(i)) - F.col(r_tpl.format(i)))
+            for i in range(_EMBED_DIM)
+        ],
+    )
+
+
+def _ivfpq_quantize(e: DataFrame) -> DataFrame:
+    """(vec_id, q0..q63): the int8-style round(x*100) BIGINT quantization."""
+    return e.select(
+        "vec_id",
+        *[
+            F.round(F.col("embedding")[i].cast("double") * 100)
+            .cast("long")
+            .alias(f"q{i}")
+            for i in range(_EMBED_DIM)
+        ],
+    )
+
+
+def _ivfpq_is_cb():
+    # a function, not a module constant: Column construction needs an
+    # active SparkContext, which import time does not guarantee
+    return (F.col("vec_id") % 31 == 0) & (F.col("vec_id") < 496)
+
+
+def _ivfpq_cb(q: DataFrame) -> DataFrame:
+    """The deterministic 16-entry PQ codebook (similarity_pq_adc_topk's)."""
+    return q.filter(_ivfpq_is_cb()).select(
+        F.col("vec_id").alias("cb_id"),
+        *[F.col(f"q{i}").alias(f"cq{i}") for i in range(_EMBED_DIM)],
+    )
+
+
+def _ivfpq_seeds(q: DataFrame) -> DataFrame:
+    """The <=32 coarse-cell seeds: smallest md5(vec_id) — id-space-uniform
+    (replicated-tier id remaps can't collapse the set), TakeOrdered."""
+    return (
+        q.withColumn("sh", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("sh", "vec_id")
+        .limit(_IVFPQ_NCELLS)
+        .select(
+            F.col("vec_id").alias("seed_id"),
+            *[F.col(f"q{i}").alias(f"sq{i}") for i in range(_EMBED_DIM)],
+        )
+    )
+
+
+def _ivfpq_encode(q: DataFrame, cb: DataFrame, seeds: DataFrame) -> DataFrame:
+    """(vec_id, c0..c7, cell): per-subspace argmin codes against the 16-row
+    broadcast codebook + full-vector argmin cell against the <=32 broadcast
+    seeds — one narrow pass each, map-side partial min_by, one join."""
+    enc = (
+        q.crossJoin(F.broadcast(cb))
+        .groupBy("vec_id")
+        .agg(
+            *[
+                F.min_by(
+                    "cb_id", F.struct(_ivfpq_subdist("q{}", "cq{}", s), F.col("cb_id"))
+                ).alias(f"c{s}")
+                for s in range(_PQ_SUB)
+            ]
+        )
+    )
+    cells = (
+        q.crossJoin(F.broadcast(seeds))
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(
+                "seed_id", F.struct(_ivfpq_fulldist("q{}", "sq{}"), F.col("seed_id"))
+            ).alias("cell")
+        )
+    )
+    return enc.join(cells, "vec_id")
+
+
+_IVFPQ_CODES_SCHEMA = (
+    "vec_id long, "
+    + ", ".join(f"c{s} long" for s in range(_PQ_SUB))
+    + ", cell long"
+)
+
+
+def _ivfpq_query_phase(q: DataFrame, cb: DataFrame, seeds: DataFrame, codes: DataFrame) -> DataFrame:
+    """The DPP-pruned ADC top-10 over a (vec_id, c0..c7, cell) codes table:
+    route the probe to its 2 nearest cells (the routing join keys on the
+    partition column, so dynamic partition pruning reads only those
+    cells' directories), ADC-rank via ONE broadcast LUT row of maps,
+    TakeOrdered(10), and attach the winners' exact quantized distances
+    by a 10-row broadcast join-back."""
+    probe = (
+        q.filter(~_ivfpq_is_cb())
+        .orderBy("vec_id")
+        .limit(1)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            *[F.col(f"q{i}").alias(f"pq{i}") for i in range(_EMBED_DIM)],
+        )
+    ).localCheckpoint(eager=False)
+    pcells = (
+        seeds.crossJoin(F.broadcast(probe))
+        .select(
+            F.col("seed_id").alias("cell"),
+            _ivfpq_fulldist("sq{}", "pq{}").alias("sd"),
+        )
+        .orderBy("sd", "cell")
+        .limit(2)
+        .select("cell")
+    )
+    cand = codes.join(F.broadcast(pcells), "cell")
+    lut = cb.crossJoin(F.broadcast(probe)).select(
+        "cb_id",
+        "probe_id",
+        *[_ivfpq_subdist("cq{}", "pq{}", s).alias(f"pd{s}") for s in range(_PQ_SUB)],
+    )
+    lut_row = lut.groupBy().agg(
+        F.first("probe_id").alias("probe_id"),
+        *[
+            F.map_from_entries(
+                F.collect_list(F.struct("cb_id", f"pd{s}"))
+            ).alias(f"m{s}")
+            for s in range(_PQ_SUB)
+        ],
+    )
+    adc_dist = functools.reduce(
+        operator.add,
+        [
+            F.try_element_at(F.col(f"m{s}"), F.col(f"c{s}"))
+            for s in range(_PQ_SUB)
+        ],
+    )
+    top = (
+        cand.crossJoin(F.broadcast(lut_row))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            "cell",
+            adc_dist.alias("adc_dist"),
+        )
+        .orderBy("adc_dist", "neighbor_id")
+        .limit(10)
+        .withColumn(
+            "rn", F.row_number().over(Window.orderBy("adc_dist", "neighbor_id"))
+        )
+    )
+    exact = functools.reduce(
+        operator.add,
+        [
+            (F.col(f"q{i}") - F.col(f"pq{i}")) * (F.col(f"q{i}") - F.col(f"pq{i}"))
+            for i in range(_EMBED_DIM)
+        ],
+    )
+    return (
+        F.broadcast(top)
+        .join(q, F.col("vec_id") == F.col("neighbor_id"))
+        .crossJoin(F.broadcast(probe.drop("probe_id")))
+        .select(
+            "neighbor_id", "cell", "adc_dist", exact.alias("exact_dist"), "rn"
+        )
+        .orderBy("rn")
+    )
+
+
 @query(
     "similarity_ivfpq_pruned_adc_topk",
     f"""
@@ -1930,165 +2110,18 @@ def similarity_ivfpq_pruned_adc_topk(spark: SparkSession, sf_dir: str) -> DataFr
         & F.col("embedding").isNotNull()
         & (F.size("embedding") == _EMBED_DIM)
     )
-    q = e.select(
-        "vec_id",
-        *[
-            F.round(F.col("embedding")[i].cast("double") * 100)
-            .cast("long")
-            .alias(f"q{i}")
-            for i in range(_EMBED_DIM)
-        ],
-    )
-    is_cb = (F.col("vec_id") % 31 == 0) & (F.col("vec_id") < 496)
-    cb = q.filter(is_cb).select(
-        F.col("vec_id").alias("cb_id"),
-        *[F.col(f"q{i}").alias(f"cq{i}") for i in range(_EMBED_DIM)],
-    )
-    # 32 seeds by smallest md5(vec_id): TakeOrdered, never a global sort
-    seeds = (
-        q.withColumn("sh", F.md5(F.col("vec_id").cast("string")))
-        .orderBy("sh", "vec_id")
-        .limit(_IVFPQ_NCELLS)
-        .select(
-            F.col("vec_id").alias("seed_id"),
-            *[F.col(f"q{i}").alias(f"sq{i}") for i in range(_EMBED_DIM)],
-        )
-    )
+    q = _ivfpq_quantize(e)
+    cb = _ivfpq_cb(q)
+    seeds = _ivfpq_seeds(q)
 
-    def subdist(l_tpl: str, r_tpl: str, ss: int):
-        return functools.reduce(
-            operator.add,
-            [
-                (F.col(l_tpl.format(i)) - F.col(r_tpl.format(i)))
-                * (F.col(l_tpl.format(i)) - F.col(r_tpl.format(i)))
-                for i in range(ss * _PQ_SUBDIM, (ss + 1) * _PQ_SUBDIM)
-            ],
-        )
-
-    def fulldist(l_tpl: str, r_tpl: str):
-        return functools.reduce(
-            operator.add,
-            [
-                (F.col(l_tpl.format(i)) - F.col(r_tpl.format(i)))
-                * (F.col(l_tpl.format(i)) - F.col(r_tpl.format(i)))
-                for i in range(_EMBED_DIM)
-            ],
-        )
-
-    codes_schema = (
-        "vec_id long, "
-        + ", ".join(f"c{s} long" for s in range(_PQ_SUB))
-        + ", cell long"
-    )
     path = _state_path(sf_dir, "ivfpq_codes_embeddings.parquet")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        enc = (
-            q.crossJoin(F.broadcast(cb))
-            .groupBy("vec_id")
-            .agg(
-                *[
-                    F.min_by(
-                        "cb_id", F.struct(subdist("q{}", "cq{}", s), F.col("cb_id"))
-                    ).alias(f"c{s}")
-                    for s in range(_PQ_SUB)
-                ]
-            )
-        )
-        cells = (
-            q.crossJoin(F.broadcast(seeds))
-            .groupBy("vec_id")
-            .agg(
-                F.min_by(
-                    "seed_id", F.struct(fulldist("q{}", "sq{}"), F.col("seed_id"))
-                ).alias("cell")
-            )
-        )
-        (
-            enc.join(cells, "vec_id")
-            .write.mode("overwrite")
-            .partitionBy("cell")
-            .parquet(path)
-        )
+        _ivfpq_encode(q, cb, seeds).write.mode("overwrite").partitionBy(
+            "cell"
+        ).parquet(path)
     # explicit schema: (a) the hive partition column must read back as
     # LONG, not the inferred INT of its path strings; (b) an EMPTY corpus
     # writes a partitioned dir with no data files, which schema inference
     # cannot read but an explicit schema can (empty scan)
-    codes = spark.read.schema(codes_schema).parquet(path)
-
-    probe = (
-        q.filter(~is_cb)
-        .orderBy("vec_id")
-        .limit(1)
-        .select(
-            F.col("vec_id").alias("probe_id"),
-            *[F.col(f"q{i}").alias(f"pq{i}") for i in range(_EMBED_DIM)],
-        )
-    )
-    probe = probe.localCheckpoint(eager=False)
-    # routing: the probe's 2 nearest cells by exact BIGINT distance —
-    # <=32 seed rows, one broadcast, deterministic (dist, seed_id) order
-    pcells = (
-        seeds.crossJoin(F.broadcast(probe))
-        .select(
-            F.col("seed_id").alias("cell"),
-            fulldist("sq{}", "pq{}").alias("sd"),
-        )
-        .orderBy("sd", "cell")
-        .limit(2)
-        .select("cell")
-    )
-    # the join key IS the partition column: dynamic partition pruning
-    # reads only the two probed cells' directories (plan-gated)
-    cand = codes.join(F.broadcast(pcells), "cell")
-
-    lut = cb.crossJoin(F.broadcast(probe)).select(
-        "cb_id",
-        "probe_id",
-        *[subdist("cq{}", "pq{}", s).alias(f"pd{s}") for s in range(_PQ_SUB)],
-    )
-    lut_row = lut.groupBy().agg(
-        F.first("probe_id").alias("probe_id"),
-        *[
-            F.map_from_entries(
-                F.collect_list(F.struct("cb_id", f"pd{s}"))
-            ).alias(f"m{s}")
-            for s in range(_PQ_SUB)
-        ],
-    )
-    adc_dist = functools.reduce(
-        operator.add,
-        [
-            F.try_element_at(F.col(f"m{s}"), F.col(f"c{s}"))
-            for s in range(_PQ_SUB)
-        ],
-    )
-    top = (
-        cand.crossJoin(F.broadcast(lut_row))
-        .filter(F.col("vec_id") != F.col("probe_id"))
-        .select(
-            F.col("vec_id").alias("neighbor_id"),
-            "cell",
-            adc_dist.alias("adc_dist"),
-        )
-        .orderBy("adc_dist", "neighbor_id")
-        .limit(10)
-        .withColumn(
-            "rn", F.row_number().over(Window.orderBy("adc_dist", "neighbor_id"))
-        )
-    )
-    exact = functools.reduce(
-        operator.add,
-        [
-            (F.col(f"q{i}") - F.col(f"pq{i}")) * (F.col(f"q{i}") - F.col(f"pq{i}"))
-            for i in range(_EMBED_DIM)
-        ],
-    )
-    return (
-        F.broadcast(top)
-        .join(q, F.col("vec_id") == F.col("neighbor_id"))
-        .crossJoin(F.broadcast(probe.drop("probe_id")))
-        .select(
-            "neighbor_id", "cell", "adc_dist", exact.alias("exact_dist"), "rn"
-        )
-        .orderBy("rn")
-    )
+    codes = spark.read.schema(_IVFPQ_CODES_SCHEMA).parquet(path)
+    return _ivfpq_query_phase(q, cb, seeds, codes)

@@ -116,6 +116,10 @@ TIERS = {
         # through one foreachBatch pipeline) over the same 10 M-event
         # replay; the oracle's global-rank percentiles are its cost
         "streaming_sketch_family_fold",
+        # r13 append: streaming ANN-index ingest at 200 K vectors —
+        # per-batch encode + partitioned append, ingest == one-shot
+        # index under the hash gate (same oracle-cost ceiling as PQ)
+        "streaming_ann_index_ingest",
         # r12 append: PQ ADC top-k with the full DuckDB oracle at 200 K
         # vectors — the largest tier where the oracle's encode replay is
         # feasible (sf100 is engine-side only: scripts/assert_pq_adc.py)

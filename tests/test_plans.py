@@ -792,3 +792,21 @@ def test_ivfpq_scan_is_partition_pruned_broadcast_only(spark, sf_dir):
         "ADC top-10 became a full global sort"
     )
     assert "BatchEvalPython" not in plan
+
+
+def test_streaming_ann_ingest_final_plan_is_pruned_broadcast_only(spark, sf_dir):
+    """streaming_ann_index_ingest (r13): the final probe over the
+    stream-accumulated index must keep the IVF-PQ contract — dynamic
+    partition pruning on the codes scan, no shuffle joins, TakeOrdered
+    top-10, no Python. (The per-batch encode runs inside foreachBatch;
+    this gates the serving plan the ingest leaves behind.)"""
+    plan = executed_plan(spark, sf_dir, "streaming_ann_index_ingest")
+    assert "dynamicpruning" in plan, (
+        "the cell routing is not pruning the accumulated index's partitions"
+    )
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, (
+        "a query-phase join fell back to a shuffle join"
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
