@@ -1928,7 +1928,9 @@ def streaming_sketch_family_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ann_ingest_oracle() -> str:
-    from .queries_pipeline import (
+    # pq_common is a LEAF module: safe at decoration time whatever the
+    # package's import order (queries_pipeline itself would be circular)
+    from .pq_common import (
         _IVFPQ_NCELLS,
         _PQ_FULLDIST_SQL,
         _PQ_Q_SQL,
@@ -2079,8 +2081,13 @@ def streaming_ann_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.size("embedding") == _EMBED_DIM)
     )
     q = _ivfpq_quantize(e)
-    cb = _ivfpq_cb(q)
-    seeds = _ivfpq_seeds(q)
+    # the index CONFIGURATION (codebook + seeds) is fixed before ingest
+    # begins, the way a real pipeline pins its trained quantizers; lazy
+    # localCheckpoint executes each derivation ONCE — every micro-batch
+    # and the final probe then encode/route against the same 16+32
+    # materialized rows instead of re-scanning the corpus per batch
+    cb = _ivfpq_cb(q).localCheckpoint(eager=False)
+    seeds = _ivfpq_seeds(q).localCheckpoint(eager=False)
 
     # three deterministic ingest batches by key residue (embeddings
     # carry no timestamp); quantization is row-local so the replay
@@ -2098,18 +2105,10 @@ def streaming_ann_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(run_base, ignore_errors=True)
     codes_dir = os.path.join(run_base, "codes")
 
-    # the index CONFIGURATION (codebook + seeds) is fixed before ingest
-    # begins — persisted once so every micro-batch encodes against the
-    # same broadcast tables, the way a real pipeline pins its trained
-    # quantizers
-    cb.write.parquet(os.path.join(run_base, "cb"))
-    seeds.write.parquet(os.path.join(run_base, "seeds"))
-
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
-        sess = batch_df.sparkSession
-        bcb = sess.read.parquet(os.path.join(run_base, "cb"))
-        bseeds = sess.read.parquet(os.path.join(run_base, "seeds"))
-        _ivfpq_encode(batch_df, bcb, bseeds).write.mode("append").partitionBy(
+        # foreachBatch runs on the driver: the checkpointed config frames
+        # are same-session and usable directly — no per-batch re-read
+        _ivfpq_encode(batch_df, cb, seeds).write.mode("append").partitionBy(
             "cell"
         ).parquet(codes_dir)
 
@@ -2132,10 +2131,15 @@ def streaming_ann_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_ingested"),
         F.count_distinct(F.pmod(F.col("vec_id"), F.lit(3))).alias("n_batches"),
     )
-    # re-impose the rank order: the meta crossJoin does not preserve the
-    # query phase's ORDER BY rn
+    # the SERVING plan derives cb/seeds fresh (not the checkpointed
+    # ingest config): dynamic partition pruning needs to clone the
+    # routing join's build side into a pruning subquery, and an
+    # RDD-backed (localCheckpoint) build side blocks that — probed r13:
+    # the checkpointed seeds silently cost the codes scan its DPP.
+    # Re-impose the rank order: the meta crossJoin does not preserve the
+    # query phase's ORDER BY rn.
     return (
-        _ivfpq_query_phase(q, cb, seeds, codes)
+        _ivfpq_query_phase(q, _ivfpq_cb(q), _ivfpq_seeds(q), codes)
         .crossJoin(F.broadcast(meta))
         .orderBy("rn")
     )

@@ -572,7 +572,9 @@ def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: testdata). Training-data embedding columns are fixed-dim in practice;
 #: knowing the width statically lets the pair-dedup query unpack vectors
 #: into primitive columns so the dot product runs in whole-stage codegen.
-_EMBED_DIM = 64
+#: (constant lives in pq_common — a leaf module — so queries_ml's
+#: decoration-time oracle strings can import it without a cycle)
+from .pq_common import _EMBED_DIM  # noqa: E402
 
 #: unit-normalized embedding (shared Spark/DuckDB formula: double-cast
 #: elements divided by the left-fold L2 norm, so both engines produce
@@ -1539,25 +1541,13 @@ def similarity_ivf_deterministic_seeds(spark: SparkSession, sf_dir: str) -> Data
     )
 
 
-_PQ_SUB = 8      # subspaces
-_PQ_SUBDIM = _EMBED_DIM // _PQ_SUB  # dims per subspace (8)
-
-# DuckDB fragments for the PQ oracle: integer quantization q = round(x*100)
-# and a per-subspace squared distance between two quantized lists. All
-# arithmetic is BIGINT, so both engines are bit-identical at any magnitude.
-_PQ_Q_SQL = (
-    "list_transform(range(1, 65), i -> "
-    "CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 100) AS BIGINT))"
+# PQ constants + DuckDB oracle fragments live in pq_common (leaf module)
+from .pq_common import (  # noqa: E402
+    _PQ_SUB,
+    _PQ_SUBDIM,
+    _PQ_Q_SQL,
+    _pq_subdist_sql,
 )
-
-
-def _pq_subdist_sql(left: str, right: str) -> str:
-    """Σ over a subspace (columns ss*8+1 .. ss*8+8) of squared diffs."""
-    return (
-        "CAST(list_sum(list_transform(range(1, 9), i -> "
-        f"({left}[sub.ss*8 + i] - {right}[sub.ss*8 + i]) * "
-        f"({left}[sub.ss*8 + i] - {right}[sub.ss*8 + i]))) AS BIGINT)"
-    )
 
 
 @query(
@@ -1779,21 +1769,9 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: IVF coarse cells for the IVF-PQ composition: the 32 corpus vectors
-#: with the SMALLEST md5(vec_id) — a FIXED cell count (inverted lists
-#: stay O(N/32) rows, 32 hive dirs at any corpus size) whose members are
-#: uniformly SPREAD over the id space. Spread matters: the replicated
-#: scale tiers remap vec_id to base*1000+copy, so any "lowest ids" rule
-#: (vec_id < K, probed r13) selects seeds that are all copies of one or
-#: two distinct base embeddings — the seed set collapses and one cell
-#: swallows half the corpus. md5 order is deterministic, SQL-replicable,
-#: and a TakeOrdered (never a global sort) on the Spark side.
-_IVFPQ_NCELLS = 32
-
-_PQ_FULLDIST_SQL = (
-    "CAST(list_sum(list_transform(range(1, 65), i -> "
-    "({l}[i] - {r}[i]) * ({l}[i] - {r}[i]))) AS BIGINT)"
-)
+# IVF-PQ cell count + full-vector distance fragment live in pq_common
+# (leaf module; see its docstrings for the seed-spread rationale)
+from .pq_common import _IVFPQ_NCELLS, _PQ_FULLDIST_SQL  # noqa: E402
 
 
 def _ivfpq_subdist(l_tpl: str, r_tpl: str, ss: int):
@@ -1863,30 +1841,54 @@ def _ivfpq_seeds(q: DataFrame) -> DataFrame:
 
 def _ivfpq_encode(q: DataFrame, cb: DataFrame, seeds: DataFrame) -> DataFrame:
     """(vec_id, c0..c7, cell): per-subspace argmin codes against the 16-row
-    broadcast codebook + full-vector argmin cell against the <=32 broadcast
-    seeds — one narrow pass each, map-side partial min_by, one join."""
-    enc = (
-        q.crossJoin(F.broadcast(cb))
+    codebook + full-vector argmin cell against the <=32 seeds, in ONE
+    broadcast crossJoin + ONE map-side-partial aggregation. The codebook
+    and seed rows ride the same <=48-row broadcast, tagged; each argmin's
+    ordering key sends the other tag's rows to +inf, so codebook rows can
+    never win the cell and seed rows can never win a code — identical
+    output to the two-pass formulation, one shuffle and no join fewer
+    (the r13 profile put ~1.2 s of a micro-batch's encode in that extra
+    job machinery)."""
+    big = F.lit(1 << 62).cast("long")
+    both = cb.select(
+        F.lit(True).alias("is_cb"),
+        F.col("cb_id").alias("rid"),
+        *[F.col(f"cq{i}").alias(f"r{i}") for i in range(_EMBED_DIM)],
+    ).unionByName(
+        seeds.select(
+            F.lit(False).alias("is_cb"),
+            F.col("seed_id").alias("rid"),
+            *[F.col(f"sq{i}").alias(f"r{i}") for i in range(_EMBED_DIM)],
+        )
+    )
+
+    def only(tag_is_cb: bool, expr):
+        cond = F.col("is_cb") if tag_is_cb else ~F.col("is_cb")
+        return F.when(cond, expr).otherwise(big)
+
+    return (
+        q.crossJoin(F.broadcast(both))
         .groupBy("vec_id")
         .agg(
             *[
                 F.min_by(
-                    "cb_id", F.struct(_ivfpq_subdist("q{}", "cq{}", s), F.col("cb_id"))
+                    "rid",
+                    F.struct(
+                        only(True, _ivfpq_subdist("q{}", "r{}", s)),
+                        only(True, F.col("rid")),
+                    ),
                 ).alias(f"c{s}")
                 for s in range(_PQ_SUB)
-            ]
-        )
-    )
-    cells = (
-        q.crossJoin(F.broadcast(seeds))
-        .groupBy("vec_id")
-        .agg(
+            ],
             F.min_by(
-                "seed_id", F.struct(_ivfpq_fulldist("q{}", "sq{}"), F.col("seed_id"))
-            ).alias("cell")
+                "rid",
+                F.struct(
+                    only(False, _ivfpq_fulldist("q{}", "r{}")),
+                    only(False, F.col("rid")),
+                ),
+            ).alias("cell"),
         )
     )
-    return enc.join(cells, "vec_id")
 
 
 _IVFPQ_CODES_SCHEMA = (
