@@ -364,3 +364,24 @@ def test_read_delta_empty_append_reconstructs_schema(spark, table_path):
     )
     d = sn.read_delta(spark, table_path, v1, v2)
     assert d.count() == 0 and set(d.columns) == {"k", "v"}
+
+
+def test_read_delta_over_partitioned_commits(spark, table_path):
+    """A partitioned append's delta reads back with partition pruning
+    intact: the delta dirs are hive roots like any other commit dir."""
+    sn.commit_snapshot(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"),
+        table_path,
+        mode="overwrite",
+    )
+    v2 = sn.commit_snapshot(
+        spark.createDataFrame([(3, "a"), (4, "b")], "k int, v string"),
+        table_path,
+        partition_by=["v"],
+    )
+    d = sn.read_delta(spark, table_path, 1, v2)
+    assert rows(d) == [(3, "a"), (4, "b")]
+    pruned = d.filter(d.v == "a")
+    assert rows(pruned) == [(3, "a")]
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
