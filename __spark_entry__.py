@@ -32,30 +32,33 @@ def entry(spark: SparkSession) -> DataFrame:
 #: CORRECTNESS file lands with them green.
 _FORCE_RECHECK: frozenset[str] = frozenset(
     {
-        # Entries are added as code changes each round; all six r12
-        # entries earned fresh green rows in CORRECTNESS_r12 and were
+        # Entries are added as code changes each round; all five r13
+        # entries earned fresh green rows in CORRECTNESS_r13 and were
         # cleared per protocol.
         #
-        # r13: the three persisted-sketch state builds were rewritten
-        # from a single low-cardinality window rank (the r12 verdict's
-        # one scale flaw: a single-task sort of n/groups rows) to
-        # _grouped_top_k — per-Spark-partition bottom-K, then a rank
-        # over the <= partitions*K survivors. Output byte-identical by
-        # the mergeability lemma (A/B-verified at sf0.001 + sf0.01 and
-        # pinned by tests/test_grouped_topk.py), but changed build code
-        # ⇒ re-verify all three.
+        # r14 (r13 verdict #2): the three sibling replay builders'
+        # one-row tranche-bound crossJoin(mx) gained the explicit
+        # F.broadcast pin. Plan-level only, but changed code ⇒
+        # re-verify.
+        "streaming_watermark_late_drop",
+        "streaming_stateful_running_user_totals",
+        "streaming_foreachbatch_merge_upsert",
+        # r14 (r13 ADVICE): the family fold's versioned state write went
+        # errorifexists → mode("overwrite") so an at-least-once retry of
+        # a failed batch_id can recommit over its own partial dir.
+        "streaming_sketch_family_fold",
+        # r14 (r13 ADVICE): ANN ingest made idempotent — each batch
+        # overwrites its own ingest_batch=<id> subdir (cell hive level
+        # inside it) instead of mode("append") into the shared root, so
+        # a retried batch replaces its prior attempt rather than
+        # appending duplicate code rows.
+        "streaming_ann_index_ingest",
+        # r14 (r13 ADVICE): _grouped_top_k's scratch columns renamed to
+        # collision-safe __gtk_* names. Internal-only, but changed build
+        # code for the three persisted-sketch states ⇒ re-verify.
         "sketch_theta_set_ops",
         "sketch_bottomk_sample_shards",
         "sketch_topk_shard_merge",
-        # r13: the tranche-bound crossJoin(mx) gained an explicit
-        # F.broadcast pin (r12 verdict #3). Plan-level only, but changed
-        # code ⇒ re-verify.
-        "streaming_sketch_incremental_merge",
-        # r13 (r12 ADVICE): streaming_parquet_sink_daily's scratch base
-        # moved tempfile.gettempdir() → stream_scratch_root() in r12 but
-        # was not re-verified then; the protocol is mechanical, so it
-        # re-verifies now.
-        "streaming_parquet_sink_daily",
     }
 )
 

@@ -63,10 +63,15 @@ def _grouped_top_k(df, group_cols, order_cols, k: int, rn_col: str):
       keeps K per slice;
     - stage 2 ranks the <= partitions*K survivors per group.
 
-    Callers pass a TIE-FREE ``order_cols`` (md5 hashes; (count, item)
-    pairs unique post-groupBy), so the per-group top-K set is unique and
-    the output is byte-identical to the single-window rank no matter how
-    the rows were physically partitioned. Catalyst additionally inserts
+    HARD PRECONDITION: ``order_cols`` must be a TIE-FREE total order
+    within every group (md5 hashes; (count, item) pairs unique
+    post-groupBy). Only then is the per-group top-K SET unique and the
+    output byte-identical to the single-window rank no matter how the
+    rows were physically partitioned — with ties, which duplicate ranks
+    K-th is partitioning-dependent and the equivalence lemma does not
+    hold. Callers own this guarantee (it is not checkable without a
+    second full pass); every in-repo call site appends a unique column
+    to the ordering. Catalyst additionally inserts
     ``WindowGroupLimit(Partial)`` below both exchanges (Spark 3.5+
     InferWindowGroupLimit), so neither shuffle ever carries more than K
     rows per group per upstream partition; tests/test_plans.py pins both
@@ -74,12 +79,18 @@ def _grouped_top_k(df, group_cols, order_cols, k: int, rn_col: str):
     plan."""
     from pyspark.sql import Window
 
-    w1 = Window.partitionBy(*group_cols, "_slice").orderBy(*order_cols)
+    # collision-safe internals: a user column named `_slice`/`_srn` must
+    # not be silently clobbered by the helper's scratch columns
+    slice_col, srn_col = "__gtk_slice", "__gtk_srn"
+    for c in (slice_col, srn_col):
+        if c in df.columns:
+            raise ValueError(f"_grouped_top_k scratch column {c!r} collides")
+    w1 = Window.partitionBy(*group_cols, slice_col).orderBy(*order_cols)
     survivors = (
-        df.withColumn("_slice", F.spark_partition_id())
-        .withColumn("_srn", F.row_number().over(w1))
-        .filter(F.col("_srn") <= k)
-        .drop("_slice", "_srn")
+        df.withColumn(slice_col, F.spark_partition_id())
+        .withColumn(srn_col, F.row_number().over(w1))
+        .filter(F.col(srn_col) <= k)
+        .drop(slice_col, srn_col)
     )
     w2 = Window.partitionBy(*group_cols).orderBy(*order_cols)
     return survivors.withColumn(rn_col, F.row_number().over(w2)).filter(

@@ -1045,7 +1045,7 @@ def streaming_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     # tranche bounds derived IN-PLAN (no driver-side collect)
     mx = ev.agg(F.max("ts").alias("m"))
-    evm = ev.crossJoin(mx)
+    evm = ev.crossJoin(F.broadcast(mx))
     cut2 = F.col("m") - F.expr("INTERVAL 2 DAYS")
     cut4 = F.col("m") - F.expr("INTERVAL 4 DAYS")
     b0 = evm.filter(F.col("ts") >= cut2).select("ts")
@@ -1147,7 +1147,7 @@ def streaming_stateful_running_user_totals(spark: SparkSession, sf_dir: str) -> 
         )
     )
     mx = ev.agg(F.max("ts").alias("m"))
-    evm = ev.crossJoin(mx)
+    evm = ev.crossJoin(F.broadcast(mx))
     cut = F.col("m") - F.expr("INTERVAL 15 DAYS")
     b0 = evm.filter(F.col("ts") < cut).select("user_id", "cents")
     b1 = evm.filter(F.col("ts") >= cut).select("user_id", "cents")
@@ -1239,7 +1239,7 @@ def streaming_foreachbatch_merge_upsert(spark: SparkSession, sf_dir: str) -> Dat
         )
     )
     mx = ev.agg(F.max("ts").alias("m"))
-    evm = ev.crossJoin(mx)
+    evm = ev.crossJoin(F.broadcast(mx))
     cut = F.col("m") - F.expr("INTERVAL 15 DAYS")
     b0 = evm.filter(F.col("ts") < cut).select("user_id", "cents")
     b1 = evm.filter(F.col("ts") >= cut).select("user_id", "cents")
@@ -1764,16 +1764,23 @@ def streaming_sketch_family_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         else:
             hll, dd, mg, meta = b_hll, b_dd, b_mg, b_meta
-        # versioned dir = atomic swap: all four members materialize fully
-        # (ONE write job) before last_version advances; a failed batch
-        # leaves state intact
+        # versioned dir, published with mode("overwrite") because
+        # foreachBatch is AT-LEAST-ONCE: a batch that dies mid-write
+        # leaves a partial v{batch_id} dir, and the retry of that same
+        # batch_id must be able to recommit over it (errorifexists would
+        # wedge the stream on its own debris). last_version still only
+        # advances after the write job returns, so a failed batch never
+        # exposes partial state to the next fold — it reads the intact
+        # v{batch_id-1}.
         state = (
             as_member(hll, "hll")
             .unionByName(as_member(dd, "dd"))
             .unionByName(as_member(mg, "mg"))
             .unionByName(as_member(meta, "meta"))
         )
-        state.write.parquet(os.path.join(state_base, f"v{batch_id}"))
+        state.write.mode("overwrite").parquet(
+            os.path.join(state_base, f"v{batch_id}")
+        )
         last_version["v"] = batch_id
 
     stream = (
@@ -2107,10 +2114,16 @@ def streaming_ann_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         # foreachBatch runs on the driver: the checkpointed config frames
-        # are same-session and usable directly — no per-batch re-read
-        _ivfpq_encode(batch_df, cb, seeds).write.mode("append").partitionBy(
+        # are same-session and usable directly — no per-batch re-read.
+        # Each batch owns its own `ingest_batch=<id>` directory and
+        # OVERWRITES it: foreachBatch is at-least-once, and a retried
+        # batch_id must replace its own (possibly partial) prior attempt
+        # instead of appending duplicate code rows into the shared index.
+        # The cell hive level stays INSIDE the batch dir, so the probe's
+        # partition pruning on `cell` is untouched.
+        _ivfpq_encode(batch_df, cb, seeds).write.mode("overwrite").partitionBy(
             "cell"
-        ).parquet(codes_dir)
+        ).parquet(os.path.join(codes_dir, f"ingest_batch={batch_id}"))
 
     stream = (
         spark.readStream.schema(", ".join(f"{c} long" for c in qcols))
@@ -2126,7 +2139,14 @@ def streaming_ann_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         sq.awaitTermination()
 
-    codes = spark.read.schema(_IVFPQ_CODES_SCHEMA).parquet(codes_dir)
+    # the extra top-level `ingest_batch` partition column is provenance
+    # only — declare it so partition discovery reconciles with the user
+    # schema, then drop it from the serving frame
+    codes = (
+        spark.read.schema(_IVFPQ_CODES_SCHEMA + ", ingest_batch long")
+        .parquet(codes_dir)
+        .drop("ingest_batch")
+    )
     meta = codes.agg(
         F.count(F.lit(1)).alias("n_ingested"),
         F.count_distinct(F.pmod(F.col("vec_id"), F.lit(3))).alias("n_batches"),
