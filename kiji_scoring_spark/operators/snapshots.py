@@ -276,12 +276,28 @@ def read_delta(
     return _read_dirs(spark, path, new_dirs, m.get("schema"), to_version)
 
 
-def compact_snapshot(spark: SparkSession, path: str, target_files: int) -> int:
+def compact_snapshot(
+    spark: SparkSession,
+    path: str,
+    target_files: int,
+    partition_by: list[str] | None = None,
+) -> int:
     """Rewrite the CURRENT version's file-set into `target_files` files
     as a new version. Readers of old versions are unaffected; the new
     version's scan does the same work over far fewer file-open/footer
     costs — the maintenance pass that keeps an incrementally-written
-    100 TB table scannable."""
+    100 TB table scannable.
+
+    `partition_by` preserves a hive layout THROUGH compaction: the
+    rewrite shuffles into `target_files` tasks hash-keyed on the
+    partition columns (each partition value lands in exactly one task,
+    so the compacted version holds at most one file per partition per
+    task that owns it) and lays the single output dir out partitioned —
+    so a reader's partition pruning, and any join's dynamic partition
+    pruning against it, survive the rewrite. Omitting it for a table
+    whose commits were partitioned FLATTENS the layout (the partition
+    column becomes a plain data column) — legal but almost never what a
+    pruned-read table wants."""
     parent = latest_version(path)
     if parent is None:
         raise FileNotFoundError(f"no snapshot versions at {path}")
@@ -290,12 +306,24 @@ def compact_snapshot(spark: SparkSession, path: str, target_files: int) -> int:
     rel = _claim_version(path, version)  # loses loudly, never clobbers
     # append, not overwrite, for the same reason as commit_snapshot: the
     # claimed dir must never be deleted or the claim evaporates mid-write
-    current.coalesce(target_files).write.mode("append").parquet(
-        os.path.join(path, rel)
-    )
+    if partition_by:
+        writer = (
+            current.repartition(target_files, *partition_by)
+            .write.mode("append")
+            .partitionBy(*partition_by)
+        )
+    else:
+        writer = current.coalesce(target_files).write.mode("append")
+    writer.parquet(os.path.join(path, rel))
     _publish(
         path,
-        {"version": version, "parent": parent, "op": "compact", "dirs": [rel]},
+        {
+            "version": version,
+            "parent": parent,
+            "op": "compact",
+            "dirs": [rel],
+            "schema": current.schema.json(),
+        },
     )
     return version
 
@@ -343,13 +371,12 @@ def vacuum_snapshots(path: str, keep_from: int) -> list[str]:
 
 
 def data_file_count(path: str, version: int) -> int:
-    """Number of parquet data files composing `version` (metadata-only)."""
+    """Number of parquet data files composing `version` (metadata-only).
+    Recursive, so hive-partitioned commit dirs count their per-partition
+    files."""
     m = _read_manifest(path, version)
     n = 0
     for d in m["dirs"]:
-        n += sum(
-            1
-            for name in os.listdir(os.path.join(path, d))
-            if name.endswith(".parquet")
-        )
+        for _cur, _dirs, files in os.walk(os.path.join(path, d)):
+            n += sum(1 for name in files if name.endswith(".parquet"))
     return n

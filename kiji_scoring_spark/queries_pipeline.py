@@ -2127,3 +2127,210 @@ def similarity_ivfpq_pruned_adc_topk(spark: SparkSession, sf_dir: str) -> DataFr
     # cannot read but an explicit schema can (empty scan)
     codes = spark.read.schema(_IVFPQ_CODES_SCHEMA).parquet(path)
     return _ivfpq_query_phase(q, cb, seeds, codes)
+
+
+def _ivfpq_snap_adc_cte_sql() -> str:
+    """The shared IVF-PQ oracle prelude (quantize → config → probe →
+    assignment → routing → codes → LUT → per-candidate ADC distance),
+    used by the snapshot-versioned index probes below. Identical math to
+    similarity_ivfpq_pruned_adc_topk's oracle; kept as one fragment so
+    the two version probes state their restriction as a one-line WHERE
+    over the same `adc` relation."""
+    return f"""
+    WITH src AS (
+      SELECT vec_id, {_PQ_Q_SQL} AS q
+      FROM embeddings
+      WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+        AND len(embedding) = 64
+    ),
+    cb AS (
+      SELECT vec_id AS cb_id, q FROM src
+      WHERE vec_id % 31 = 0 AND vec_id < 496
+    ),
+    seeds AS (
+      SELECT vec_id AS seed_id, q AS sq FROM (
+        SELECT vec_id, q FROM src
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_IVFPQ_NCELLS}
+      )
+    ),
+    probe AS (
+      SELECT vec_id AS probe_id, q AS pq FROM src
+      WHERE NOT (vec_id % 31 = 0 AND vec_id < 496)
+      ORDER BY vec_id LIMIT 1
+    ),
+    sub AS (SELECT unnest(range(0, 8)) AS ss),
+    asg AS (
+      SELECT vec_id, cell FROM (
+        SELECT s.vec_id, d.seed_id AS cell,
+          ROW_NUMBER() OVER (PARTITION BY s.vec_id
+            ORDER BY {_PQ_FULLDIST_SQL.format(l="s.q", r="d.sq")}, d.seed_id
+          ) AS rn
+        FROM src s CROSS JOIN seeds d
+      ) t WHERE rn = 1
+    ),
+    pcells AS (
+      SELECT cell FROM (
+        SELECT d.seed_id AS cell,
+          ROW_NUMBER() OVER (
+            ORDER BY {_PQ_FULLDIST_SQL.format(l="p.pq", r="d.sq")}, d.seed_id
+          ) AS rn
+        FROM seeds d CROSS JOIN probe p
+      ) t WHERE rn <= 2
+    ),
+    codes AS (
+      SELECT vec_id, ss, cb_id FROM (
+        SELECT s.vec_id, sub.ss, c.cb_id,
+          ROW_NUMBER() OVER (PARTITION BY s.vec_id, sub.ss
+            ORDER BY {_pq_subdist_sql("s.q", "c.q")}, c.cb_id) AS rn
+        FROM src s CROSS JOIN cb c CROSS JOIN sub
+      ) t WHERE rn = 1
+    ),
+    lut AS (
+      SELECT c.cb_id, sub.ss,
+        {_pq_subdist_sql("c.q", "p.pq")} AS pd
+      FROM cb c CROSS JOIN probe p CROSS JOIN sub
+    ),
+    adc AS (
+      SELECT codes.vec_id AS neighbor_id, a.cell,
+        CAST(SUM(lut.pd) AS BIGINT) AS adc_dist
+      FROM codes
+      JOIN asg a ON a.vec_id = codes.vec_id
+      JOIN pcells pc ON pc.cell = a.cell
+      JOIN lut ON codes.ss = lut.ss AND codes.cb_id = lut.cb_id
+      CROSS JOIN probe
+      WHERE codes.vec_id <> probe.probe_id
+      GROUP BY codes.vec_id, a.cell
+    )"""
+
+
+_IVFPQ_SNAP_EXACT_SQL = (
+    "CAST(list_sum(list_transform(range(1, 65), i -> "
+    "(s.q[i] - p.pq[i]) * (s.q[i] - p.pq[i]))) AS BIGINT)"
+)
+
+
+@query(
+    "ann_index_time_travel_probe",
+    _ivfpq_snap_adc_cte_sql()
+    + f""",
+    top_v2 AS (
+      SELECT neighbor_id, cell, adc_dist,
+        ROW_NUMBER() OVER (ORDER BY adc_dist, neighbor_id) AS rn
+      FROM adc WHERE neighbor_id % 3 < 2
+    ),
+    top_latest AS (
+      SELECT neighbor_id, cell, adc_dist,
+        ROW_NUMBER() OVER (ORDER BY adc_dist, neighbor_id) AS rn
+      FROM adc
+    )
+    -- v2 of the snapshot lineage holds ONLY ingest tranches vec_id%3 in
+    -- (0, 1); "latest" is the post-compaction v4, logically the full
+    -- corpus (compaction is a pure file-layout rewrite, asserted by the
+    -- Spark side's in-plan v3-vs-v4 equality flag).
+    SELECT 'v2' AS probe_version, t.neighbor_id, t.cell, t.adc_dist,
+      {_IVFPQ_SNAP_EXACT_SQL} AS exact_dist, t.rn,
+      TRUE AS compact_zero_effect
+    FROM top_v2 t JOIN src s ON s.vec_id = t.neighbor_id CROSS JOIN probe p
+    WHERE t.rn <= 10
+    UNION ALL
+    SELECT 'latest' AS probe_version, t.neighbor_id, t.cell, t.adc_dist,
+      {_IVFPQ_SNAP_EXACT_SQL} AS exact_dist, t.rn,
+      TRUE AS compact_zero_effect
+    FROM top_latest t JOIN src s ON s.vec_id = t.neighbor_id CROSS JOIN probe p
+    WHERE t.rn <= 10
+    ORDER BY probe_version DESC, rn
+    """,
+    "similarity", "pipeline", "snapshot", "incremental",
+)
+def ann_index_time_travel_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-VERSIONED ANN index (r13 verdict #3): the IVF-PQ inverted
+    lists live in the manifest table format (operators/snapshots.py)
+    instead of a bare partitioned dir, so index ingest inherits the same
+    guarantees as data tables — ATOMIC commit per ingest batch (a probe
+    never sees a half-written list), TIME TRAVEL ("as of version N" —
+    the index analog of snapshot_time_travel_orders), and COMPACTION
+    (the small files N ingest batches leave inside each cell rewritten
+    into one file per cell WITHOUT changing any answer, and without the
+    layout flattening: compact_snapshot(partition_by=['cell']) keeps the
+    inverted lists hive-partitioned through the rewrite).
+
+    Lineage built here: v1..v3 append the three vec_id%3 ingest
+    tranches' codes (encode runs ONCE; the tranche filters slice one
+    lazily-checkpointed frame), v4 compacts. The probe then answers
+    AS-OF v2 — only tranches 0 and 1 existed — and at latest (v4), and
+    the output carries an in-plan flag proving compaction had zero
+    logical effect (v3's and v4's full top-10 are exceptAll-equal both
+    ways). Encode is per-vector deterministic, so every version's
+    answer is stated exactly by the oracle restricting the one-shot
+    corpus to that version's tranches.
+
+    Scale: version reads are manifest-named closed file-sets (no dir
+    listing races with ingest); the as-of read costs the SAME pruned
+    probe as latest — time travel is free because appended dirs are
+    immutable. Compaction bounds the per-cell file count however many
+    ingest batches have landed — the maintenance pass that keeps a
+    100 TB streaming-built index scannable — and old versions stay
+    readable until vacuum. Reference parity: the metatable's versioned
+    derived artifacts (KijiFreshnessManager.java:235-239) with real
+    table-format semantics."""
+    import os
+    import shutil
+
+    from .operators.snapshots import (
+        commit_snapshot,
+        compact_snapshot,
+        latest_version,
+        read_snapshot,
+    )
+    from .queries_graph import _state_path
+
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id").isNotNull()
+        & F.col("embedding").isNotNull()
+        & (F.size("embedding") == _EMBED_DIM)
+    )
+    q = _ivfpq_quantize(e)
+    cb = _ivfpq_cb(q)
+    seeds = _ivfpq_seeds(q)
+
+    path = _state_path(sf_dir, "ivfpq_codes_snap")
+    if (latest_version(path) or 0) < 4:
+        # a complete lineage is v1..v3 appends + v4 compact; anything
+        # less is a crashed prior build — rebuild deterministically
+        shutil.rmtree(path, ignore_errors=True)
+        enc = _ivfpq_encode(q, cb, seeds).localCheckpoint(eager=False)
+        for r in range(3):
+            commit_snapshot(
+                enc.filter(F.pmod(F.col("vec_id"), F.lit(3)) == r),
+                path,
+                mode="append",
+                partition_by=["cell"],
+            )
+        compact_snapshot(spark, path, 8, partition_by=["cell"])
+
+    def codes_at(version: int) -> DataFrame:
+        # partition-path inference types `cell` INT; the serving frame
+        # (and the oracle) speak LONG
+        return read_snapshot(spark, path, version).select(
+            "vec_id",
+            *[f"c{s}" for s in range(_PQ_SUB)],
+            F.col("cell").cast("long").alias("cell"),
+        )
+
+    p2 = _ivfpq_query_phase(q, cb, seeds, codes_at(2))
+    p3 = _ivfpq_query_phase(q, cb, seeds, codes_at(3))
+    p4 = _ivfpq_query_phase(q, cb, seeds, codes_at(4))
+    # compaction's zero-logical-effect, proven in-plan: v3 (pre) and v4
+    # (post) top-10s are set-equal including ranks — all-integer rows,
+    # so exceptAll equality is exact
+    flag = (
+        p3.exceptAll(p4)
+        .unionByName(p4.exceptAll(p3))
+        .agg((F.count(F.lit(1)) == 0).alias("compact_zero_effect"))
+    )
+    return (
+        p2.select(F.lit("v2").alias("probe_version"), "*")
+        .unionByName(p4.select(F.lit("latest").alias("probe_version"), "*"))
+        .crossJoin(F.broadcast(flag))
+        .orderBy(F.col("probe_version").desc(), "rn")
+    )

@@ -385,3 +385,44 @@ def test_read_delta_over_partitioned_commits(spark, table_path):
     assert rows(pruned) == [(3, "a")]
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+def test_partitioned_compaction_keeps_layout_and_shrinks_files(spark, table_path):
+    """compact_snapshot(partition_by=...) (r14): the rewrite must (a)
+    preserve row content, (b) actually reduce the file count the append
+    lineage accumulated, and (c) keep the hive layout — the compacted
+    dir has cell=<v> partition directories and a reader's partition
+    filter still prunes its scan."""
+    for r in range(4):
+        df = spark.createDataFrame(
+            [(i, i % 3) for i in range(r * 10, r * 10 + 10)], ["k", "cell"]
+        ).repartition(4)
+        sn.commit_snapshot(df, table_path, mode="append", partition_by=["cell"])
+    before = sn.data_file_count(table_path, 4)
+    v = sn.compact_snapshot(spark, table_path, 2, partition_by=["cell"])
+    assert v == 5
+    after = sn.data_file_count(table_path, 5)
+    assert after < before
+    assert after <= 3  # one file per cell value
+    # content identical across the rewrite
+    pre = sorted((r.k, int(r.cell)) for r in sn.read_snapshot(spark, table_path, 4).collect())
+    post = sorted((r.k, int(r.cell)) for r in sn.read_snapshot(spark, table_path, 5).collect())
+    assert pre == post and len(pre) == 40
+    # hive layout survived: the compacted data dir contains cell= subdirs
+    m = json.load(
+        open(os.path.join(table_path, "_manifests", "v5.json"))
+    )
+    (d,) = m["dirs"]
+    assert any(
+        name.startswith("cell=")
+        for name in os.listdir(os.path.join(table_path, d))
+    )
+    # and the partition filter prunes the compacted scan
+    plan = (
+        sn.read_snapshot(spark, table_path, 5)
+        .filter("cell = 1")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [isnotnull(cell" in plan
