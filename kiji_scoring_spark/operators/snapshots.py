@@ -174,6 +174,82 @@ def commit_snapshot(
     return version
 
 
+def _dir_rel(d) -> str:
+    """Manifest dir entries are plain strings (no exclusions) or dicts
+    `{"path": rel, "exclude": {col: [values]}}` (partition-level
+    tombstones left by replace_partitions)."""
+    return d if isinstance(d, str) else d["path"]
+
+
+def _dir_excludes(d) -> dict[str, list]:
+    return {} if isinstance(d, str) else dict(d.get("exclude", {}))
+
+
+def replace_partitions(
+    df: DataFrame,
+    path: str,
+    partition_col: str,
+    values: list,
+    target_files: int | None = None,
+) -> int:
+    """Commit a COPY-ON-WRITE rewrite of the partitions holding `values`:
+    the new version's file-set is the parent's dirs — each tagged with a
+    partition-level tombstone excluding `values` — plus one new dir
+    holding `df`, the affected partitions' replacement rows (for a
+    delete: their survivors). This is how a 100 TB table retires rows
+    (dedup kills, takedowns) without rewriting itself: work is
+    O(affected partitions), the untouched partitions' files are never
+    opened, and the parent's files are never modified — older versions
+    still read the pre-delete rows (time travel), and the excluded
+    partitions' bytes are physically reclaimed only when a later
+    compaction makes them unreferenced and vacuum_snapshots runs (the
+    same OPTIMIZE-then-VACUUM interplay Delta has).
+
+    Readers apply the tombstone as a PARTITION filter, so the excluded
+    directories are pruned from the scan, not scanned-and-dropped.
+    PRECONDITION (caller-owned, like every overwrite's): every row of
+    `df` lies in a `values` partition — rows outside it would duplicate
+    the untouched partitions' data. Delta reads refuse a lineage
+    containing this op (added dirs no longer equal added rows)."""
+    parent = latest_version(path)
+    if parent is None:
+        raise FileNotFoundError(f"no snapshot versions at {path}")
+    if not values:
+        raise ValueError("replace_partitions needs a non-empty values list")
+    if any(v is None for v in values):
+        raise ValueError(
+            "replace_partitions cannot replace the null partition "
+            "(__HIVE_DEFAULT_PARTITION__): tombstones are value-keyed"
+        )
+    version = parent + 1
+    rel = _claim_version(path, version)  # loses loudly, never clobbers
+    if target_files:
+        df = df.repartition(target_files, partition_col)
+    # append into the claimed EMPTY dir (see commit_snapshot)
+    df.write.mode("append").partitionBy(partition_col).parquet(
+        os.path.join(path, rel)
+    )
+    dirs = []
+    for d in _read_manifest(path, parent)["dirs"]:
+        ex = _dir_excludes(d)
+        merged = sorted(set(ex.get(partition_col, [])) | set(values))
+        ex[partition_col] = merged
+        dirs.append({"path": _dir_rel(d), "exclude": ex})
+    dirs.append(rel)
+    _publish(
+        path,
+        {
+            "version": version,
+            "parent": parent,
+            "op": "replace",
+            "dirs": dirs,
+            "replaced": {partition_col: sorted(values)},
+            "schema": df.schema.json(),
+        },
+    )
+    return version
+
+
 def read_snapshot(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:
@@ -207,19 +283,35 @@ def _read_dirs(
     # push through the union into every per-dir scan, so partition
     # pruning still applies commit-by-commit. Dirs with no parquet files
     # (empty commits) are skipped — they contribute no rows, and reading
-    # them would fail schema inference.
-    def has_files(d: str) -> bool:
-        root = os.path.join(path, d)
+    # them would fail schema inference. A dir entry's partition-level
+    # tombstones (replace_partitions) become NOT-isin filters on the
+    # partition column, so the excluded directories are PRUNED from that
+    # dir's scan — never scanned-and-dropped.
+    def has_files(rel: str) -> bool:
+        root = os.path.join(path, rel)
         for cur, _dirs, files in os.walk(root):
             if any(f.endswith(".parquet") for f in files):
                 return True
         return False
 
-    parts = [
-        spark.read.option("mergeSchema", "true").parquet(os.path.join(path, d))
-        for d in dirs
-        if has_files(d)
-    ]
+    from pyspark.sql import functions as F
+
+    parts = []
+    for d in dirs:
+        rel = _dir_rel(d)
+        if not has_files(rel):
+            continue
+        part = spark.read.option("mergeSchema", "true").parquet(
+            os.path.join(path, rel)
+        )
+        for col, values in _dir_excludes(d).items():
+            # isNull-preserving: NOT-isin alone is null-rejecting and
+            # would silently drop a __HIVE_DEFAULT_PARTITION__ (null
+            # partition value) from every tagged dir
+            part = part.filter(
+                F.col(col).isNull() | ~F.col(col).isin(values)
+            )
+        parts.append(part)
     if not parts:
         # a dir-set composed entirely of empty commits: reconstruct the
         # empty table from the manifest's schema
@@ -269,10 +361,12 @@ def read_delta(
                 "is only defined over an append-only lineage"
             )
     base: set[str] = (
-        set(_read_manifest(path, from_version)["dirs"]) if from_version else set()
+        {_dir_rel(d) for d in _read_manifest(path, from_version)["dirs"]}
+        if from_version
+        else set()
     )
     m = _read_manifest(path, to_version)
-    new_dirs = [d for d in m["dirs"] if d not in base]
+    new_dirs = [d for d in m["dirs"] if _dir_rel(d) not in base]
     return _read_dirs(spark, path, new_dirs, m.get("schema"), to_version)
 
 
@@ -356,7 +450,9 @@ def vacuum_snapshots(path: str, keep_from: int) -> list[str]:
     referenced: set[str] = set()
     for v in versions:
         if v >= keep_from:
-            referenced.update(_read_manifest(path, v)["dirs"])
+            referenced.update(
+                _dir_rel(d) for d in _read_manifest(path, v)["dirs"]
+            )
     removed = []
     for v in versions:
         if v < keep_from:
@@ -377,6 +473,6 @@ def data_file_count(path: str, version: int) -> int:
     m = _read_manifest(path, version)
     n = 0
     for d in m["dirs"]:
-        for _cur, _dirs, files in os.walk(os.path.join(path, d)):
+        for _cur, _dirs, files in os.walk(os.path.join(path, _dir_rel(d))):
             n += sum(1 for name in files if name.endswith(".parquet"))
     return n

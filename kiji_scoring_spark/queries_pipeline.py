@@ -2334,3 +2334,142 @@ def ann_index_time_travel_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(flag))
         .orderBy(F.col("probe_version").desc(), "rn")
     )
+
+
+@query(
+    "ann_index_delete_rewrite",
+    _ivfpq_snap_adc_cte_sql()
+    + f""",
+    top_full AS (
+      SELECT neighbor_id, cell, adc_dist,
+        ROW_NUMBER() OVER (ORDER BY adc_dist, neighbor_id) AS rn
+      FROM adc
+    ),
+    -- the kill list: the full index's current top-3 (the sharpest
+    -- possible deletion test — every killed id WOULD be returned)
+    kill AS (SELECT neighbor_id FROM top_full WHERE rn <= 3),
+    top_post AS (
+      SELECT neighbor_id, cell, adc_dist,
+        ROW_NUMBER() OVER (ORDER BY adc_dist, neighbor_id) AS rn
+      FROM adc WHERE neighbor_id NOT IN (SELECT neighbor_id FROM kill)
+    )
+    SELECT 'pre' AS phase, t.neighbor_id, t.cell, t.adc_dist,
+      {_IVFPQ_SNAP_EXACT_SQL} AS exact_dist, t.rn,
+      TRUE AS deleted_absent
+    FROM top_full t JOIN src s ON s.vec_id = t.neighbor_id CROSS JOIN probe p
+    WHERE t.rn <= 10
+    UNION ALL
+    SELECT 'post' AS phase, t.neighbor_id, t.cell, t.adc_dist,
+      {_IVFPQ_SNAP_EXACT_SQL} AS exact_dist, t.rn,
+      TRUE AS deleted_absent
+    FROM top_post t JOIN src s ON s.vec_id = t.neighbor_id CROSS JOIN probe p
+    WHERE t.rn <= 10
+    ORDER BY phase DESC, rn
+    """,
+    "similarity", "pipeline", "snapshot", "incremental",
+)
+def ann_index_delete_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN-index DELETES (r13 verdict #8): a real 100 TB pipeline also
+    RETIRES vectors — dedup kills, takedowns — and this expresses the
+    retirement as a snapshot commit that rewrites ONLY the affected
+    cell partitions (operators/snapshots.py replace_partitions): the
+    new version's manifest carries the parent dirs tagged with
+    partition-level tombstones (readers PRUNE the replaced cells'
+    directories, never scan-and-drop) plus one new dir holding the
+    affected cells' survivors. Work is O(affected partitions); the
+    other 30 inverted lists' files are never opened, let alone
+    rewritten; pre-delete versions stay readable (takedown audit), and
+    the retired bytes are physically reclaimed by compact-then-vacuum
+    (pinned in tests/test_snapshots.py).
+
+    The deletion test is the sharpest one: the kill list is the full
+    index's CURRENT top-3 — every killed id would be returned by the
+    probe — and the post-delete probe must return none of them, with
+    the next-best candidates promoted into ranks 1..10. Both phases are
+    stated exactly by the oracle (rank over the one-shot ADC relation,
+    with and without the kill set), and the Spark side adds an in-plan
+    anti-join flag. The kill ids cross the driver once at BUILD time
+    (3 rows, the avro-probe O(1)-collect precedent) — the probe plans
+    themselves stay fully distributed.
+
+    Reference parity: the policy-driven record retirement the reference
+    expresses as producer writes over stale cells
+    (KijiFreshnessPolicy.java:56-66 deciding, producers rewriting),
+    here applied to a derived index artifact with table-format
+    history."""
+    import shutil
+
+    from .operators.snapshots import (
+        commit_snapshot,
+        compact_snapshot,
+        latest_version,
+        read_snapshot,
+        replace_partitions,
+    )
+    from .queries_graph import _state_path
+
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id").isNotNull()
+        & F.col("embedding").isNotNull()
+        & (F.size("embedding") == _EMBED_DIM)
+    )
+    q = _ivfpq_quantize(e)
+    cb = _ivfpq_cb(q)
+    seeds = _ivfpq_seeds(q)
+
+    path = _state_path(sf_dir, "ivfpq_codes_snap_del")
+
+    def codes_at(version: int) -> DataFrame:
+        return read_snapshot(spark, path, version).select(
+            "vec_id",
+            *[f"c{s}" for s in range(_PQ_SUB)],
+            F.col("cell").cast("long").alias("cell"),
+        )
+
+    if (latest_version(path) or 0) < 5:
+        # complete lineage: v1..v3 tranche appends, v4 compact, v5 delete
+        shutil.rmtree(path, ignore_errors=True)
+        enc = _ivfpq_encode(q, cb, seeds).localCheckpoint(eager=False)
+        for r in range(3):
+            commit_snapshot(
+                enc.filter(F.pmod(F.col("vec_id"), F.lit(3)) == r),
+                path,
+                mode="append",
+                partition_by=["cell"],
+            )
+        compact_snapshot(spark, path, 8, partition_by=["cell"])
+        # kill = the live index's top-3: 3 rows cross the driver, once
+        kills = (
+            _ivfpq_query_phase(q, cb, seeds, codes_at(4))
+            .filter(F.col("rn") <= 3)
+            .select("neighbor_id", "cell")
+            .collect()
+        )
+        killed_ids = sorted(int(r.neighbor_id) for r in kills)
+        cells = sorted({int(r.cell) for r in kills})
+        survivors = (
+            read_snapshot(spark, path, 4)
+            .filter(F.col("cell").isin(cells))
+            .filter(~F.col("vec_id").isin(killed_ids))
+        )
+        replace_partitions(survivors, path, "cell", cells)
+
+    pre = _ivfpq_query_phase(q, cb, seeds, codes_at(4))
+    post = _ivfpq_query_phase(q, cb, seeds, codes_at(5))
+    killed = pre.filter(F.col("rn") <= 3).select(
+        F.col("neighbor_id").alias("killed_id")
+    )
+    absent = (
+        post.join(
+            F.broadcast(killed),
+            post["neighbor_id"] == killed["killed_id"],
+            "left_semi",
+        )
+        .agg((F.count(F.lit(1)) == 0).alias("deleted_absent"))
+    )
+    return (
+        pre.select(F.lit("pre").alias("phase"), "*")
+        .unionByName(post.select(F.lit("post").alias("phase"), "*"))
+        .crossJoin(F.broadcast(absent))
+        .orderBy(F.col("phase").desc(), "rn")
+    )

@@ -426,3 +426,99 @@ def test_partitioned_compaction_keeps_layout_and_shrinks_files(spark, table_path
         .toString()
     )
     assert "PartitionFilters: [isnotnull(cell" in plan
+
+
+def _mk_partitioned(spark, table_path, n=30):
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(n)], ["k", "cell"]
+    )
+    sn.commit_snapshot(df, table_path, mode="overwrite", partition_by=["cell"])
+
+
+def test_replace_partitions_deletes_without_touching_others(spark, table_path):
+    """replace_partitions (r14): a delete rewrites ONLY the affected
+    partition's survivors; the new version never returns killed rows,
+    the old version still does (time travel), and the untouched
+    partitions' files are physically unmodified."""
+    _mk_partitioned(spark, table_path)
+    untouched = os.path.join(table_path, "data", "v1", "cell=0")
+    files_before = sorted(os.listdir(untouched))
+    # kill k in (1, 4) — both live in cell=1; survivors of cell 1 re-commit
+    survivors = (
+        sn.read_snapshot(spark, table_path, 1)
+        .filter("cell = 1 AND k NOT IN (1, 4)")
+        .select("k", "cell")
+    )
+    v = sn.replace_partitions(survivors, table_path, "cell", [1])
+    assert v == 2
+    post = sorted(r.k for r in sn.read_snapshot(spark, table_path, 2).collect())
+    assert 1 not in post and 4 not in post
+    assert post == sorted(k for k in range(30) if k not in (1, 4))
+    # time travel: v1 still has the killed rows
+    pre = sorted(r.k for r in sn.read_snapshot(spark, table_path, 1).collect())
+    assert pre == list(range(30))
+    # untouched partition physically identical
+    assert sorted(os.listdir(untouched)) == files_before
+
+
+def test_replace_partitions_appends_inherit_tombstones(spark, table_path):
+    _mk_partitioned(spark, table_path)
+    survivors = (
+        sn.read_snapshot(spark, table_path, 1)
+        .filter("cell = 2 AND k <> 2")
+        .select("k", "cell")
+    )
+    sn.replace_partitions(survivors, table_path, "cell", [2])
+    extra = spark.createDataFrame([(100, 2)], ["k", "cell"])
+    sn.commit_snapshot(extra, table_path, mode="append", partition_by=["cell"])
+    got = sorted(r.k for r in sn.read_snapshot(spark, table_path, 3).collect())
+    assert 2 not in got and 100 in got and len(got) == 30
+
+
+def test_replace_lineage_refuses_delta_and_reclaims_after_compact(spark, table_path):
+    """The OPTIMIZE-then-VACUUM interplay for deletes: a replace breaks
+    delta semantics loudly; after a compaction the pre-delete dirs are
+    unreferenced and vacuum physically reclaims the killed rows' files."""
+    _mk_partitioned(spark, table_path)
+    survivors = (
+        sn.read_snapshot(spark, table_path, 1)
+        .filter("cell = 0 AND k <> 0")
+        .select("k", "cell")
+    )
+    sn.replace_partitions(survivors, table_path, "cell", [0])
+    with pytest.raises(ValueError, match="append-only"):
+        sn.read_delta(spark, table_path, 1, 2)
+    sn.compact_snapshot(spark, table_path, 2, partition_by=["cell"])
+    removed = sn.vacuum_snapshots(table_path, keep_from=3)
+    assert os.path.join("data", "v1") in removed
+    assert not os.path.exists(os.path.join(table_path, "data", "v1"))
+    got = sorted(r.k for r in sn.read_snapshot(spark, table_path).collect())
+    assert got == sorted(k for k in range(30) if k != 0)
+
+
+def test_replace_excluded_partitions_are_pruned_not_filtered(spark, table_path):
+    """The tombstone must reach the scan as a PARTITION filter: the
+    excluded directories are pruned, never read-and-dropped."""
+    _mk_partitioned(spark, table_path)
+    survivors = (
+        sn.read_snapshot(spark, table_path, 1)
+        .filter("cell = 1 AND k <> 1")
+        .select("k", "cell")
+    )
+    sn.replace_partitions(survivors, table_path, "cell", [1])
+    plan = (
+        sn.read_snapshot(spark, table_path, 2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    v1_scans = [
+        line
+        for line in plan.splitlines()
+        if "FileScan" in line and "data/v1" in line
+    ]
+    assert v1_scans, plan
+    (scan,) = v1_scans
+    pf = scan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "NOT" in pf and "cell" in pf, scan
+    assert "DataFilters: []" in scan, scan
