@@ -59,6 +59,11 @@ _FORCE_RECHECK: frozenset[str] = frozenset(
         "sketch_theta_set_ops",
         "sketch_bottomk_sample_shards",
         "sketch_topk_shard_merge",
+        # r14: the persisted-codes build moved into the shared
+        # _ivfpq_codes_table helper (same path, same bytes) so the
+        # embedding-drift policy reads the same index. Refactor-only,
+        # but changed code ⇒ re-verify.
+        "similarity_ivfpq_pruned_adc_topk",
     }
 )
 

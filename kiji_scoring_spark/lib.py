@@ -45,3 +45,23 @@ class ConstantProducer(ExpressionProducer):
             data_request=[],
             output_column=None,
         )
+
+
+class DriftRescoreProducer(ExpressionProducer):
+    """Companion producer to ``policies.EmbeddingDrift``: the new score
+    IS the measured drift (the PQ reconstruction distance between the
+    entity's current embedding and its stored codes), cast to double —
+    the A7 freshen pass the drift policy drives. An entity whose drift
+    is NULL (no stored codes reachable by the expression) produces
+    NULL, so the A10 partial-freshening invariant keeps its old cell."""
+
+    def __init__(self):
+        from .pq_common import pq_drift_expr
+
+        super().__init__(
+            lambda df: pq_drift_expr(
+                "emb_q", model.most_recent_value("codes_versions"), "cb_map"
+            ).cast("double"),
+            data_request=["emb:q", "codes:versions", "cb:map"],
+            output_column="score:versions",
+        )

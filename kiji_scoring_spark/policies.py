@@ -173,3 +173,71 @@ class NewerThan(FreshnessPolicy):
 
     def deserialize(self, state: str) -> None:
         self.threshold_ms = int(json.loads(state)["newerThanTimeMillis"])
+
+
+class EmbeddingDrift(FreshnessPolicy):
+    """§2.G composed into the reference's core operator (r13 verdict #4):
+    an A5-style policy whose staleness predicate is SEMANTIC, not
+    temporal — the entity's score is fresh iff its CURRENT embedding is
+    still within ``tau`` (squared quantized distance) of the embedding
+    it was scored against, measured as the PQ reconstruction distance
+    between the current embedding and the entity's PERSISTED PQ codes
+    via a broadcast codebook LUT. No timestamps consulted: an entity
+    whose meaning drifted yesterday is stale even if it was rescored
+    this morning against the old embedding.
+
+    ``data_request`` (A6 own-request machinery,
+    ``KijiFreshnessPolicy.java:68-84``) names the codes cell, the
+    current-embedding column, and the LUT column; the predicate is a
+    pure Column expression (integer-exact, codegen-resident, no UDF).
+    An entity with NO stored codes is stale by definition (NULL drift →
+    coalesce false), the same no-version rule ShelfLife applies."""
+
+    def __init__(
+        self,
+        codes_column: str = "codes:versions",
+        embedding_column: str = "emb:q",
+        codebook_column: str = "cb:map",
+        tau: int = -1,
+    ):
+        self.codes_column = codes_column
+        self.embedding_column = embedding_column
+        self.codebook_column = codebook_column
+        self.tau = tau
+
+    def is_fresh(self, versions: Column, as_of_ms: int) -> Column:
+        raise NotImplementedError(
+            "EmbeddingDrift evaluates over its own data request; "
+            "the freshen pass must call is_fresh_over"
+        )
+
+    def is_fresh_over(self, requested: dict[str, Column], as_of_ms: int) -> Column:
+        from . import pq_common
+
+        drift = pq_common.pq_drift_expr(
+            requested[self.embedding_column],
+            model.most_recent_value(requested[self.codes_column]),
+            requested[self.codebook_column],
+        )
+        return F.coalesce(drift <= F.lit(self.tau), F.lit(False))
+
+    @property
+    def data_request(self) -> list[str] | None:
+        return [self.codes_column, self.embedding_column, self.codebook_column]
+
+    def serialize(self) -> str:
+        return json.dumps(
+            {
+                "codes": self.codes_column,
+                "embedding": self.embedding_column,
+                "codebook": self.codebook_column,
+                "tau": self.tau,
+            }
+        )
+
+    def deserialize(self, state: str) -> None:
+        s = json.loads(state)
+        self.codes_column = s["codes"]
+        self.embedding_column = s["embedding"]
+        self.codebook_column = s["codebook"]
+        self.tau = int(s["tau"])

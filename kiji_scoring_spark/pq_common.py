@@ -46,3 +46,37 @@ def _pq_subdist_sql(left: str, right: str) -> str:
         f"({left}[sub.ss*8 + i] - {right}[sub.ss*8 + i]) * "
         f"({left}[sub.ss*8 + i] - {right}[sub.ss*8 + i]))) AS BIGINT)"
     )
+
+
+def pq_drift_expr(emb, codes, cbm):
+    """Integer-exact PQ reconstruction distance between a CURRENT
+    quantized embedding and a STORED codes cell: for each of the 8
+    subspaces, the squared distance between the embedding's subvector
+    and the codebook entry the stored code names — Σ over all 64 dims.
+
+    `emb` is an array<long>(64) column, `codes` an array<long>(8) of
+    code ids, `cbm` a map<long, array<long>(64)> broadcast-LUT column
+    (code id → that codebook entry's quantized vector). All BIGINT, so
+    Spark and a SQL oracle agree bit-for-bit at any magnitude. NULL
+    anywhere (no codes yet, unknown code id) propagates to NULL — the
+    caller decides the null policy (the drift freshness policy treats
+    it as stale; the rescore producer's NULL keeps the old cell, A10).
+
+    64 static projection terms (not HOF lambdas), so Catalyst CSEs the
+    8 map lookups and the whole thing stays in codegen."""
+    import functools
+    import operator
+
+    from pyspark.sql import functions as F
+
+    def _c(x):
+        return F.col(x) if isinstance(x, str) else x
+
+    emb, codes, cbm = _c(emb), _c(codes), _c(cbm)
+    terms = []
+    for s in range(_PQ_SUB):
+        cq = F.try_element_at(cbm, F.try_element_at(codes, F.lit(s + 1)))
+        for i in range(s * _PQ_SUBDIM + 1, (s + 1) * _PQ_SUBDIM + 1):
+            d = F.try_element_at(emb, F.lit(i)) - F.try_element_at(cq, F.lit(i))
+            terms.append(d * d)
+    return functools.reduce(operator.add, terms)

@@ -769,3 +769,167 @@ def plugin_instantiation_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         "class_name string, default_state string, hydrated_state string, "
         "roundtrip_stable boolean",
     ).orderBy("class_name")
+
+
+#: embedding-drift policy constants: tau separates PQ quantization error
+#: (<= ~64 * 800^2 ≈ 4e7 at |q| <= ~200 per dim) from the injected drift
+#: (>= 64 * 9200^2 ≈ 5.4e9) by two orders of magnitude either side
+DRIFT_TAU = 1_000_000_000
+#: the scored-time clock: 10 days before the freshen clock
+DRIFT_T0 = AS_OF_MS - 10 * DAY_MS
+
+
+def _drift_oracle() -> str:
+    from .pq_common import _PQ_Q_SQL, _pq_subdist_sql
+
+    return f"""
+    -- The drift policy, stated one-shot: re-derive each entity's stored
+    -- PQ codes (argmin per subspace over the deterministic 16-entry
+    -- codebook, computed from the ORIGINAL embedding), measure the
+    -- reconstruction distance against the CURRENT embedding (entities
+    -- with pmod(vec_id,5)=0 drifted: every dim shifted +10000), and
+    -- CASE on tau: fresh keeps the seed score cell, stale is rescored
+    -- to the drift at the freshen clock.
+    WITH src AS (
+      SELECT vec_id, {_PQ_Q_SQL} AS q
+      FROM embeddings
+      WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+        AND len(embedding) = 64
+    ),
+    cb AS (
+      SELECT vec_id AS cb_id, q FROM src
+      WHERE vec_id % 31 = 0 AND vec_id < 496
+    ),
+    sub AS (SELECT unnest(range(0, 8)) AS ss),
+    codes AS (
+      SELECT vec_id, ss, cb_id FROM (
+        SELECT s.vec_id, sub.ss, c.cb_id,
+          ROW_NUMBER() OVER (PARTITION BY s.vec_id, sub.ss
+            ORDER BY {_pq_subdist_sql("s.q", "c.q")}, c.cb_id) AS rn
+        FROM src s CROSS JOIN cb c CROSS JOIN sub
+      ) t WHERE rn = 1
+    ),
+    cur AS (
+      SELECT vec_id,
+        CASE WHEN ((vec_id % 5) + 5) % 5 = 0
+             THEN list_transform(q, x -> x + 10000) ELSE q END AS cq
+      FROM src
+    ),
+    drift AS (
+      SELECT codes.vec_id,
+        CAST(SUM({_pq_subdist_sql("u.cq", "c.q")}) AS BIGINT) AS d
+      FROM codes
+      JOIN cb c ON c.cb_id = codes.cb_id
+      JOIN cur u ON u.vec_id = codes.vec_id
+      JOIN sub ON sub.ss = codes.ss
+      GROUP BY codes.vec_id
+    )
+    SELECT vec_id,
+      CASE WHEN d <= {DRIFT_TAU} THEN {DRIFT_T0} ELSE {AS_OF_MS} END AS score_ts,
+      CASE WHEN d <= {DRIFT_TAU} THEN -1.0 ELSE CAST(d AS DOUBLE) END AS score
+    FROM drift ORDER BY vec_id
+    """
+
+
+@query(
+    "fresh_embedding_drift_rescoring",
+    _drift_oracle(),
+    "kiji", "freshness", "scoring", "similarity",
+)
+def fresh_embedding_drift_rescoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.G composed into A5+A7 (r13 verdict #4): the freshness policy's
+    staleness predicate is EMBEDDING DRIFT, not time — an entity's score
+    is stale iff its current embedding sits more than tau (squared
+    quantized distance) from the embedding it was scored against, where
+    "scored against" is the entity's PERSISTED PQ codes (the same
+    cell-partitioned codes table similarity_ivfpq_pruned_adc_topk
+    serves from) reconstructed through a broadcast codebook LUT. The
+    stale set then drives the ordinary A7 freshen pass: the producer
+    rescores exactly those entities (score = measured drift) and the
+    versioned write keeps everyone else's seed cell — the first
+    composition that uses the LLM-ops surface to decide WHAT to
+    rescore, which is what the reference's policy/producer split is for
+    (KijiFreshnessPolicy.java:56-66 deciding,
+    InternalFreshKijiTableReader.java:504-619 rescoring).
+
+    Drift injection is deterministic: entities with pmod(vec_id,5)=0
+    have every quantized dim shifted +10000 (drift >= 64*9200^2 ≈
+    5.4e9), everyone else carries pure quantization error (<= ~4e7);
+    tau = 1e9 splits them by two orders of magnitude either side, so
+    the oracle states the whole pass exactly.
+
+    Scale: the predicate and producer are pure Column expressions over
+    one row each (no UDF, no shuffle beyond the entity⨝codes join that
+    any score-store read pays); the LUT is 16 rows broadcast once;
+    the codes table is read partition-pruned exactly as the ANN probe
+    reads it."""
+    from . import pq_common
+    from .lib import DriftRescoreProducer  # noqa: F401 — registry loads by name
+    from .policies import EmbeddingDrift
+    from .queries_pipeline import (
+        _ivfpq_cb,
+        _ivfpq_codes_table,
+        _ivfpq_quantize,
+        _ivfpq_seeds,
+    )
+
+    dim = pq_common._EMBED_DIM
+    nsub = pq_common._PQ_SUB
+
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id").isNotNull()
+        & F.col("embedding").isNotNull()
+        & (F.size("embedding") == dim)
+    )
+    q = _ivfpq_quantize(e)
+    cb = _ivfpq_cb(q)
+    seeds = _ivfpq_seeds(q)
+    codes = _ivfpq_codes_table(spark, sf_dir, q, cb, seeds)
+
+    qarr = F.array(*[F.col(f"q{i}") for i in range(dim)])
+    cur = q.select(
+        "vec_id",
+        F.when(
+            F.pmod(F.col("vec_id"), F.lit(5)) == 0,
+            F.transform(qarr, lambda x: x + 10000),
+        )
+        .otherwise(qarr)
+        .alias("emb_q"),
+    )
+    codes_cell = F.struct(
+        F.lit(DRIFT_T0).alias("ts"),
+        F.array(*[F.col(f"c{s}") for s in range(nsub)]).alias("value"),
+    )
+    codes_v = codes.select("vec_id", F.array(codes_cell).alias("codes_versions"))
+    seed_cell = F.struct(F.lit(DRIFT_T0).alias("ts"), F.lit(-1.0).alias("value"))
+    cb_map_row = cb.groupBy().agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    F.col("cb_id"),
+                    F.array(*[F.col(f"cq{i}") for i in range(dim)]),
+                )
+            )
+        ).alias("cb_map")
+    )
+    vt = (
+        cur.join(codes_v, "vec_id")
+        .withColumn("score_versions", F.array(seed_cell))
+        .crossJoin(F.broadcast(cb_map_row))
+    )
+    reg = FreshenerRegistry()
+    reg.store(
+        TableLayout(vt.schema),
+        "embeddings_versioned",
+        "score:versions",
+        "kiji_scoring_spark.lib.DriftRescoreProducer",
+        "kiji_scoring_spark.policies.EmbeddingDrift",
+        EmbeddingDrift(tau=DRIFT_TAU).serialize(),
+    )
+    reader = FreshTableReader(spark, "embeddings_versioned", vt, reg, key_col="vec_id")
+    fresh_df = reader.scan(AS_OF_MS)
+    return fresh_df.select(
+        "vec_id",
+        model.most_recent_ts("score_versions").alias("score_ts"),
+        model.most_recent_value("score_versions").alias("score"),
+    ).orderBy("vec_id")

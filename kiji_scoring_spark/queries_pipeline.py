@@ -2103,10 +2103,6 @@ def similarity_ivfpq_pruned_adc_topk(spark: SparkSession, sf_dir: str) -> DataFr
     the codes-with-cell table extends the persisted-metatable pattern
     (KijiFreshnessManager.java:235-239, mMetaTable.putValue) exactly as
     the PQ and sketch-shard stores do."""
-    import os
-
-    from .queries_graph import _state_path
-
     e = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id").isNotNull()
         & F.col("embedding").isNotNull()
@@ -2115,6 +2111,20 @@ def similarity_ivfpq_pruned_adc_topk(spark: SparkSession, sf_dir: str) -> DataFr
     q = _ivfpq_quantize(e)
     cb = _ivfpq_cb(q)
     seeds = _ivfpq_seeds(q)
+    codes = _ivfpq_codes_table(spark, sf_dir, q, cb, seeds)
+    return _ivfpq_query_phase(q, cb, seeds, codes)
+
+
+def _ivfpq_codes_table(
+    spark: SparkSession, sf_dir: str, q: DataFrame, cb: DataFrame, seeds: DataFrame
+) -> DataFrame:
+    """The persisted cell-partitioned IVF-PQ codes table, built once per
+    dataset (encode is deterministic, so every caller sees the same
+    table whichever built it). Shared by the pruned-ADC probe and the
+    embedding-drift freshness policy (r13 verdict #4)."""
+    import os
+
+    from .queries_graph import _state_path
 
     path = _state_path(sf_dir, "ivfpq_codes_embeddings.parquet")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
@@ -2125,8 +2135,7 @@ def similarity_ivfpq_pruned_adc_topk(spark: SparkSession, sf_dir: str) -> DataFr
     # LONG, not the inferred INT of its path strings; (b) an EMPTY corpus
     # writes a partitioned dir with no data files, which schema inference
     # cannot read but an explicit schema can (empty scan)
-    codes = spark.read.schema(_IVFPQ_CODES_SCHEMA).parquet(path)
-    return _ivfpq_query_phase(q, cb, seeds, codes)
+    return spark.read.schema(_IVFPQ_CODES_SCHEMA).parquet(path)
 
 
 def _ivfpq_snap_adc_cte_sql() -> str:

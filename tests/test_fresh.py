@@ -616,3 +616,93 @@ def test_a6_policy_request_map_family_other_qualifier(spark):
     assert got["a"] == (70.0, NOW_MS)  # rescored from raw=7.0
     assert got["b"] == (6.0, 200)      # untouched
     assert got["c"] == (40.0, NOW_MS)  # first score from raw=4.0
+
+
+def test_embedding_drift_policy_rescores_only_drifted(spark):
+    """EmbeddingDrift + DriftRescoreProducer (r14): entity 1's current
+    embedding matches its stored codes (fresh — seed kept), entity 2
+    drifted far past tau (stale — rescored to the measured drift at the
+    clock), entity 3 has NO stored codes (stale by the no-version rule,
+    but the producer's NULL drift keeps the old cell — A10)."""
+    from pyspark.sql.types import ArrayType, DoubleType, MapType
+
+    from kiji_scoring_spark.lib import DriftRescoreProducer  # noqa: F401
+    from kiji_scoring_spark.policies import EmbeddingDrift
+
+    dim, nsub = 64, 8
+    # 2-entry codebook: entry 0 = all zeros, entry 7 = all hundreds
+    cbm = {0: [0] * dim, 7: [100] * dim}
+    base = [0] * dim            # quantized embedding matching entry 0
+    drifted = [500] * dim       # far from every codebook entry
+    t0 = 1_000
+    rows = [
+        # (vec_id, emb_q, codes cell, seed score cell)
+        (1, base, [([0] * nsub, t0)], t0),
+        (2, drifted, [([0] * nsub, t0)], t0),
+        (3, base, None, t0),
+    ]
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("emb_q", ArrayType(LongType())),
+            StructField(
+                "codes_versions",
+                ArrayType(
+                    StructType(
+                        [
+                            StructField("ts", LongType()),
+                            StructField("value", ArrayType(LongType())),
+                        ]
+                    )
+                ),
+            ),
+            StructField(
+                "score_versions",
+                ArrayType(
+                    StructType(
+                        [
+                            StructField("ts", LongType()),
+                            StructField("value", DoubleType()),
+                        ]
+                    )
+                ),
+            ),
+            StructField("cb_map", MapType(LongType(), ArrayType(LongType()))),
+        ]
+    )
+    data = [
+        (
+            vid,
+            emb,
+            None if codes is None else [(t0, codes[0][0])],
+            [(seed_ts, -1.0)],
+            cbm,
+        )
+        for vid, emb, codes, seed_ts in rows
+    ]
+    vt = spark.createDataFrame(data, schema)
+    reg = FreshenerRegistry()
+    reg.store(
+        TableLayout(vt.schema),
+        "emb_t",
+        "score:versions",
+        "kiji_scoring_spark.lib.DriftRescoreProducer",
+        "kiji_scoring_spark.policies.EmbeddingDrift",
+        EmbeddingDrift(tau=1_000_000).serialize(),
+    )
+    reader = FreshTableReader(spark, "emb_t", vt, reg, key_col="vec_id")
+    out = {
+        r.vec_id: (
+            r.score_versions[0].ts,
+            r.score_versions[0].value,
+            len(r.score_versions),
+        )
+        for r in reader.scan(NOW_MS).collect()
+    }
+    # entity 1: reconstruction drift 0 <= tau -> fresh, seed untouched
+    assert out[1] == (1_000, -1.0, 1)
+    # entity 2: drift = 64 * 400^2 (nearest entry is 7 at 100s? no — the
+    # stored CODE names entry 0, so recon = zeros; drift = 64 * 500^2)
+    assert out[2] == (NOW_MS, float(64 * 500 * 500), 2)
+    # entity 3: stale (no codes) but NULL score -> old cell kept (A10)
+    assert out[3] == (1_000, -1.0, 1)
