@@ -124,6 +124,7 @@ def commit_snapshot(
     mode: str = "append",
     target_files: int | None = None,
     partition_by: list[str] | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Commit `df` as the next version of the table at `path`.
 
@@ -136,7 +137,14 @@ def commit_snapshot(
     dir, so differently-partitioned commits can coexist in one
     version's file-set as long as the COLUMN SET is consistent — the
     additive-evolution rule applies to partition columns too). Returns
-    the committed version number."""
+    the committed version number.
+
+    `txn=(app_id, txn_id)` records an idempotent-writer watermark in the
+    manifest (Delta's txn/appId pattern): an AT-LEAST-ONCE writer (a
+    streaming foreachBatch) tags each commit with its monotonically
+    increasing batch id, and on retry consults `last_txn_id` — a replay
+    of an already-committed batch becomes a no-op instead of a
+    duplicate append."""
     assert mode in ("append", "overwrite")
     parent = latest_version(path)
     version = 1 if parent is None else parent + 1
@@ -161,17 +169,37 @@ def commit_snapshot(
     # the schema must survive in metadata for readers — empty delta
     # batches are routine in an incremental pipeline and must not make a
     # version unreadable
-    _publish(
-        path,
-        {
-            "version": version,
-            "parent": parent,
-            "op": mode,
-            "dirs": dirs,
-            "schema": df.schema.json(),
-        },
-    )
+    manifest = {
+        "version": version,
+        "parent": parent,
+        "op": mode,
+        "dirs": dirs,
+        "schema": df.schema.json(),
+    }
+    if txn is not None:
+        manifest["txn"] = {"app": txn[0], "id": int(txn[1])}
+    _publish(path, manifest)
     return version
+
+
+def last_txn_id(path: str, app: str) -> int | None:
+    """Highest txn id `app` has committed to this table (None if none) —
+    the read side of the idempotent-writer contract. Walks the lineage
+    from the latest version through parents, so expired (vacuumed)
+    manifests never break it and the cost is O(lineage), metadata
+    only."""
+    v = latest_version(path)
+    best: int | None = None
+    while v is not None:
+        try:
+            m = _read_manifest(path, v)
+        except FileNotFoundError:
+            break  # older history vacuumed away
+        t = m.get("txn")
+        if t and t.get("app") == app:
+            best = t["id"] if best is None else max(best, t["id"])
+        v = m.get("parent")
+    return best
 
 
 def _dir_rel(d) -> str:
@@ -251,31 +279,42 @@ def replace_partitions(
 
 
 def read_snapshot(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    schema: str | None = None,
 ) -> DataFrame:
     """Read the table as of `version` (default: latest). Time travel is
     free: any still-published manifest names a complete file-set.
 
-    mergeSchema=True because a version's file-set may span commits with
-    EVOLVED schemas (columns added over time): the merged schema is the
-    union, and files written before a column existed surface NULL for
-    it — additive evolution with no rewrite of history, the same
-    contract Delta/Iceberg give. (Column renames/drops are not modeled;
-    additive-only is the safe subset plain parquet can honor.)"""
+    Default reads use mergeSchema=True because a version's file-set may
+    span commits with EVOLVED schemas (columns added over time): the
+    merged schema is the union, and files written before a column
+    existed surface NULL for it — additive evolution with no rewrite of
+    history, the same contract Delta/Iceberg give. (Column renames/
+    drops are not modeled; additive-only is the safe subset plain
+    parquet can honor.)
+
+    `schema` (a DDL string) opts a STABLE-schema table out of inference:
+    no footer reads for schema merging, empty dirs readable, and — the
+    reason it exists — hive partition columns keep their DECLARED types
+    instead of path-string inference (an int-inferred partition column
+    needs a cast that can cost a join its dynamic partition pruning)."""
     if version is None:
         version = latest_version(path)
         if version is None:
             raise FileNotFoundError(f"no snapshot versions at {path}")
     m = _read_manifest(path, version)
-    return _read_dirs(spark, path, m["dirs"], m.get("schema"), version)
+    return _read_dirs(spark, path, m["dirs"], m.get("schema"), version, schema)
 
 
 def _read_dirs(
     spark: SparkSession,
     path: str,
-    dirs: list[str],
+    dirs: list,
     schema_json: str | None,
     version: int,
+    user_schema: str | None = None,
 ) -> DataFrame:
     # each data dir is its own hive-partitioned (or flat) root, so read
     # them separately and union — one multi-path read would demand a
@@ -299,11 +338,14 @@ def _read_dirs(
     parts = []
     for d in dirs:
         rel = _dir_rel(d)
-        if not has_files(rel):
+        if user_schema is None and not has_files(rel):
             continue
-        part = spark.read.option("mergeSchema", "true").parquet(
-            os.path.join(path, rel)
+        reader = (
+            spark.read.schema(user_schema)
+            if user_schema is not None
+            else spark.read.option("mergeSchema", "true")
         )
+        part = reader.parquet(os.path.join(path, rel))
         for col, values in _dir_excludes(d).items():
             # isNull-preserving: NOT-isin alone is null-rejecting and
             # would silently drop a __HIVE_DEFAULT_PARTITION__ (null

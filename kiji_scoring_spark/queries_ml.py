@@ -2048,17 +2048,22 @@ def _ann_ingest_oracle() -> str:
 def streaming_ann_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ANN-INDEX maintenance (§2.F × §2.G): embedding vectors
     arrive in micro-batches, and each batch is ENCODED (PQ codes +
-    IVF cell) against the fixed broadcast codebook/seeds and APPENDED
-    into the hive-partitioned inverted lists — the index a 100 TB
-    pipeline keeps warm as new embeddings land, absorbed per arrival
-    with no rebuild and no touch of the existing lists (an append adds
-    part-files inside the cell directories). The final probe answers
-    from the ACCUMULATED index via the same DPP-pruned ADC as
-    similarity_ivfpq_pruned_adc_topk; because encode is a per-vector
-    deterministic function, ingest-fold == one-shot index EXACTLY, and
-    the oracle (which encodes the whole corpus directly) proves it
-    under the hash gate — the index analog of the sketch folds'
-    mergeability property, under real StreamingQuery ingest.
+    IVF cell) against the fixed broadcast codebook/seeds and COMMITTED
+    to the snapshot-format inverted-list table (r13 verdict #3) — the
+    index a 100 TB pipeline keeps warm as new embeddings land, absorbed
+    per arrival with no rebuild and no touch of the existing lists.
+    Each micro-batch is an atomic manifest commit carrying a txn
+    watermark (at-least-once replay → exactly-once index, pinned by
+    tests/test_snapshots.py), the finished ingest is COMPACTED into one
+    cell-partitioned dir (bounding per-cell file count and restoring
+    the single-scan layout DPP needs), and every ingest point stays
+    time-travelable. The final probe answers from the accumulated index
+    via the same DPP-pruned ADC as similarity_ivfpq_pruned_adc_topk;
+    because encode is a per-vector deterministic function, ingest-fold
+    == one-shot index EXACTLY, and the oracle (which encodes the whole
+    corpus directly) proves it under the hash gate — the index analog
+    of the sketch folds' mergeability property, under real
+    StreamingQuery ingest.
 
     Per-batch work: two broadcast passes over the micro-batch (16
     codebook rows, <=32 seed rows, map-side partial min_by) + one
@@ -2071,6 +2076,12 @@ def streaming_ann_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     an ANN index."""
     import shutil
 
+    from .operators.snapshots import (
+        commit_snapshot,
+        compact_snapshot,
+        last_txn_id,
+        read_snapshot,
+    )
     from .queries_pipeline import (
         _EMBED_DIM,
         _IVFPQ_CODES_SCHEMA,
@@ -2115,15 +2126,25 @@ def streaming_ann_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         # foreachBatch runs on the driver: the checkpointed config frames
         # are same-session and usable directly — no per-batch re-read.
-        # Each batch owns its own `ingest_batch=<id>` directory and
-        # OVERWRITES it: foreachBatch is at-least-once, and a retried
-        # batch_id must replace its own (possibly partial) prior attempt
-        # instead of appending duplicate code rows into the shared index.
-        # The cell hive level stays INSIDE the batch dir, so the probe's
-        # partition pruning on `cell` is untouched.
-        _ivfpq_encode(batch_df, cb, seeds).write.mode("overwrite").partitionBy(
-            "cell"
-        ).parquet(os.path.join(codes_dir, f"ingest_batch={batch_id}"))
+        # Each batch is an ATOMIC snapshot commit (r13 verdict #3): a
+        # probe never observes a half-written list (the manifest lands
+        # after the data job), and the manifest's txn watermark makes
+        # at-least-once replay EXACTLY-ONCE — a retried batch_id finds
+        # itself already committed and no-ops instead of appending
+        # duplicate code rows (Delta's txn/appId pattern; a crashed
+        # mid-write attempt left no manifest, so its retry recommits
+        # into the next claimed version and the orphan dir stays
+        # unreferenced for vacuum).
+        done = last_txn_id(codes_dir, "ann_ingest")
+        if done is not None and batch_id <= done:
+            return
+        commit_snapshot(
+            _ivfpq_encode(batch_df, cb, seeds),
+            codes_dir,
+            mode="append",
+            partition_by=["cell"],
+            txn=("ann_ingest", batch_id),
+        )
 
     stream = (
         spark.readStream.schema(", ".join(f"{c} long" for c in qcols))
@@ -2139,14 +2160,18 @@ def streaming_ann_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         sq.awaitTermination()
 
-    # the extra top-level `ingest_batch` partition column is provenance
-    # only — declare it so partition discovery reconciles with the user
-    # schema, then drop it from the serving frame
-    codes = (
-        spark.read.schema(_IVFPQ_CODES_SCHEMA + ", ingest_batch long")
-        .parquet(codes_dir)
-        .drop("ingest_batch")
-    )
+    # post-ingest maintenance, the OPTIMIZE a streaming-built table owes
+    # its readers: compact the N per-batch commits into ONE
+    # cell-partitioned dir. This both bounds the per-cell file count and
+    # restores the single-scan layout dynamic partition pruning plans
+    # against (a multi-dir union blocks DPP); old versions stay readable
+    # (the index is time-travelable to any ingest point).
+    compact_snapshot(spark, codes_dir, 8, partition_by=["cell"])
+    # explicit-schema snapshot read: cell keeps its declared LONG type
+    # (path inference would make it INT and the reconciling cast costs
+    # the routing join its DPP), and an empty-corpus version stays
+    # readable
+    codes = read_snapshot(spark, codes_dir, schema=_IVFPQ_CODES_SCHEMA)
     meta = codes.agg(
         F.count(F.lit(1)).alias("n_ingested"),
         F.count_distinct(F.pmod(F.col("vec_id"), F.lit(3))).alias("n_batches"),

@@ -522,3 +522,55 @@ def test_replace_excluded_partitions_are_pruned_not_filtered(spark, table_path):
     pf = scan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
     assert "NOT" in pf and "cell" in pf, scan
     assert "DataFilters: []" in scan, scan
+
+
+def test_txn_watermark_makes_replay_idempotent(spark, table_path):
+    """commit_snapshot txn (r14): an at-least-once writer tags commits
+    with (app, monotonic id); last_txn_id gives the replay guard. The
+    guard pattern must also survive a foreign app's interleaved commits
+    and a plain untagged commit."""
+    d = spark.createDataFrame([(1, "a")], ["k", "v"])
+
+    def guarded_commit(batch_id):
+        if (done := sn.last_txn_id(table_path, "w1")) is not None and batch_id <= done:
+            return None
+        return sn.commit_snapshot(
+            d, table_path, mode="append", txn=("w1", batch_id)
+        )
+
+    assert guarded_commit(0) == 1
+    assert guarded_commit(1) == 2
+    # replays of both committed batches: no-ops, no new versions
+    assert guarded_commit(0) is None
+    assert guarded_commit(1) is None
+    assert sn.latest_version(table_path) == 2
+    assert sn.read_snapshot(spark, table_path).count() == 2
+    # another app and an untagged commit don't disturb w1's watermark
+    sn.commit_snapshot(d, table_path, mode="append", txn=("other", 99))
+    sn.commit_snapshot(d, table_path, mode="append")
+    assert sn.last_txn_id(table_path, "w1") == 1
+    assert guarded_commit(1) is None
+    assert guarded_commit(2) == 5
+
+
+def test_read_snapshot_explicit_schema_types_partition_column(spark, table_path):
+    """read_snapshot(schema=...) (r14): a declared LONG hive partition
+    column reads back LONG (no path-string int inference, no
+    reconciling cast), and empty commits stay readable."""
+    df = spark.createDataFrame([(i, i % 3) for i in range(9)], ["k", "cell"])
+    sn.commit_snapshot(df, table_path, mode="overwrite", partition_by=["cell"])
+    got = sn.read_snapshot(spark, table_path, schema="k long, cell long")
+    assert dict(got.dtypes)["cell"] == "bigint"
+    assert got.count() == 9
+    # inference path (no schema): NOT the declared long — whatever the
+    # session's partition inference yields (int, or string with
+    # inference off) forces a reconciling cast the explicit read avoids
+    assert dict(sn.read_snapshot(spark, table_path).dtypes)["cell"] != "bigint"
+    # empty commit readable under the explicit schema
+    sn.commit_snapshot(
+        df.filter("k < 0"), table_path, mode="append", partition_by=["cell"]
+    )
+    assert (
+        sn.read_snapshot(spark, table_path, schema="k long, cell long").count()
+        == 9
+    )
