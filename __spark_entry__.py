@@ -61,9 +61,12 @@ _FORCE_RECHECK: frozenset[str] = frozenset(
         "sketch_topk_shard_merge",
         # r14: the persisted-codes build moved into the shared
         # _ivfpq_codes_table helper (same path, same bytes) so the
-        # embedding-drift policy reads the same index. Refactor-only,
-        # but changed code ⇒ re-verify.
+        # embedding-drift policy reads the same index, and the PQ
+        # family's distance/quantize expression builders became parsed
+        # SQL strings (canonicalized-plan-identical, ~2x faster driver
+        # plan construction). Changed code ⇒ re-verify both probes.
         "similarity_ivfpq_pruned_adc_topk",
+        "similarity_pq_adc_topk",
     }
 )
 

@@ -1655,12 +1655,11 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("embedding").isNotNull()
         & (F.size("embedding") == _EMBED_DIM)
     )
-    q = e.select(
+    q = e.selectExpr(
         "vec_id",
         *[
-            F.round(F.col("embedding")[i].cast("double") * 100)
-            .cast("long")
-            .alias(f"q{i}")
+            f"CAST(ROUND(CAST(embedding[{i}] AS DOUBLE) * 100) AS BIGINT)"
+            f" AS q{i}"
             for i in range(_EMBED_DIM)
         ],
     )
@@ -1671,13 +1670,9 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def subdist(l_tpl: str, r_tpl: str, ss: int):
-        return functools.reduce(
-            operator.add,
-            [
-                (F.col(l_tpl.format(i)) - F.col(r_tpl.format(i)))
-                * (F.col(l_tpl.format(i)) - F.col(r_tpl.format(i)))
-                for i in range(ss * _PQ_SUBDIM, (ss + 1) * _PQ_SUBDIM)
-            ],
+        # parsed-string build (one py4j call) — see _sqdiff_sum_expr
+        return _sqdiff_sum_expr(
+            l_tpl, r_tpl, ss * _PQ_SUBDIM, (ss + 1) * _PQ_SUBDIM
         )
 
     path = _state_path(sf_dir, "pq_codes_embeddings.parquet")
@@ -1733,12 +1728,8 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for s in range(_PQ_SUB)
         ],
     )
-    adc_dist = functools.reduce(
-        operator.add,
-        [
-            F.try_element_at(F.col(f"m{s}"), F.col(f"c{s}"))
-            for s in range(_PQ_SUB)
-        ],
+    adc_dist = F.expr(
+        " + ".join(f"try_element_at(m{s}, c{s})" for s in range(_PQ_SUB))
     )
     top = (
         codes.crossJoin(F.broadcast(lut_row))
@@ -1753,13 +1744,7 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rn", F.row_number().over(Window.orderBy("adc_dist", "neighbor_id"))
         )
     )
-    exact = functools.reduce(
-        operator.add,
-        [
-            (F.col(f"q{i}") - F.col(f"pq{i}")) * (F.col(f"q{i}") - F.col(f"pq{i}"))
-            for i in range(_EMBED_DIM)
-        ],
-    )
+    exact = _sqdiff_sum_expr("q{}", "pq{}", 0, _EMBED_DIM)
     return (
         F.broadcast(top)
         .join(q, F.col("vec_id") == F.col("neighbor_id"))
@@ -1774,38 +1759,44 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .pq_common import _IVFPQ_NCELLS, _PQ_FULLDIST_SQL  # noqa: E402
 
 
+def _sqdiff_sum_expr(l_tpl: str, r_tpl: str, lo: int, hi: int):
+    """Exact BIGINT Σ (l_i - r_i)² over simple column names [lo, hi), as
+    ONE parsed SQL string. Column-object trees cost a py4j round-trip
+    per arithmetic node — ~200 calls for a 64-dim distance, measured
+    ~0.7 s of DRIVER time per expression at r14 — while F.expr parses
+    the identical AST (canonicalized analyzed plans equal, checked) in
+    one call. Templates must expand to plain identifiers."""
+    return F.expr(
+        " + ".join(
+            f"({l_tpl.format(i)} - {r_tpl.format(i)})"
+            f" * ({l_tpl.format(i)} - {r_tpl.format(i)})"
+            for i in range(lo, hi)
+        )
+    )
+
+
 def _ivfpq_subdist(l_tpl: str, r_tpl: str, ss: int):
     """Exact BIGINT squared distance over one PQ subspace's columns."""
-    return functools.reduce(
-        operator.add,
-        [
-            (F.col(l_tpl.format(i)) - F.col(r_tpl.format(i)))
-            * (F.col(l_tpl.format(i)) - F.col(r_tpl.format(i)))
-            for i in range(ss * _PQ_SUBDIM, (ss + 1) * _PQ_SUBDIM)
-        ],
+    return _sqdiff_sum_expr(
+        l_tpl, r_tpl, ss * _PQ_SUBDIM, (ss + 1) * _PQ_SUBDIM
     )
 
 
 def _ivfpq_fulldist(l_tpl: str, r_tpl: str):
     """Exact BIGINT squared distance over all 64 quantized columns."""
-    return functools.reduce(
-        operator.add,
-        [
-            (F.col(l_tpl.format(i)) - F.col(r_tpl.format(i)))
-            * (F.col(l_tpl.format(i)) - F.col(r_tpl.format(i)))
-            for i in range(_EMBED_DIM)
-        ],
-    )
+    return _sqdiff_sum_expr(l_tpl, r_tpl, 0, _EMBED_DIM)
 
 
 def _ivfpq_quantize(e: DataFrame) -> DataFrame:
-    """(vec_id, q0..q63): the int8-style round(x*100) BIGINT quantization."""
-    return e.select(
+    """(vec_id, q0..q63): the int8-style round(x*100) BIGINT quantization.
+    selectExpr (SQL bracket indexing is 0-based, same as getItem) keeps
+    the 64-column projection a single parse instead of ~260 py4j
+    Column-op round-trips — identical analyzed plan."""
+    return e.selectExpr(
         "vec_id",
         *[
-            F.round(F.col("embedding")[i].cast("double") * 100)
-            .cast("long")
-            .alias(f"q{i}")
+            f"CAST(ROUND(CAST(embedding[{i}] AS DOUBLE) * 100) AS BIGINT)"
+            f" AS q{i}"
             for i in range(_EMBED_DIM)
         ],
     )
@@ -1939,12 +1930,8 @@ def _ivfpq_query_phase(q: DataFrame, cb: DataFrame, seeds: DataFrame, codes: Dat
             for s in range(_PQ_SUB)
         ],
     )
-    adc_dist = functools.reduce(
-        operator.add,
-        [
-            F.try_element_at(F.col(f"m{s}"), F.col(f"c{s}"))
-            for s in range(_PQ_SUB)
-        ],
+    adc_dist = F.expr(
+        " + ".join(f"try_element_at(m{s}, c{s})" for s in range(_PQ_SUB))
     )
     top = (
         cand.crossJoin(F.broadcast(lut_row))
@@ -1960,13 +1947,7 @@ def _ivfpq_query_phase(q: DataFrame, cb: DataFrame, seeds: DataFrame, codes: Dat
             "rn", F.row_number().over(Window.orderBy("adc_dist", "neighbor_id"))
         )
     )
-    exact = functools.reduce(
-        operator.add,
-        [
-            (F.col(f"q{i}") - F.col(f"pq{i}")) * (F.col(f"q{i}") - F.col(f"pq{i}"))
-            for i in range(_EMBED_DIM)
-        ],
-    )
+    exact = _sqdiff_sum_expr("q{}", "pq{}", 0, _EMBED_DIM)
     return (
         F.broadcast(top)
         .join(q, F.col("vec_id") == F.col("neighbor_id"))

@@ -128,6 +128,15 @@ TIERS = {
         # ADC); same oracle-cost ceiling as PQ — the encode replay caps
         # the full-oracle tier at 200 K vectors
         "similarity_ivfpq_pruned_adc_topk",
+        # r14 appends: the snapshot-versioned ANN lifecycle (time-travel
+        # probe over the committed lineage, partition-rewrite deletes)
+        # and the embedding-drift freshness pass — all share the PQ
+        # oracle's encode-replay cost ceiling, so 200 K vectors is their
+        # largest full-oracle tier too (sf100 is engine-side:
+        # scripts/assert_ann_lifecycle.py)
+        "ann_index_time_travel_probe",
+        "ann_index_delete_rewrite",
+        "fresh_embedding_drift_rescoring",
     ]),
     # batch 4: six heavy TPC-H shapes, BFS + triangle counting over the
     # 60 M-row copurchase graph, both salted operators, Z-order tiling,
