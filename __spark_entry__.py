@@ -47,11 +47,11 @@ _FORCE_RECHECK: frozenset[str] = frozenset(
         # errorifexists → mode("overwrite") so an at-least-once retry of
         # a failed batch_id can recommit over its own partial dir.
         "streaming_sketch_family_fold",
-        # r14 (r13 ADVICE): ANN ingest made idempotent — each batch
-        # overwrites its own ingest_batch=<id> subdir (cell hive level
-        # inside it) instead of mode("append") into the shared root, so
-        # a retried batch replaces its prior attempt rather than
-        # appending duplicate code rows.
+        # r14 (r13 ADVICE + verdict #3): ANN ingest re-expressed through
+        # the snapshot format — each micro-batch an atomic manifest
+        # commit with a txn watermark (at-least-once replay →
+        # exactly-once), post-ingest partitioned compaction, serving
+        # read via explicit-schema read_snapshot.
         "streaming_ann_index_ingest",
         # r14 (r13 ADVICE): _grouped_top_k's scratch columns renamed to
         # collision-safe __gtk_* names. Internal-only, but changed build
