@@ -67,6 +67,12 @@ _FORCE_RECHECK: frozenset[str] = frozenset(
         # plan construction). Changed code ⇒ re-verify both probes.
         "similarity_ivfpq_pruned_adc_topk",
         "similarity_pq_adc_topk",
+        # r14: the 64-dim cosine dot products moved to the same
+        # parsed-string build (plan-identical; hash-green at
+        # sf0.001/sf0.01). Changed code ⇒ re-verify.
+        "similarity_cosine_topk",
+        "dedup_embedding_cosine_pairs",
+        "similarity_ivf_deterministic_seeds",
     }
 )
 

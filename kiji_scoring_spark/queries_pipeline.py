@@ -349,10 +349,9 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = flat.alias("a").filter(F.col("vec_id") < 10)
     b = flat.alias("b")
-    dot = functools.reduce(
-        operator.add,
-        [F.col(f"a.e{i}") * F.col(f"b.e{i}") for i in range(_EMBED_DIM)],
-    )
+    # parsed-string dot product: one py4j call instead of ~190 (the
+    # r14 PQ driver-cost find; canonicalized plans identical)
+    dot = F.expr(" + ".join(f"a.e{i} * b.e{i}" for i in range(_EMBED_DIM)))
     sim = F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 9)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -658,10 +657,8 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     a, b = be.alias("a"), be.alias("b")
-    dot = functools.reduce(
-        operator.add,
-        [F.col(f"a.n{i}") * F.col(f"b.n{i}") for i in range(_EMBED_DIM)],
-    )
+    # parsed-string dot product (r14 PQ driver-cost find)
+    dot = F.expr(" + ".join(f"a.n{i} * b.n{i}" for i in range(_EMBED_DIM)))
     return (
         a.join(
             b,
@@ -1492,10 +1489,8 @@ def similarity_ivf_deterministic_seeds(spark: SparkSession, sf_dir: str) -> Data
     )
 
     def seed_cos():
-        dot = functools.reduce(
-            operator.add,
-            [F.col(f"e{i}") * F.col(f"s{i}") for i in range(_EMBED_DIM)],
-        )
+        # parsed-string dot product (r14 PQ driver-cost find)
+        dot = F.expr(" + ".join(f"e{i} * s{i}" for i in range(_EMBED_DIM)))
         return F.round(dot / (F.col("nrm") * F.col("snrm")), 9)
 
     scored = (
@@ -1521,10 +1516,8 @@ def similarity_ivf_deterministic_seeds(spark: SparkSession, sf_dir: str) -> Data
 
     a = flat.alias("a")
     b = flat.alias("b")
-    dot = functools.reduce(
-        operator.add,
-        [F.col(f"a.e{i}") * F.col(f"b.e{i}") for i in range(_EMBED_DIM)],
-    )
+    # parsed-string dot product (r14 PQ driver-cost find)
+    dot = F.expr(" + ".join(f"a.e{i} * b.e{i}" for i in range(_EMBED_DIM)))
     sim = F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 9)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
