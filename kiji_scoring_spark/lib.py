@@ -53,15 +53,32 @@ class DriftRescoreProducer(ExpressionProducer):
     entity's current embedding and its stored codes), cast to double —
     the A7 freshen pass the drift policy drives. An entity whose drift
     is NULL (no stored codes reachable by the expression) produces
-    NULL, so the A10 partial-freshening invariant keeps its old cell."""
+    NULL, so the A10 partial-freshening invariant keeps its old cell.
 
-    def __init__(self):
+    Column parameters mirror ``EmbeddingDrift``'s (same defaults), so a
+    non-default attachment configures BOTH sides identically instead of
+    the producer silently scoring different cells than the policy
+    measured drift on."""
+
+    def __init__(
+        self,
+        codes_column: str = "codes:versions",
+        embedding_column: str = "emb:q",
+        codebook_column: str = "cb:map",
+    ):
         from .pq_common import pq_drift_expr
+        from .registry import parse_column
+
+        def flat(col: str) -> str:
+            fam, qual = parse_column(col)
+            return fam if qual is None else f"{fam}_{qual}"
 
         super().__init__(
             lambda df: pq_drift_expr(
-                "emb_q", model.most_recent_value("codes_versions"), "cb_map"
+                flat(embedding_column),
+                model.most_recent_value(flat(codes_column)),
+                flat(codebook_column),
             ).cast("double"),
-            data_request=["emb:q", "codes:versions", "cb:map"],
+            data_request=[embedding_column, codes_column, codebook_column],
             output_column="score:versions",
         )

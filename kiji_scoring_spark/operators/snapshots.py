@@ -125,6 +125,7 @@ def commit_snapshot(
     target_files: int | None = None,
     partition_by: list[str] | None = None,
     txn: tuple[str, int] | None = None,
+    reclaim_crashed: bool = False,
 ) -> int:
     """Commit `df` as the next version of the table at `path`.
 
@@ -144,10 +145,27 @@ def commit_snapshot(
     streaming foreachBatch) tags each commit with its monotonically
     increasing batch id, and on retry consults `last_txn_id` — a replay
     of an already-committed batch becomes a no-op instead of a
-    duplicate append."""
+    duplicate append.
+
+    `reclaim_crashed=True` is the SINGLE-WRITER crash-recovery switch:
+    if the next version's data dir is already claimed but has NO
+    published manifest, it is treated as this writer's own crashed
+    prior attempt (the only possibility under a single writer — a
+    manifest publishes atomically after the data job), deleted, and
+    re-claimed, so a retried commit makes progress instead of wedging
+    on SnapshotConflictError. It MUST stay False anywhere two writers
+    could genuinely race: a loser that reclaimed would clobber the
+    winner's in-flight data dir."""
     assert mode in ("append", "overwrite")
     parent = latest_version(path)
     version = 1 if parent is None else parent + 1
+    if reclaim_crashed:
+        mdir = os.path.join(_manifest_dir(path), f"v{version}.json")
+        d = os.path.join(path, "data", f"v{version}")
+        if os.path.isdir(d) and not os.path.exists(mdir):
+            import shutil
+
+            shutil.rmtree(d)
     rel = _claim_version(path, version)  # loses loudly, never clobbers
     if target_files:
         df = df.coalesce(target_files)

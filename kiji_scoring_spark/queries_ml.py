@@ -2131,10 +2131,13 @@ def streaming_ann_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         # after the data job), and the manifest's txn watermark makes
         # at-least-once replay EXACTLY-ONCE — a retried batch_id finds
         # itself already committed and no-ops instead of appending
-        # duplicate code rows (Delta's txn/appId pattern; a crashed
-        # mid-write attempt left no manifest, so its retry recommits
-        # into the next claimed version and the orphan dir stays
-        # unreferenced for vacuum).
+        # duplicate code rows (Delta's txn/appId pattern).
+        # reclaim_crashed: this foreachBatch is the table's ONLY
+        # writer, so a claimed-but-unpublished version dir can only be
+        # this writer's own crashed prior attempt — the retry deletes
+        # it and recommits the same version instead of wedging on
+        # SnapshotConflictError (pinned by
+        # tests/test_snapshots.py::test_single_writer_retry_reclaims_crashed_claim).
         done = last_txn_id(codes_dir, "ann_ingest")
         if done is not None and batch_id <= done:
             return
@@ -2144,6 +2147,7 @@ def streaming_ann_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             mode="append",
             partition_by=["cell"],
             txn=("ann_ingest", batch_id),
+            reclaim_crashed=True,
         )
 
     stream = (

@@ -5,9 +5,6 @@ can express it (portable md5-derived hashing keeps both engines identical).
 
 from __future__ import annotations
 
-import functools
-import operator
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1465,9 +1462,6 @@ def similarity_ivf_deterministic_seeds(spark: SparkSession, sf_dir: str) -> Data
     are left-assoc sums over unpacked primitive columns in codegen —
     the same fold order as the oracle's list_reduce — and similarities
     round to 9 dp before ranking with id tiebreaks."""
-    import functools
-    import operator
-
     e = load_table(spark, sf_dir, "embeddings")
     nrm2 = F.aggregate(
         F.transform("embedding", lambda x: x.cast("double")),
@@ -2192,6 +2186,39 @@ _IVFPQ_SNAP_EXACT_SQL = (
 )
 
 
+def _ivfpq_snap_build_base(spark, path, q, cb, seeds) -> None:
+    """Build the snapshot-versioned IVF-PQ lineage FROM SCRATCH: v1..v3
+    append the three pmod(vec_id,3) ingest tranches' codes (encode runs
+    once; the tranche filters slice one lazily-checkpointed frame), v4
+    is the partition-preserving compaction. Shared by the time-travel
+    probe and the delete rewrite so the lineage shape can't diverge.
+    Callers own the rebuild guard; anything less than a complete base
+    is a crashed prior build and is purged first."""
+    import shutil
+
+    from .operators.snapshots import commit_snapshot, compact_snapshot
+
+    shutil.rmtree(path, ignore_errors=True)
+    enc = _ivfpq_encode(q, cb, seeds).localCheckpoint(eager=False)
+    for r in range(3):
+        commit_snapshot(
+            enc.filter(F.pmod(F.col("vec_id"), F.lit(3)) == r),
+            path,
+            mode="append",
+            partition_by=["cell"],
+        )
+    compact_snapshot(spark, path, 8, partition_by=["cell"])
+
+
+def _ivfpq_snap_codes_at(spark, path, version: int) -> DataFrame:
+    """Explicit-schema snapshot read of a codes version: `cell` keeps
+    its declared LONG type (no path-inference cast), no footer-merge
+    reads, and the single-dir post-compaction version stays DPP-able."""
+    from .operators.snapshots import read_snapshot
+
+    return read_snapshot(spark, path, version, schema=_IVFPQ_CODES_SCHEMA)
+
+
 @query(
     "ann_index_time_travel_probe",
     _ivfpq_snap_adc_cte_sql()
@@ -2255,14 +2282,7 @@ def ann_index_time_travel_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     derived artifacts (KijiFreshnessManager.java:235-239) with real
     table-format semantics."""
     import os
-    import shutil
-
-    from .operators.snapshots import (
-        commit_snapshot,
-        compact_snapshot,
-        latest_version,
-        read_snapshot,
-    )
+    from .operators.snapshots import latest_version
     from .queries_graph import _state_path
 
     e = load_table(spark, sf_dir, "embeddings").filter(
@@ -2278,25 +2298,10 @@ def ann_index_time_travel_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     if (latest_version(path) or 0) < 4:
         # a complete lineage is v1..v3 appends + v4 compact; anything
         # less is a crashed prior build — rebuild deterministically
-        shutil.rmtree(path, ignore_errors=True)
-        enc = _ivfpq_encode(q, cb, seeds).localCheckpoint(eager=False)
-        for r in range(3):
-            commit_snapshot(
-                enc.filter(F.pmod(F.col("vec_id"), F.lit(3)) == r),
-                path,
-                mode="append",
-                partition_by=["cell"],
-            )
-        compact_snapshot(spark, path, 8, partition_by=["cell"])
+        _ivfpq_snap_build_base(spark, path, q, cb, seeds)
 
     def codes_at(version: int) -> DataFrame:
-        # partition-path inference types `cell` INT; the serving frame
-        # (and the oracle) speak LONG
-        return read_snapshot(spark, path, version).select(
-            "vec_id",
-            *[f"c{s}" for s in range(_PQ_SUB)],
-            F.col("cell").cast("long").alias("cell"),
-        )
+        return _ivfpq_snap_codes_at(spark, path, version)
 
     # compaction's zero-logical-effect needs no third probe: the
     # oracle's latest block ranks the one-shot FULL corpus, so the
@@ -2375,13 +2380,9 @@ def ann_index_delete_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     (KijiFreshnessPolicy.java:56-66 deciding, producers rewriting),
     here applied to a derived index artifact with table-format
     history."""
-    import shutil
-
     from .operators.snapshots import (
         commit_snapshot,
-        compact_snapshot,
         latest_version,
-        read_snapshot,
         replace_partitions,
     )
     from .queries_graph import _state_path
@@ -2398,24 +2399,12 @@ def ann_index_delete_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _state_path(sf_dir, "ivfpq_codes_snap_del")
 
     def codes_at(version: int) -> DataFrame:
-        return read_snapshot(spark, path, version).select(
-            "vec_id",
-            *[f"c{s}" for s in range(_PQ_SUB)],
-            F.col("cell").cast("long").alias("cell"),
-        )
+        return _ivfpq_snap_codes_at(spark, path, version)
 
     if (latest_version(path) or 0) < 5:
-        # complete lineage: v1..v3 tranche appends, v4 compact, v5 delete
-        shutil.rmtree(path, ignore_errors=True)
-        enc = _ivfpq_encode(q, cb, seeds).localCheckpoint(eager=False)
-        for r in range(3):
-            commit_snapshot(
-                enc.filter(F.pmod(F.col("vec_id"), F.lit(3)) == r),
-                path,
-                mode="append",
-                partition_by=["cell"],
-            )
-        compact_snapshot(spark, path, 8, partition_by=["cell"])
+        # complete lineage: v1..v3 tranche appends + v4 compact (the
+        # shared base), then v5 delete
+        _ivfpq_snap_build_base(spark, path, q, cb, seeds)
         # kill = the live index's top-3: 3 rows cross the driver, once
         kills = (
             _ivfpq_query_phase(q, cb, seeds, codes_at(4))
@@ -2427,7 +2416,7 @@ def ann_index_delete_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             killed_ids = sorted(int(r.neighbor_id) for r in kills)
             cells = sorted({int(r.cell) for r in kills})
             survivors = (
-                read_snapshot(spark, path, 4)
+                codes_at(4)
                 .filter(F.col("cell").isin(cells))
                 .filter(~F.col("vec_id").isin(killed_ids))
             )
@@ -2437,7 +2426,7 @@ def ann_index_delete_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             # probe): nothing to retire — v5 is an explicit empty
             # append so the lineage shape (probe-at-v5) is invariant
             commit_snapshot(
-                read_snapshot(spark, path, 4).limit(0),
+                codes_at(4).limit(0),
                 path,
                 mode="append",
                 partition_by=["cell"],

@@ -114,7 +114,11 @@ def main() -> int:
     ).collect()[0]
     corpus = (
         load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id").isNotNull() & F.col("embedding").isNotNull())
+        .filter(
+            F.col("vec_id").isNotNull()
+            & F.col("embedding").isNotNull()
+            & (F.size("embedding") == 64)
+        )
         .count()
     )
     out["drift_entities"] = agg.n

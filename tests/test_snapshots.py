@@ -574,3 +574,28 @@ def test_read_snapshot_explicit_schema_types_partition_column(spark, table_path)
         sn.read_snapshot(spark, table_path, schema="k long, cell long").count()
         == 9
     )
+
+
+def test_single_writer_retry_reclaims_crashed_claim(spark, table_path):
+    """reclaim_crashed (r14): a mid-write crash leaves a claimed data
+    dir with no manifest; the single-writer retry must delete the
+    orphan and recommit the SAME version instead of wedging on
+    SnapshotConflictError — while the default (no reclaim) stays loud
+    for genuinely racing writers."""
+    d = spark.createDataFrame([(1, "a")], ["k", "v"])
+    sn.commit_snapshot(d, table_path, mode="overwrite")
+    # simulate the crash window: v2 claimed + partial data, no manifest
+    orphan = os.path.join(table_path, "data", "v2")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-junk.parquet"), "wb") as f:
+        f.write(b"torn")
+    with pytest.raises(sn.SnapshotConflictError):
+        sn.commit_snapshot(d, table_path, mode="append")
+    v = sn.commit_snapshot(d, table_path, mode="append", reclaim_crashed=True)
+    assert v == 2
+    assert sn.read_snapshot(spark, table_path, 2).count() == 2
+    # a PUBLISHED version is never reclaimed, even with the flag
+    with pytest.raises(sn.SnapshotConflictError):
+        os.mkdir(os.path.join(table_path, "data", "v3"))
+        sn.commit_snapshot(d, table_path, mode="append", reclaim_crashed=False)
+    os.rmdir(os.path.join(table_path, "data", "v3"))
