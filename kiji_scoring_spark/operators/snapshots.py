@@ -16,10 +16,24 @@ plus an atomic manifest rename can provide:
 - the manifest is published atomically (fsync'd temp file + link(2))
   — a reader never observes a half-written version. (On an object
   store this is exactly the commit problem Delta's log and Iceberg's
-  catalog solve; single-writer is assumed here, and a violation is
-  LOUD: each version is claimed with an exclusive mkdir before any
-  data is written, so of two racing committers exactly one wins and
-  the other raises SnapshotConflictError — never last-writer-wins.)
+  catalog solve; by default single-writer is assumed here, and a
+  violation is LOUD: each version is claimed with an exclusive mkdir
+  before any data is written, so of two racing committers exactly one
+  wins and the other raises SnapshotConflictError — never
+  last-writer-wins.)
+
+Two LEGITIMATE writers (the production pair: streaming ingest +
+scheduled compaction) use the OPTIMISTIC path instead (`retries > 0`,
+r14 verdict #3): data is written ONCE into a uniquely-named dir that
+can never collide, and only the metadata publish retries — on losing
+the atomic link(2) race the writer re-reads the latest version,
+re-validates its op's precondition against the commits that landed in
+between (append: none; replace_partitions: the replaced partitions
+must be untouched; compaction: only appends are mergeable), rebuilds
+the manifest at the next version, and re-publishes. That is exactly
+Delta/Iceberg's optimistic concurrency (write data files once, retry
+the log commit with conflict validation) reduced to what a manifest
+directory can provide.
 
 Readers never list data directories — they read the closed file-set
 named by the manifest, so a crashed half-written commit dir is
@@ -92,6 +106,56 @@ def _claim_version(path: str, version: int) -> str:
     return rel
 
 
+def _claim_unique_dir(path: str) -> str:
+    """Claim a data dir whose name can never collide with another
+    writer's — the optimistic path's replacement for the version-number
+    claim. The token is pid + monotonic ns + an in-process counter, and
+    the exclusive mkdir still backstops the (practically impossible)
+    collision by bumping the counter. Because no manifest references
+    the dir until its commit publishes, a crashed optimistic writer
+    leaves only an UNREFERENCED dir that vacuum_snapshots reclaims —
+    same recovery story as a crashed pessimistic claim."""
+    import itertools
+    import time
+
+    os.makedirs(os.path.join(path, "data"), exist_ok=True)
+    for n in itertools.count():
+        rel = os.path.join("data", f"c{os.getpid()}-{time.monotonic_ns()}-{n}")
+        try:
+            os.mkdir(os.path.join(path, rel))
+        except FileExistsError:
+            continue
+        return rel
+
+
+def _publish_with_retry(path: str, build_manifest, retries: int) -> int:
+    """The optimistic commit loop: `build_manifest(parent)` constructs
+    the manifest to publish on top of the CURRENT latest version (it
+    re-validates the op's precondition and raises SnapshotConflictError
+    itself if the new parent makes the op unresolvable, or returns an
+    int to short-circuit — the txn-already-committed no-op). Each lost
+    link(2) race consumes one retry; conflicts past the budget
+    re-raise, so a pathological writer storm degrades loudly, never
+    into a livelock."""
+    attempts = retries + 1
+    last_err: SnapshotConflictError | None = None
+    for _ in range(attempts):
+        parent = latest_version(path)
+        built = build_manifest(parent)
+        if isinstance(built, int):
+            return built  # txn watermark says this commit already landed
+        try:
+            _publish(path, built)
+        except SnapshotConflictError as e:
+            last_err = e
+            continue
+        return built["version"]
+    raise SnapshotConflictError(
+        f"commit at {path} lost the publish race {attempts} times "
+        f"(retries={retries}); last conflict: {last_err}"
+    )
+
+
 def _publish(path: str, manifest: dict) -> None:
     """Atomic manifest publish: write to a temp name, fsync, then
     hard-link to the final name. link(2) fails atomically if the final
@@ -99,10 +163,16 @@ def _publish(path: str, manifest: dict) -> None:
     claim cannot overwrite a published manifest — a reader observes
     either nothing or the complete winning manifest, never a torn or
     replaced one."""
+    import time
+
     mdir = _manifest_dir(path)
     os.makedirs(mdir, exist_ok=True)
     final = os.path.join(mdir, f"v{manifest['version']}.json")
-    tmp = final + f".tmp.{os.getpid()}"
+    # unique per ATTEMPT, not per process: two racing threads of one
+    # process (two streams in one Spark driver) with a pid-keyed name
+    # would clobber each other's tmp and the loser would die on
+    # FileNotFoundError instead of a clean SnapshotConflictError
+    tmp = final + f".tmp.{os.getpid()}.{time.monotonic_ns()}"
     with open(tmp, "w") as f:
         json.dump(manifest, f)
         f.flush()
@@ -126,6 +196,7 @@ def commit_snapshot(
     partition_by: list[str] | None = None,
     txn: tuple[str, int] | None = None,
     reclaim_crashed: bool = False,
+    retries: int = 0,
 ) -> int:
     """Commit `df` as the next version of the table at `path`.
 
@@ -155,8 +226,70 @@ def commit_snapshot(
     re-claimed, so a retried commit makes progress instead of wedging
     on SnapshotConflictError. It MUST stay False anywhere two writers
     could genuinely race: a loser that reclaimed would clobber the
-    winner's in-flight data dir."""
+    winner's in-flight data dir.
+
+    `retries>0` is the MULTI-WRITER path (optimistic concurrency, r14
+    verdict #3): the data is written once into a collision-free unique
+    dir and only the manifest publish retries, re-reading the latest
+    version each attempt. An append has NO precondition on the parent
+    (its rows are parent-independent), so a lost race always resolves:
+    the retried manifest is the new parent's dirs + this commit's dir —
+    both racing writers make progress, which is what lets streaming
+    ingest and scheduled compaction share one table. With `txn`, each
+    attempt re-checks the watermark, so a duplicate replay that loses
+    its race to ITS OWN earlier delivery no-ops instead of
+    double-appending (exactly-once composes with retry). Mutually
+    exclusive with reclaim_crashed: reclaim assumes a claimed-dir
+    conflict can only be one's own crash, which two live writers
+    violate."""
     assert mode in ("append", "overwrite")
+    if retries and reclaim_crashed:
+        raise ValueError(
+            "retries (multi-writer) and reclaim_crashed (single-writer) "
+            "are mutually exclusive: reclaiming a claimed dir under a "
+            "second live writer would clobber its in-flight commit"
+        )
+    if retries:
+        if txn is not None:
+            done = last_txn_id(path, txn[0])
+            if done is not None and int(txn[1]) <= done:
+                return latest_version(path)  # already committed: no-op
+        if target_files:
+            df = df.coalesce(target_files)
+        rel = _claim_unique_dir(path)
+        writer = df.write.mode("append")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(os.path.join(path, rel))
+        schema_json = df.schema.json()
+
+        def build(parent: int | None):
+            if txn is not None:
+                done = last_txn_id(path, txn[0])
+                if done is not None and int(txn[1]) <= done:
+                    # a concurrent delivery of this same batch won the
+                    # race: drop our now-orphaned (unreferenced) dir and
+                    # report the version that carries the txn
+                    import shutil
+
+                    shutil.rmtree(os.path.join(path, rel), ignore_errors=True)
+                    return parent
+            version = 1 if parent is None else parent + 1
+            dirs = [rel]
+            if mode == "append" and parent is not None:
+                dirs = _read_manifest(path, parent)["dirs"] + dirs
+            manifest = {
+                "version": version,
+                "parent": parent,
+                "op": mode,
+                "dirs": dirs,
+                "schema": schema_json,
+            }
+            if txn is not None:
+                manifest["txn"] = {"app": txn[0], "id": int(txn[1])}
+            return manifest
+
+        return _publish_with_retry(path, build, retries)
     parent = latest_version(path)
     version = 1 if parent is None else parent + 1
     if reclaim_crashed:
@@ -227,6 +360,89 @@ def _dir_rel(d) -> str:
     return d if isinstance(d, str) else d["path"]
 
 
+def _dir_partition_values(path: str, rel: str, partition_col: str):
+    """The set of `partition_col` values (as hive path strings) whose
+    partitions hold this commit dir's parquet files, plus whether any
+    file could NOT be attributed to a `partition_col=` path segment
+    (a flat or differently-partitioned commit). Metadata-only: one
+    filesystem walk of the single commit dir, no file opened — this is
+    what lets an optimistic replace_partitions decide from the
+    manifests + directory names alone whether an intervening append
+    touched the partitions it is rewriting."""
+    prefix = f"{partition_col}="
+    values: set[str] = set()
+    unattributed = False
+    root = os.path.join(path, rel)
+    for cur, _dirs, files in os.walk(root):
+        if not any(f.endswith(".parquet") for f in files):
+            continue
+        segs = os.path.relpath(cur, root).split(os.sep)
+        seg = next((s for s in segs if s.startswith(prefix)), None)
+        if seg is None:
+            unattributed = True
+        else:
+            values.add(seg[len(prefix):])
+    return values, unattributed
+
+
+def _validate_replace_precondition(
+    path: str, from_version: int, to_version: int, partition_col: str, values: list
+) -> None:
+    """Raise SnapshotConflictError unless every commit in
+    (from_version, to_version] provably left the partitions holding
+    `values` untouched — the serializability check a retried
+    replace_partitions needs before re-publishing on a new parent.
+    Appends (and other replaces' NEW dirs) pass iff their hive layout
+    shows no files in the replaced partitions; compactions always pass
+    (logically zero-effect, and the retried tombstones prune the
+    compacted dirs just as they pruned the originals); overwrites and
+    differently-keyed replaces never pass (their row movement cannot be
+    attributed partition-wise from metadata)."""
+    want = {str(v) for v in values}
+    for v in range(from_version + 1, to_version + 1):
+        m = _read_manifest(path, v)
+        op = m["op"]
+        if op == "compact":
+            continue
+        if op == "overwrite" or (m.get("parent") is None):
+            raise SnapshotConflictError(
+                f"replace_partitions at {path} conflicts with concurrent "
+                f"op={op!r} at v{v}: the table was rewritten under us"
+            )
+        if op == "replace":
+            theirs = m.get("replaced", {})
+            if set(theirs) != {partition_col}:
+                raise SnapshotConflictError(
+                    f"replace_partitions at {path} conflicts with a "
+                    f"concurrent replace at v{v} keyed on "
+                    f"{sorted(theirs)} (ours: {partition_col!r})"
+                )
+            if want & {str(x) for x in theirs.get(partition_col, [])}:
+                raise SnapshotConflictError(
+                    f"replace_partitions at {path} conflicts at v{v}: both "
+                    f"writers replaced partitions of {partition_col!r}"
+                )
+        parent_rels = {_dir_rel(d) for d in _read_manifest(path, m["parent"])["dirs"]}
+        for d in m["dirs"]:
+            rel = _dir_rel(d)
+            if rel in parent_rels:
+                continue
+            got, unattributed = _dir_partition_values(path, rel, partition_col)
+            if unattributed:
+                raise SnapshotConflictError(
+                    f"replace_partitions at {path}: concurrent v{v} added "
+                    f"dir {rel} not hive-partitioned by {partition_col!r}; "
+                    "its rows cannot be proven disjoint from the replaced "
+                    "partitions"
+                )
+            hit = want & got
+            if hit:
+                raise SnapshotConflictError(
+                    f"replace_partitions at {path}: concurrent v{v} added "
+                    f"rows in replaced partition(s) {sorted(hit)}"
+                )
+
+
 def _dir_excludes(d) -> dict[str, list]:
     return {} if isinstance(d, str) else dict(d.get("exclude", {}))
 
@@ -237,6 +453,7 @@ def replace_partitions(
     partition_col: str,
     values: list,
     target_files: int | None = None,
+    retries: int = 0,
 ) -> int:
     """Commit a COPY-ON-WRITE rewrite of the partitions holding `values`:
     the new version's file-set is the parent's dirs — each tagged with a
@@ -256,7 +473,16 @@ def replace_partitions(
     PRECONDITION (caller-owned, like every overwrite's): every row of
     `df` lies in a `values` partition — rows outside it would duplicate
     the untouched partitions' data. Delta reads refuse a lineage
-    containing this op (added dirs no longer equal added rows)."""
+    containing this op (added dirs no longer equal added rows).
+
+    `retries>0` is the optimistic multi-writer path: the replacement
+    rows are written once, and a lost publish race re-validates that
+    the intervening commits left the replaced partitions untouched
+    (appends elsewhere and compactions are mergeable; a concurrent
+    append INTO a replaced partition, an overwrite, or an overlapping
+    replace raises — retrying would silently tombstone the other
+    writer's rows, the one thing optimistic concurrency must never
+    do)."""
     parent = latest_version(path)
     if parent is None:
         raise FileNotFoundError(f"no snapshot versions at {path}")
@@ -267,28 +493,56 @@ def replace_partitions(
             "replace_partitions cannot replace the null partition "
             "(__HIVE_DEFAULT_PARTITION__): tombstones are value-keyed"
         )
-    version = parent + 1
-    rel = _claim_version(path, version)  # loses loudly, never clobbers
+
+    def _tombstoned_dirs(at_parent: int) -> list:
+        dirs = []
+        for d in _read_manifest(path, at_parent)["dirs"]:
+            ex = _dir_excludes(d)
+            ex[partition_col] = sorted(set(ex.get(partition_col, [])) | set(values))
+            dirs.append({"path": _dir_rel(d), "exclude": ex})
+        return dirs
+
     if target_files:
         df = df.repartition(target_files, partition_col)
+
+    if retries:
+        observed = parent  # df was computed against this state
+        rel = _claim_unique_dir(path)
+        df.write.mode("append").partitionBy(partition_col).parquet(
+            os.path.join(path, rel)
+        )
+        schema_json = df.schema.json()
+
+        def build(cur_parent: int | None):
+            assert cur_parent is not None  # versions only grow
+            if cur_parent != observed:
+                _validate_replace_precondition(
+                    path, observed, cur_parent, partition_col, values
+                )
+            return {
+                "version": cur_parent + 1,
+                "parent": cur_parent,
+                "op": "replace",
+                "dirs": _tombstoned_dirs(cur_parent) + [rel],
+                "replaced": {partition_col: sorted(values)},
+                "schema": schema_json,
+            }
+
+        return _publish_with_retry(path, build, retries)
+
+    version = parent + 1
+    rel = _claim_version(path, version)  # loses loudly, never clobbers
     # append into the claimed EMPTY dir (see commit_snapshot)
     df.write.mode("append").partitionBy(partition_col).parquet(
         os.path.join(path, rel)
     )
-    dirs = []
-    for d in _read_manifest(path, parent)["dirs"]:
-        ex = _dir_excludes(d)
-        merged = sorted(set(ex.get(partition_col, [])) | set(values))
-        ex[partition_col] = merged
-        dirs.append({"path": _dir_rel(d), "exclude": ex})
-    dirs.append(rel)
     _publish(
         path,
         {
             "version": version,
             "parent": parent,
             "op": "replace",
-            "dirs": dirs,
+            "dirs": _tombstoned_dirs(parent) + [rel],
             "replaced": {partition_col: sorted(values)},
             "schema": df.schema.json(),
         },
@@ -435,6 +689,7 @@ def compact_snapshot(
     path: str,
     target_files: int,
     partition_by: list[str] | None = None,
+    retries: int = 0,
 ) -> int:
     """Rewrite the CURRENT version's file-set into `target_files` files
     as a new version. Readers of old versions are unaffected; the new
@@ -451,15 +706,21 @@ def compact_snapshot(
     pruning against it, survive the rewrite. Omitting it for a table
     whose commits were partitioned FLATTENS the layout (the partition
     column becomes a plain data column) — legal but almost never what a
-    pruned-read table wants."""
+    pruned-read table wants.
+
+    `retries>0` is the optimistic multi-writer path (the scheduled-
+    compaction side of the ingest-vs-compaction pair): the compacted
+    rewrite of the fileset OBSERVED at entry is written once, and a
+    lost publish race merges rather than discards — the retried
+    manifest is [this compacted dir] + every dir the intervening
+    APPENDS added, so the ingest's rows survive the compaction that
+    raced them and both writers make progress. Anything but appends in
+    between (another compact, a replace, an overwrite) raises: their
+    row movement makes the already-written rewrite stale."""
     parent = latest_version(path)
     if parent is None:
         raise FileNotFoundError(f"no snapshot versions at {path}")
     current = read_snapshot(spark, path, parent)
-    version = parent + 1
-    rel = _claim_version(path, version)  # loses loudly, never clobbers
-    # append, not overwrite, for the same reason as commit_snapshot: the
-    # claimed dir must never be deleted or the claim evaporates mid-write
     if partition_by:
         writer = (
             current.repartition(target_files, *partition_by)
@@ -468,6 +729,45 @@ def compact_snapshot(
         )
     else:
         writer = current.coalesce(target_files).write.mode("append")
+
+    if retries:
+        observed = parent
+        observed_rels = {
+            _dir_rel(d) for d in _read_manifest(path, observed)["dirs"]
+        }
+        rel = _claim_unique_dir(path)
+        writer.parquet(os.path.join(path, rel))
+        schema_json = current.schema.json()
+
+        def build(cur_parent: int | None):
+            assert cur_parent is not None  # versions only grow
+            for v in range(observed + 1, cur_parent + 1):
+                m = _read_manifest(path, v)
+                if m["op"] != "append":
+                    raise SnapshotConflictError(
+                        f"compaction at {path} conflicts with concurrent "
+                        f"op={m['op']!r} at v{v}: the rewrite it already "
+                        "wrote no longer reflects the table"
+                    )
+            appended = [
+                d
+                for d in _read_manifest(path, cur_parent)["dirs"]
+                if _dir_rel(d) not in observed_rels
+            ]
+            return {
+                "version": cur_parent + 1,
+                "parent": cur_parent,
+                "op": "compact",
+                "dirs": [rel] + appended,
+                "schema": schema_json,
+            }
+
+        return _publish_with_retry(path, build, retries)
+
+    version = parent + 1
+    rel = _claim_version(path, version)  # loses loudly, never clobbers
+    # append, not overwrite, for the same reason as commit_snapshot: the
+    # claimed dir must never be deleted or the claim evaporates mid-write
     writer.parquet(os.path.join(path, rel))
     _publish(
         path,

@@ -599,3 +599,397 @@ def test_single_writer_retry_reclaims_crashed_claim(spark, table_path):
         os.mkdir(os.path.join(table_path, "data", "v3"))
         sn.commit_snapshot(d, table_path, mode="append", reclaim_crashed=False)
     os.rmdir(os.path.join(table_path, "data", "v3"))
+
+
+# ---------------------------------------------------------------------------
+# Optimistic concurrency (r14 verdict #3): retries>0 writes data once into a
+# collision-free dir and retries only the manifest publish, re-validating the
+# op's precondition against whatever landed in between. The injector forces
+# the race deterministically: the first _publish attempt triggers a real
+# interloper commit, so the writer under test ALWAYS loses once and must
+# resolve on retry.
+# ---------------------------------------------------------------------------
+
+
+def _inject_before_first_publish(monkeypatch, interloper):
+    orig = sn._publish
+    state = {"fired": False}
+
+    def wrapper(path, manifest):
+        if not state["fired"]:
+            state["fired"] = True
+            interloper()  # lands a real commit between build() and publish
+        return orig(path, manifest)
+
+    monkeypatch.setattr(sn, "_publish", wrapper)
+    return state
+
+
+def test_optimistic_append_resolves_lost_race(spark, table_path, monkeypatch):
+    """An append has no precondition on its parent: after losing the
+    publish race it must re-commit on the new parent, and BOTH writers'
+    rows land — the both-make-progress property the single-writer claim
+    cannot give."""
+    sn.commit_snapshot(
+        spark.createDataFrame([(1, "a")], ["k", "v"]), table_path, mode="overwrite"
+    )
+
+    def interloper():
+        sn.commit_snapshot(
+            spark.createDataFrame([(2, "b")], ["k", "v"]), table_path, mode="append"
+        )
+
+    state = _inject_before_first_publish(monkeypatch, interloper)
+    v = sn.commit_snapshot(
+        spark.createDataFrame([(3, "c")], ["k", "v"]),
+        table_path,
+        mode="append",
+        retries=2,
+    )
+    assert state["fired"] and v == 3
+    assert rows(sn.read_snapshot(spark, table_path, 3)) == [
+        (1, "a"),
+        (2, "b"),
+        (3, "c"),
+    ]
+    # lineage: v3's parent is the interloper's v2, not the stale v1
+    assert sn._read_manifest(table_path, 3)["parent"] == 2
+
+
+def test_optimistic_ingest_vs_compaction_both_progress(
+    spark, table_path, monkeypatch
+):
+    """The production pair (r14 verdict #3): a streaming txn-append
+    lands BETWEEN scheduled compaction's rewrite and its publish. The
+    retried compaction must MERGE — its manifest is [compacted dir] +
+    the ingest's dir — so the ingest's rows survive the compaction that
+    raced them, the txn watermark stays intact, and both commits are in
+    the lineage."""
+    sn.commit_snapshot(
+        spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]),
+        table_path,
+        mode="overwrite",
+    )
+    sn.commit_snapshot(
+        spark.createDataFrame([(3, "c")], ["k", "v"]), table_path, mode="append"
+    )
+    pre_files = sn.data_file_count(table_path, 2)
+
+    def ingest():
+        sn.commit_snapshot(
+            spark.createDataFrame([(4, "d")], ["k", "v"]),
+            table_path,
+            mode="append",
+            txn=("ingest", 7),
+            retries=2,
+        )
+
+    _inject_before_first_publish(monkeypatch, ingest)
+    v = sn.compact_snapshot(spark, table_path, target_files=1, retries=2)
+    assert v == 4
+    assert sn._read_manifest(table_path, 4)["parent"] == 3
+    # the compacted version holds EVERYTHING: the rewritten v2 fileset
+    # plus the ingest that raced it
+    assert rows(sn.read_snapshot(spark, table_path, 4)) == [
+        (1, "a"),
+        (2, "b"),
+        (3, "c"),
+        (4, "d"),
+    ]
+    # the pre-race fileset really was compacted (1 file + the ingest's)
+    assert sn.data_file_count(table_path, 4) < pre_files + 1
+    # exactly-once bookkeeping survived the merge
+    assert sn.last_txn_id(table_path, "ingest") == 7
+    # old versions still time-travel
+    assert rows(sn.read_snapshot(spark, table_path, 2)) == [
+        (1, "a"),
+        (2, "b"),
+        (3, "c"),
+    ]
+
+
+def test_optimistic_append_resolves_racing_compaction(
+    spark, table_path, monkeypatch
+):
+    """The same pair with the roles swapped: the ingest loses the race
+    to the compaction and must re-commit on top of the compacted
+    version — its retried manifest appends its dir to the compacted
+    fileset, never to the stale pre-compaction one."""
+    sn.commit_snapshot(
+        spark.createDataFrame([(1, "a")], ["k", "v"]), table_path, mode="overwrite"
+    )
+    sn.commit_snapshot(
+        spark.createDataFrame([(2, "b")], ["k", "v"]), table_path, mode="append"
+    )
+
+    def compactor():
+        sn.compact_snapshot(spark, table_path, target_files=1)
+
+    _inject_before_first_publish(monkeypatch, compactor)
+    v = sn.commit_snapshot(
+        spark.createDataFrame([(9, "z")], ["k", "v"]),
+        table_path,
+        mode="append",
+        txn=("ingest", 1),
+        retries=2,
+    )
+    assert v == 4
+    m = sn._read_manifest(table_path, 4)
+    assert m["parent"] == 3
+    # the retried append composes with the COMPACTED dir set (1 dir) +
+    # its own, not the two stale pre-compaction dirs
+    assert len(m["dirs"]) == 2
+    assert rows(sn.read_snapshot(spark, table_path, 4)) == [
+        (1, "a"),
+        (2, "b"),
+        (9, "z"),
+    ]
+
+
+def test_optimistic_compaction_refuses_non_append_conflict(
+    spark, table_path, monkeypatch
+):
+    """A compaction that raced anything but an append must raise: its
+    already-written rewrite no longer reflects the table, and merging
+    would resurrect replaced/overwritten rows."""
+    sn.commit_snapshot(
+        spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"]),
+        table_path,
+        mode="overwrite",
+    )
+
+    def overwriter():
+        sn.commit_snapshot(
+            spark.createDataFrame([(9, "z")], ["k", "v"]),
+            table_path,
+            mode="overwrite",
+        )
+
+    _inject_before_first_publish(monkeypatch, overwriter)
+    with pytest.raises(sn.SnapshotConflictError, match="op='overwrite'"):
+        sn.compact_snapshot(spark, table_path, target_files=1, retries=3)
+    # the loser's rewrite dir is unreferenced; vacuum reclaims it
+    orphans = sn.vacuum_snapshots(table_path, keep_from=1)
+    assert len(orphans) == 1 and os.path.basename(orphans[0]).startswith("c")
+    assert rows(sn.read_snapshot(spark, table_path)) == [(9, "z")]
+
+
+def test_optimistic_replace_merges_disjoint_append(spark, table_path, monkeypatch):
+    """replace_partitions' precondition is only on the partitions it
+    rewrites: a concurrent append into OTHER partitions is mergeable —
+    the retried manifest tombstones the new parent's dirs and keeps the
+    appended rows."""
+    sn.commit_snapshot(
+        spark.createDataFrame([(1, 1, "a"), (2, 2, "b")], ["k", "p", "v"]),
+        table_path,
+        mode="overwrite",
+        partition_by=["p"],
+    )
+
+    def append_elsewhere():
+        sn.commit_snapshot(
+            spark.createDataFrame([(5, 2, "e")], ["k", "p", "v"]),
+            table_path,
+            mode="append",
+            partition_by=["p"],
+        )
+
+    _inject_before_first_publish(monkeypatch, append_elsewhere)
+    v = sn.replace_partitions(
+        spark.createDataFrame([(9, 1, "A")], ["k", "p", "v"]),
+        table_path,
+        "p",
+        [1],
+        retries=2,
+    )
+    assert v == 3
+    got = sorted(
+        (r.k, int(r.p), r.v)
+        for r in sn.read_snapshot(spark, table_path, 3).collect()
+    )
+    assert got == [(2, 2, "b"), (5, 2, "e"), (9, 1, "A")]
+
+
+def test_optimistic_replace_refuses_touched_partition(
+    spark, table_path, monkeypatch
+):
+    """A concurrent append INTO a partition being replaced is the one
+    thing the retry must never absorb: retrying would tombstone the
+    other writer's just-committed rows. It raises instead, and the
+    table keeps both honest states (the interloper's append is the
+    latest version; the loser's replacement dir is vacuumable)."""
+    sn.commit_snapshot(
+        spark.createDataFrame([(1, 1, "a"), (2, 2, "b")], ["k", "p", "v"]),
+        table_path,
+        mode="overwrite",
+        partition_by=["p"],
+    )
+
+    def append_into_replaced():
+        sn.commit_snapshot(
+            spark.createDataFrame([(6, 1, "f")], ["k", "p", "v"]),
+            table_path,
+            mode="append",
+            partition_by=["p"],
+        )
+
+    _inject_before_first_publish(monkeypatch, append_into_replaced)
+    with pytest.raises(sn.SnapshotConflictError, match="replaced partition"):
+        sn.replace_partitions(
+            spark.createDataFrame([(9, 1, "A")], ["k", "p", "v"]),
+            table_path,
+            "p",
+            [1],
+            retries=3,
+        )
+    got = sorted(
+        (r.k, int(r.p), r.v)
+        for r in sn.read_snapshot(spark, table_path).collect()
+    )
+    assert got == [(1, 1, "a"), (2, 2, "b"), (6, 1, "f")]
+
+
+def test_optimistic_replace_refuses_unattributable_append(
+    spark, table_path, monkeypatch
+):
+    """A concurrent FLAT append (not hive-partitioned on the replace
+    column) cannot be proven disjoint from metadata alone — the retry
+    must refuse rather than guess."""
+    sn.commit_snapshot(
+        spark.createDataFrame([(1, 1, "a")], ["k", "p", "v"]),
+        table_path,
+        mode="overwrite",
+        partition_by=["p"],
+    )
+
+    def flat_append():
+        sn.commit_snapshot(
+            spark.createDataFrame([(5, 2, "e")], ["k", "p", "v"]),
+            table_path,
+            mode="append",  # no partition_by: rows unattributable
+        )
+
+    _inject_before_first_publish(monkeypatch, flat_append)
+    with pytest.raises(sn.SnapshotConflictError, match="not hive-partitioned"):
+        sn.replace_partitions(
+            spark.createDataFrame([(9, 1, "A")], ["k", "p", "v"]),
+            table_path,
+            "p",
+            [1],
+            retries=3,
+        )
+
+
+def test_optimistic_txn_replay_noop_composes_with_retry(
+    spark, table_path, monkeypatch
+):
+    """Exactly-once must survive the retry loop: a duplicate delivery of
+    the same (app, txn_id) that loses its race to ITS OWN first delivery
+    re-checks the watermark on retry, drops its orphaned dir, and
+    no-ops — never a double append."""
+    sn.commit_snapshot(
+        spark.createDataFrame([(1, "a")], ["k", "v"]), table_path, mode="overwrite"
+    )
+    batch = spark.createDataFrame([(2, "b")], ["k", "v"])
+
+    def first_delivery():
+        sn.commit_snapshot(batch, table_path, mode="append", txn=("app", 5))
+
+    _inject_before_first_publish(monkeypatch, first_delivery)
+    v = sn.commit_snapshot(
+        batch, table_path, mode="append", txn=("app", 5), retries=2
+    )
+    assert v == 2  # the version the FIRST delivery published
+    assert sn.latest_version(table_path) == 2
+    assert rows(sn.read_snapshot(spark, table_path, 2)) == [(1, "a"), (2, "b")]
+    # the duplicate's data dir was cleaned up, not left for vacuum
+    data_dirs = os.listdir(os.path.join(table_path, "data"))
+    assert sorted(data_dirs) == ["v1", "v2"]
+    # and a LATER duplicate no-ops before writing anything at all
+    assert (
+        sn.commit_snapshot(batch, table_path, mode="append", txn=("app", 5), retries=2)
+        == 2
+    )
+    assert sorted(os.listdir(os.path.join(table_path, "data"))) == ["v1", "v2"]
+
+
+def test_optimistic_retries_exhausted_raises(spark, table_path, monkeypatch):
+    """A writer storm past the retry budget degrades loudly, never into
+    a livelock: every attempt loses, the final conflict re-raises."""
+    sn.commit_snapshot(
+        spark.createDataFrame([(1, "a")], ["k", "v"]), table_path, mode="overwrite"
+    )
+    orig = sn._publish
+    seq = {"n": 10}
+
+    def always_raced(path, manifest):
+        if manifest.get("op") == "append" and manifest.get("txn") is None:
+            return orig(path, manifest)
+        seq["n"] += 1
+        sn.commit_snapshot(
+            spark.createDataFrame([(seq["n"], "x")], ["k", "v"]),
+            table_path,
+            mode="append",
+        )
+        return orig(path, manifest)
+
+    monkeypatch.setattr(sn, "_publish", always_raced)
+    with pytest.raises(sn.SnapshotConflictError, match="lost the publish race 2"):
+        sn.commit_snapshot(
+            spark.createDataFrame([(99, "z")], ["k", "v"]),
+            table_path,
+            mode="append",
+            txn=("app", 1),
+            retries=1,
+        )
+
+
+def test_retries_and_reclaim_crashed_are_mutually_exclusive(spark, table_path):
+    d = spark.createDataFrame([(1, "a")], ["k", "v"])
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        sn.commit_snapshot(d, table_path, retries=1, reclaim_crashed=True)
+
+
+def test_optimistic_threaded_writers_both_land(spark, table_path):
+    """End-to-end under real threads: two retries=3 appends that both
+    observe the same parent before either publishes. link(2) arbitrates,
+    the loser retries, and BOTH rows land — versions 2 and 3."""
+    import itertools
+    import threading
+    from unittest import mock
+
+    sn.commit_snapshot(
+        spark.createDataFrame([(1, "a")], ["k", "v"]), table_path, mode="overwrite"
+    )
+    barrier = threading.Barrier(2, timeout=30)
+    calls = itertools.count()
+    real_latest = sn.latest_version
+
+    def racy_latest(path):
+        v = real_latest(path)
+        if next(calls) < 2:  # only the two FIRST attempts rendezvous
+            barrier.wait()
+        return v
+
+    results: dict[str, object] = {}
+
+    def writer(tag, payload):
+        df = spark.createDataFrame([payload], ["k", "v"])
+        try:
+            results[tag] = sn.commit_snapshot(
+                df, table_path, mode="append", retries=3
+            )
+        except sn.SnapshotConflictError as e:  # pragma: no cover - would fail
+            results[tag] = e
+
+    with mock.patch.object(sn, "latest_version", racy_latest):
+        t1 = threading.Thread(target=writer, args=("w1", (2, "b")))
+        t2 = threading.Thread(target=writer, args=("w2", (3, "c")))
+        t1.start(); t2.start(); t1.join(); t2.join()
+
+    assert sorted(results.values()) == [2, 3], results
+    assert rows(sn.read_snapshot(spark, table_path, 3)) == [
+        (1, "a"),
+        (2, "b"),
+        (3, "c"),
+    ]
