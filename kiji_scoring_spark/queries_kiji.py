@@ -933,3 +933,178 @@ def fresh_embedding_drift_rescoring(spark: SparkSession, sf_dir: str) -> DataFra
         model.most_recent_ts("score_versions").alias("score_ts"),
         model.most_recent_value("score_versions").alias("score"),
     ).orderBy("vec_id")
+
+
+@query(
+    "streaming_drift_rescoring_ingest",
+    _drift_oracle(),
+    "streaming", "kiji", "freshness", "similarity", "incremental",
+)
+def streaming_drift_rescoring_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING embedding-drift freshening (r14 verdict #4) — the §2.F
+    composition of fresh_embedding_drift_rescoring: updated embeddings
+    arrive in micro-batches, each batch is drift-checked against the
+    entities' PERSISTED PQ codes (the same cell-partitioned codes table
+    the ANN probes serve from, reconstructed through the broadcast
+    codebook LUT via pq_common.pq_drift_expr), and ONLY the drifted
+    entities are rescored and committed — each micro-batch an atomic
+    snapshot commit with a txn watermark, through the OPTIMISTIC
+    (retries) commit path so a scheduled compaction could legitimately
+    share the table. This is the Spark analog of the reference's online
+    freshening loop (InternalFreshKijiTableReader.java:663-725: a read
+    triggers policy.isFresh and an inline rescore), with the micro-batch
+    standing in for the read and the policy's staleness predicate being
+    semantic (embedding drift), not temporal.
+
+    Because the drift predicate is a pure per-entity function of
+    (current embedding, stored codes), freshening batch-by-batch folds
+    to exactly the one-shot batch pass — so this query shares
+    fresh_embedding_drift_rescoring's oracle verbatim, and the hash
+    gate proves fold == one-shot.
+
+    Scale: per batch, the codes lookup joins the BROADCAST micro-batch
+    against the codes table (no shuffle of the standing index; the same
+    entity⨝codes cost any score-store read pays), the LUT is one
+    broadcast row, the drift predicate is a 64-term integer codegen
+    expression (no UDF), and the commit appends O(drifted) rows. State
+    across batches lives entirely in the snapshot table's manifests —
+    the streaming query itself is stateless, so executor state is O(1)
+    however long the stream runs. Exactly-once: an at-least-once replay
+    of a committed batch_id no-ops on the txn watermark, and that check
+    composes with the optimistic retry loop (pinned by
+    tests/test_snapshots.py::test_optimistic_txn_replay_noop_composes_with_retry)."""
+    import os
+    import shutil
+
+    from . import pq_common
+    from . import state as _state_module
+    from .operators.snapshots import (
+        commit_snapshot,
+        last_txn_id,
+        read_snapshot,
+    )
+    from .queries_ml import _replay_files, _state_partitions
+    from .queries_pipeline import (
+        _ivfpq_cb,
+        _ivfpq_codes_table,
+        _ivfpq_quantize,
+        _ivfpq_seeds,
+    )
+    from .state import state_tag
+
+    dim = pq_common._EMBED_DIM
+    nsub = pq_common._PQ_SUB
+
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id").isNotNull()
+        & F.col("embedding").isNotNull()
+        & (F.size("embedding") == dim)
+    )
+    q = _ivfpq_quantize(e)
+    cb = _ivfpq_cb(q)
+    seeds = _ivfpq_seeds(q)
+    # what each entity was SCORED AGAINST: the persisted codes index
+    codes = _ivfpq_codes_table(spark, sf_dir, q, cb, seeds)
+    codes_arr = codes.select(
+        "vec_id",
+        F.array(*[F.col(f"c{s}") for s in range(nsub)]).alias("codes"),
+    )
+    # one-row broadcast LUT: code id -> that codebook entry's quantized
+    # vector; localCheckpoint so the 16-row derivation runs once, not
+    # once per micro-batch
+    cb_map_row = (
+        cb.groupBy()
+        .agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(
+                        F.col("cb_id"),
+                        F.array(*[F.col(f"cq{i}") for i in range(dim)]),
+                    )
+                )
+            ).alias("cb_map")
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    # the updated CURRENT embeddings, arriving in three deterministic
+    # micro-batches by key residue: entities with pmod(vec_id,5)=0 have
+    # drifted (every quantized dim shifted +10000), everyone else
+    # carries pure quantization error — same injection as the batch pass
+    qarr = F.array(*[F.col(f"q{i}") for i in range(dim)])
+    cur = q.select(
+        "vec_id",
+        F.when(
+            F.pmod(F.col("vec_id"), F.lit(5)) == 0,
+            F.transform(qarr, lambda x: x + 10000),
+        )
+        .otherwise(qarr)
+        .alias("emb_q"),
+    )
+    parts = tuple(
+        cur.filter(F.pmod(F.col("vec_id"), F.lit(3)) == r) for r in range(3)
+    )
+    base = _replay_files("kss_driftfresh", sf_dir, parts)
+
+    run_base = os.path.join(
+        _state_module.stream_scratch_root(),
+        f"kss_driftfresh_run_{state_tag(sf_dir)}",
+    )
+    shutil.rmtree(run_base, ignore_errors=True)
+    rescored_dir = os.path.join(run_base, "rescored")
+
+    def freshen(batch_df: DataFrame, batch_id: int) -> None:
+        done = last_txn_id(rescored_dir, "drift_freshen")
+        if done is not None and batch_id <= done:
+            return  # at-least-once replay of a committed batch: no-op
+        drifted = (
+            codes_arr.join(F.broadcast(batch_df), "vec_id")
+            .crossJoin(F.broadcast(cb_map_row))
+            .withColumn(
+                "d", pq_common.pq_drift_expr("emb_q", "codes", "cb_map")
+            )
+            .filter(F.col("d") > F.lit(DRIFT_TAU))
+            .select(
+                "vec_id",
+                F.lit(AS_OF_MS).alias("score_ts"),
+                F.col("d").cast("double").alias("score"),
+            )
+        )
+        commit_snapshot(
+            drifted,
+            rescored_dir,
+            mode="append",
+            txn=("drift_freshen", batch_id),
+            retries=2,
+        )
+
+    stream = (
+        spark.readStream.schema("vec_id long, emb_q array<long>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(base, "stream"))
+    )
+    with _state_partitions(spark, 2):
+        sq = (
+            stream.writeStream.foreachBatch(freshen)
+            .option("checkpointLocation", os.path.join(run_base, "cp"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination()
+
+    rescored = read_snapshot(
+        spark, rescored_dir, schema="vec_id long, score_ts long, score double"
+    )
+    # the freshened view: rescored entities carry (freshen clock, drift),
+    # everyone else keeps the seed score cell — identical to the one-shot
+    # batch pass, which is what the shared oracle certifies
+    return (
+        q.select("vec_id")
+        .join(rescored, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("score_ts"), F.lit(DRIFT_T0)).alias("score_ts"),
+            F.coalesce(F.col("score"), F.lit(-1.0)).alias("score"),
+        )
+        .orderBy("vec_id")
+    )

@@ -923,6 +923,7 @@ _REPLAY_PREFIXES = (
     "kss_kmvfold",
     "kss_famfold",
     "kss_annidx",
+    "kss_driftfresh",
 )
 
 

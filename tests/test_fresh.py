@@ -706,3 +706,128 @@ def test_embedding_drift_policy_rescores_only_drifted(spark):
     assert out[2] == (NOW_MS, float(64 * 500 * 500), 2)
     # entity 3: stale (no codes) but NULL score -> old cell kept (A10)
     assert out[3] == (1_000, -1.0, 1)
+
+
+def test_registry_attach_mid_stream_applies_next_batch(spark, tmp_path):
+    """Registry-driven policy SCHEDULING under a live stream (r14 verdict
+    stretch): a streaming freshen starts with NOTHING attached, and
+    EmbeddingDrift is attached via the registry WHILE the stream runs —
+    between micro-batches, the way the reference's RereadTask picks up
+    storePolicy writes on a timer (InternalFreshKijiTableReader.java:
+    211-221). The same entity is visited twice by the same reader in the
+    same StreamingQuery: before the attach it keeps its seed score, after
+    the attach (one reread later) it is rescored — no restart anywhere.
+    Also pins the capsule-CACHE semantics: the batch that performed the
+    attach still sees the pre-attach capsules until reread_policies()."""
+    import os
+    import shutil
+
+    from pyspark.sql.types import ArrayType, DoubleType, MapType
+
+    from kiji_scoring_spark.lib import DriftRescoreProducer  # noqa: F401
+    from kiji_scoring_spark.policies import EmbeddingDrift
+
+    dim, nsub = 64, 8
+    cbm = {0: [0] * dim}
+    t0 = 1_000
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("emb_q", ArrayType(LongType())),
+            StructField(
+                "codes_versions",
+                ArrayType(
+                    StructType(
+                        [
+                            StructField("ts", LongType()),
+                            StructField("value", ArrayType(LongType())),
+                        ]
+                    )
+                ),
+            ),
+            StructField(
+                "score_versions",
+                ArrayType(
+                    StructType(
+                        [
+                            StructField("ts", LongType()),
+                            StructField("value", DoubleType()),
+                        ]
+                    )
+                ),
+            ),
+            StructField("cb_map", MapType(LongType(), ArrayType(LongType()))),
+        ]
+    )
+    # entity 1 matches its stored codes (fresh forever); 2 and 3 drifted
+    data = [
+        (1, [0] * dim, [(t0, [0] * nsub)], [(t0, -1.0)], cbm),
+        (2, [500] * dim, [(t0, [0] * nsub)], [(t0, -1.0)], cbm),
+        (3, [500] * dim, [(t0, [0] * nsub)], [(t0, -1.0)], cbm),
+    ]
+    vt = spark.createDataFrame(data, schema)
+    reg = FreshenerRegistry()  # EMPTY: the stream starts with no policy
+    reader = FreshTableReader(spark, "emb_t", vt, reg, key_col="vec_id")
+    drift = float(64 * 500 * 500)
+
+    # three deterministic micro-batches of entity keys: the drifted
+    # entity 2 is visited BEFORE and AFTER the mid-stream attach
+    stream_dir = str(tmp_path / "stream")
+    os.makedirs(stream_dir)
+    for i, ids in enumerate([[2], [3], [2, 1]]):
+        staging = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(
+            [(v,) for v in ids], "vec_id long"
+        ).coalesce(1).write.parquet(staging)
+        src = next(f for f in os.listdir(staging) if f.endswith(".parquet"))
+        dst = os.path.join(stream_dir, f"batch{i}.parquet")
+        shutil.copy(os.path.join(staging, src), dst)
+        os.utime(dst, (1_600_000_000 + i, 1_600_000_000 + i))
+
+    results: dict[int, dict] = {}
+    cache_probe: dict[str, object] = {}
+
+    def freshen_batch(batch_df, batch_id):
+        if batch_id == 1:
+            # an external writer attaches the drift policy while the
+            # stream is live (the reference's concurrent storePolicy)
+            reg.store(
+                TableLayout(vt.schema),
+                "emb_t",
+                "score:versions",
+                "kiji_scoring_spark.lib.DriftRescoreProducer",
+                "kiji_scoring_spark.policies.EmbeddingDrift",
+                EmbeddingDrift(tau=1_000_000).serialize(),
+            )
+            # the capsule CACHE still serves the pre-attach (empty) set
+            # until a reread — the reference's exact semantics
+            cache_probe["pre_reread"] = dict(reader._resolve_capsules())
+        reader.reread_policies()  # the per-batch RereadTask analog
+        keys = [r.vec_id for r in batch_df.collect()]
+        out = reader.scan(NOW_MS).filter(F.col("vec_id").isin(keys))
+        results[batch_id] = {
+            r.vec_id: (r.score_versions[0].ts, r.score_versions[0].value)
+            for r in out.collect()
+        }
+
+    sq = (
+        spark.readStream.schema("vec_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+        .writeStream.foreachBatch(freshen_batch)
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+
+    # batch 0 (nothing attached): the DRIFTED entity keeps its seed
+    assert results[0] == {2: (t0, -1.0)}
+    # the attach alone did not take effect — the cache held until reread
+    assert cache_probe["pre_reread"] == {}
+    # batch 1 (attached + reread, same reader, same running query): the
+    # next micro-batch applies the policy
+    assert results[1] == {3: (NOW_MS, drift)}
+    # batch 2: the SAME entity that kept its seed in batch 0 is now
+    # rescored; the genuinely fresh entity still keeps its seed
+    assert results[2] == {2: (NOW_MS, drift), 1: (t0, -1.0)}
