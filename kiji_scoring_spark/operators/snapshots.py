@@ -471,8 +471,12 @@ def replace_partitions(
     Readers apply the tombstone as a PARTITION filter, so the excluded
     directories are pruned from the scan, not scanned-and-dropped.
     PRECONDITION (caller-owned, like every overwrite's): every row of
-    `df` lies in a `values` partition — rows outside it would duplicate
-    the untouched partitions' data. Delta reads refuse a lineage
+    `df` lies in a `values` partition OR in a partition value absent
+    from the parent version — rows in an untouched EXISTING partition
+    would duplicate its data, while brand-new partition values are fine
+    (a split/rebalance retiring hot partitions into fresh ones: the
+    tombstones apply only to the parent's dirs, and the new dir's new
+    values are visible untombstoned). Delta reads refuse a lineage
     containing this op (added dirs no longer equal added rows).
 
     `retries>0` is the optimistic multi-writer path: the replacement

@@ -2453,3 +2453,377 @@ def ann_index_delete_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(absent))
         .orderBy(F.col("phase").desc(), "rn")
     )
+
+
+#: id offset for the rebalance query's synthetic skew tranche — far above
+#: any corpus vec_id at any tier (sf100 remaps to ~2e9), so clone ids can
+#: never collide with real ones
+_IVF_CLONE_OFFSET = 1_000_000_000_000
+
+
+def _ivf_cell_stats(codes: DataFrame) -> DataFrame:
+    """(cell, n_rows, is_hot) for an inverted-list codes table: per-cell
+    row counts plus the hot flag (n_rows > 4 x the lower-median cell
+    count) — the maintenance view that tells an IVF index its lists have
+    skewed. The 4x trigger is deliberate HYSTERESIS against the split's
+    ~2x-or-better outcome: a list must bloat well past what one
+    mass-directed split achieves before maintenance fires again, so the
+    rebalance cannot oscillate. The median window runs over ONE row per
+    cell (<= NCELLS + a few split cells forever, by construction), so
+    the single-task sort is bounded at any corpus size."""
+    counts = codes.groupBy("cell").agg(F.count(F.lit(1)).alias("n_rows"))
+    med = (
+        counts.withColumn(
+            "__rn", F.row_number().over(Window.orderBy("n_rows", "cell"))
+        )
+        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy()))
+        .filter(F.col("__rn") == F.expr("(__n + 1) DIV 2"))
+        .select(F.col("n_rows").alias("__med"))
+    )
+    return counts.crossJoin(F.broadcast(med)).select(
+        "cell",
+        "n_rows",
+        (F.col("n_rows") > 4 * F.col("__med")).alias("is_hot"),
+    )
+
+
+#: max sub-cells a hot list splits into — absorbs up to ~16x-median skew
+#: in one maintenance pass while keeping the routing fanout bounded
+_IVF_SPLIT_MAX = 8
+
+
+def _ivf_rebalance_hot_cells(
+    spark: SparkSession, path: str, vectors: DataFrame, seeds: DataFrame
+) -> list[int]:
+    """Split every HOT inverted list (> 4x median rows, the hysteresis
+    trigger _ivf_cell_stats flags) of the snapshot codes table at
+    `path` into up to _IVF_SPLIT_MAX sub-cells, committed
+    as ONE copy-on-write partition rewrite. The split is MASS-DIRECTED,
+    which is what a skewed ingest needs: sub-seeds are one
+    representative per DISTINCT member vector (replicated corpora make
+    duplicate masses routine, and identical vectors are irreducible —
+    they must land in one sub-cell together), ranked heaviest duplicate
+    group first (then md5 for determinism; current seed ids rank last so
+    a fresh member wins when one exists and a degenerate all-seed cell
+    still gets a sub-seed rather than losing rows). Members are
+    reassigned to their nearest sub-seed by exact BIGINT full-vector
+    distance (tie: smaller sub-seed id), so each heavy duplicate group
+    becomes its own list at distance 0. New cell ids are the sub-seed
+    vec_ids, consistent with the cell-=-seed-id convention, so a caller
+    updates its routing seed set to (seeds - hot) + sub-seed vectors.
+
+    Scale: the stats pass is a groupBy over the codes table; the rewrite
+    reads ONLY the hot cells' directories (partition-pruned), joins them
+    to the corpus vectors on vec_id (O(hot rows) shuffle), picks
+    representatives with one (cell, vector) groupBy and ranks them via
+    the two-stage _grouped_top_k (never a full-cell single-task sort),
+    and the commit is O(hot partitions) — the other lists' files are
+    never opened. The hot cell ids cross the driver once (<= NCELLS
+    rows, the delete query's O(1)-collect precedent) because they
+    parameterize the commit itself. Returns the replaced (hot) cell
+    ids, empty if the index is balanced."""
+    from .operators.snapshots import read_snapshot, replace_partitions
+    from .queries_graph import _grouped_top_k
+
+    codes = read_snapshot(spark, path, schema=_IVFPQ_CODES_SCHEMA)
+    hot = [
+        int(r.cell)
+        for r in _ivf_cell_stats(codes).filter("is_hot").select("cell").collect()
+    ]
+    if not hot:
+        return []
+    members = (
+        codes.filter(F.col("cell").isin(hot))
+        .join(vectors, "vec_id")
+        .join(
+            F.broadcast(seeds.select(F.col("seed_id").alias("__sid"))),
+            F.col("vec_id") == F.col("__sid"),
+            "left",
+        )
+        .withColumn("__is_seed", F.col("__sid").isNotNull().cast("int"))
+        .drop("__sid")
+    )
+    # one representative per distinct member vector: the member with the
+    # smallest (seed-flag digit || md5) — a string key because both
+    # engines arg-min strings identically; md5 is fixed-width hex so the
+    # concatenation is order-equivalent to the (flag, md5) pair
+    rep_key = F.concat(
+        F.col("__is_seed").cast("string"),
+        F.md5(F.col("vec_id").cast("string")),
+    )
+    reps = (
+        members.withColumn(
+            "__qarr", F.array(*[F.col(f"q{i}") for i in range(_EMBED_DIM)])
+        )
+        .groupBy("cell", "__qarr")
+        .agg(
+            F.min_by("vec_id", rep_key).alias("sub_id"),
+            F.count(F.lit(1)).alias("__n_dup"),
+            F.min("__is_seed").alias("__rep_seed"),
+        )
+    )
+    subs = _grouped_top_k(
+        reps.withColumn("__sh", F.md5(F.col("sub_id").cast("string"))),
+        ["cell"],
+        [
+            F.col("__rep_seed").asc(),
+            F.col("__n_dup").desc(),
+            F.col("__sh").asc(),
+            F.col("sub_id").asc(),
+        ],
+        _IVF_SPLIT_MAX,
+        "__srank",
+    ).select(
+        "cell",
+        "sub_id",
+        *[
+            F.element_at(F.col("__qarr"), i + 1).alias(f"ssq{i}")
+            for i in range(_EMBED_DIM)
+        ],
+    )
+    dist = _ivfpq_fulldist("q{}", "ssq{}")
+    new_rows = (
+        members.join(F.broadcast(subs), "cell")
+        .groupBy("vec_id")
+        .agg(
+            *[F.first(f"c{s}").alias(f"c{s}") for s in range(_PQ_SUB)],
+            F.min_by("sub_id", F.struct(dist, F.col("sub_id"))).alias("cell"),
+        )
+        .select("vec_id", *[f"c{s}" for s in range(_PQ_SUB)], "cell")
+    )
+    replace_partitions(new_rows, path, "cell", hot)
+    return hot
+
+
+def _ivf_rebalance_oracle() -> str:
+    fulldist_seed = _PQ_FULLDIST_SQL.format(l="a.q", r="d.sq")
+    fulldist_sub = _PQ_FULLDIST_SQL.format(l="m.q", r="s2.ssq")
+    return f"""
+    -- IVF cell HEALTH, stated one-shot: assign the corpus plus a skew
+    -- tranche (clones of the rank-1 seed's vector, jittered on dim 1)
+    -- to the 32 deterministic cells, flag lists > 4x the lower-median
+    -- count as hot (hysteresis: one mass-directed split lands well
+    -- under the trigger, so maintenance cannot oscillate), split each
+    -- hot list among up to 8 of its distinct-vector representatives
+    -- (heaviest duplicate group first), and restate the per-cell
+    -- counts. The post phase's is_hot column IS the restored-balance
+    -- claim: every row false means no list exceeds the trigger after
+    -- the split.
+    WITH src AS (
+      SELECT vec_id, {_PQ_Q_SQL} AS q
+      FROM embeddings
+      WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+        AND len(embedding) = 64
+    ),
+    seeds AS (
+      SELECT vec_id AS seed_id, q AS sq FROM (
+        SELECT vec_id, q FROM src
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_IVFPQ_NCELLS}
+      )
+    ),
+    seed0 AS (
+      SELECT seed_id, sq FROM (
+        SELECT seed_id, sq,
+          ROW_NUMBER() OVER (
+            ORDER BY md5(CAST(seed_id AS VARCHAR)), seed_id) AS rn
+        FROM seeds
+      ) t WHERE rn = 1
+    ),
+    clones AS (
+      SELECT s.vec_id + {_IVF_CLONE_OFFSET} AS vec_id,
+        list_transform(range(1, 65), i ->
+          z.sq[i] + CASE WHEN i = 1
+                         THEN ((s.vec_id % 5) + 5) % 5 ELSE 0 END) AS q
+      FROM src s CROSS JOIN seed0 z
+      WHERE ((s.vec_id % 4) + 4) % 4 = 1
+    ),
+    allv AS (
+      SELECT vec_id, q FROM src UNION ALL SELECT vec_id, q FROM clones
+    ),
+    asg AS (
+      SELECT vec_id, cell FROM (
+        SELECT a.vec_id, d.seed_id AS cell,
+          ROW_NUMBER() OVER (PARTITION BY a.vec_id
+            ORDER BY {fulldist_seed}, d.seed_id) AS rn
+        FROM allv a CROSS JOIN seeds d
+      ) t WHERE rn = 1
+    ),
+    pre AS (SELECT cell, COUNT(*) AS n_rows FROM asg GROUP BY cell),
+    pre_med AS (
+      SELECT n_rows AS m FROM (
+        SELECT n_rows,
+          ROW_NUMBER() OVER (ORDER BY n_rows, cell) AS rn,
+          COUNT(*) OVER () AS n
+        FROM pre
+      ) t WHERE rn = (n + 1) // 2
+    ),
+    hot AS (
+      SELECT cell FROM pre WHERE n_rows > 4 * (SELECT m FROM pre_med)
+    ),
+    members AS (
+      SELECT g.vec_id, g.cell, v.q,
+        CAST(g.vec_id IN (SELECT seed_id FROM seeds) AS INT) AS is_seed
+      FROM asg g
+      JOIN allv v ON v.vec_id = g.vec_id
+      JOIN hot h ON h.cell = g.cell
+    ),
+    reps AS (
+      -- one representative per DISTINCT member vector (identical
+      -- vectors are irreducible and must stay together); the heaviest
+      -- duplicate groups become the sub-seeds
+      SELECT cell, q AS ssq,
+        arg_min(vec_id,
+          CAST(is_seed AS VARCHAR) || md5(CAST(vec_id AS VARCHAR))
+        ) AS sub_id,
+        COUNT(*) AS n_dup,
+        MIN(is_seed) AS rep_seed
+      FROM members GROUP BY cell, q
+    ),
+    subseeds AS (
+      SELECT cell, sub_id, ssq FROM (
+        SELECT r.cell, r.sub_id, r.ssq,
+          ROW_NUMBER() OVER (PARTITION BY r.cell
+            ORDER BY r.rep_seed, r.n_dup DESC,
+                     md5(CAST(r.sub_id AS VARCHAR)), r.sub_id
+          ) AS rn
+        FROM reps r
+      ) t WHERE rn <= {_IVF_SPLIT_MAX}
+    ),
+    reasg AS (
+      SELECT vec_id, new_cell FROM (
+        SELECT m.vec_id, s2.sub_id AS new_cell,
+          ROW_NUMBER() OVER (PARTITION BY m.vec_id
+            ORDER BY {fulldist_sub}, s2.sub_id) AS rn
+        FROM members m JOIN subseeds s2 ON s2.cell = m.cell
+      ) t WHERE rn = 1
+    ),
+    post AS (
+      SELECT p.cell, p.n_rows FROM pre p
+      WHERE p.cell NOT IN (SELECT cell FROM hot)
+      UNION ALL
+      SELECT new_cell AS cell, COUNT(*) AS n_rows
+      FROM reasg GROUP BY new_cell
+    ),
+    post_med AS (
+      SELECT n_rows AS m FROM (
+        SELECT n_rows,
+          ROW_NUMBER() OVER (ORDER BY n_rows, cell) AS rn,
+          COUNT(*) OVER () AS n
+        FROM post
+      ) t WHERE rn = (n + 1) // 2
+    )
+    SELECT * FROM (
+      SELECT 'pre' AS phase, cell, n_rows,
+        n_rows > 4 * (SELECT m FROM pre_med) AS is_hot
+      FROM pre
+      UNION ALL
+      SELECT 'post' AS phase, cell, n_rows,
+        n_rows > 4 * (SELECT m FROM post_med) AS is_hot
+      FROM post
+    ) ORDER BY phase DESC, cell
+    """
+
+
+@query(
+    "ann_ivf_cell_rebalance_stats",
+    _ivf_rebalance_oracle(),
+    "similarity", "pipeline", "snapshot", "maintenance",
+)
+def ann_ivf_cell_rebalance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell HEALTH after skewed ingest (r14 verdict #6): streaming
+    ingest and partition deletes can skew the inverted lists over time —
+    a hot cell grows until the probed-fraction guarantee degrades (every
+    probe routed near it reads the bloated list). This query runs the
+    maintenance loop end-to-end on the snapshot-format index:
+
+    v1 commits the corpus codes cell-partitioned; v2 appends a SKEWED
+    ingest tranche (clones of the rank-1 seed's vector with a small
+    deterministic jitter, ids offset far past any real vec_id — every
+    clone routes to that seed's cell, bloating it to ~8x the median);
+    the cell-stats view flags lists > 4x the lower-median count
+    (hysteresis against re-triggering on a freshly split list); v3
+    REBALANCES every hot list — split mass-directed among up to 8 of
+    its distinct-vector representatives (heaviest duplicate group
+    first; identical vectors are irreducible and stay together), each
+    member reassigned to its nearest sub-seed by exact BIGINT distance
+    — committed as ONE copy-on-write partition rewrite
+    (_ivf_rebalance_hot_cells): the other 31 lists' files are never
+    opened, pre-rebalance versions stay readable, and the probe's seed
+    set updates to (seeds - hot) + sub-seeds. Output is the per-cell
+    stats of v2 ('pre', hot flags up) and v3 ('post', all flags down
+    where the mass is divisible — the restored-balance claim inside
+    the hash gate).
+
+    The recall/probed-fraction restoration is pinned by
+    tests/test_ivf_rebalance.py (probe through the updated seed set).
+
+    Scale: stats are one groupBy per phase plus a <= 34-row median
+    window; the rewrite is O(hot rows); the hot ids cross the driver
+    once (<= 32 rows, the delete query's precedent). Reference parity:
+    the scheduled maintenance the reference runs as RereadTask timers
+    (InternalFreshKijiTableReader.java:211-221), applied to a derived
+    index artifact."""
+    import shutil
+
+    from .operators.snapshots import commit_snapshot, latest_version
+    from .queries_graph import _state_path
+
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id").isNotNull()
+        & F.col("embedding").isNotNull()
+        & (F.size("embedding") == _EMBED_DIM)
+    )
+    q = _ivfpq_quantize(e)
+    cb = _ivfpq_cb(q)
+    seeds = _ivfpq_seeds(q)
+    seed0 = (
+        seeds.withColumn("__sh", F.md5(F.col("seed_id").cast("string")))
+        .orderBy("__sh", "seed_id")
+        .limit(1)
+        .drop("__sh")
+    )
+    clone_q = (
+        q.filter(F.pmod(F.col("vec_id"), F.lit(4)) == 1)
+        .select("vec_id")
+        .crossJoin(F.broadcast(seed0))
+        .selectExpr(
+            f"vec_id + {_IVF_CLONE_OFFSET}L AS vec_id",
+            "sq0 + pmod(vec_id, 5) AS q0",
+            *[f"sq{i} AS q{i}" for i in range(1, _EMBED_DIM)],
+        )
+    )
+    allv = q.unionByName(clone_q).localCheckpoint(eager=False)
+
+    path = _state_path(sf_dir, "ivfpq_codes_rebalance")
+    if (latest_version(path) or 0) < 3:
+        shutil.rmtree(path, ignore_errors=True)
+        enc = _ivfpq_encode(allv, cb, seeds).localCheckpoint(eager=False)
+        commit_snapshot(
+            enc.filter(F.col("vec_id") < _IVF_CLONE_OFFSET),
+            path,
+            mode="append",
+            partition_by=["cell"],
+        )
+        commit_snapshot(
+            enc.filter(F.col("vec_id") >= _IVF_CLONE_OFFSET),
+            path,
+            mode="append",
+            partition_by=["cell"],
+        )
+        if not _ivf_rebalance_hot_cells(spark, path, allv, seeds):
+            # degenerate corpus (empty regime): nothing hot — v3 is an
+            # explicit empty append so the lineage shape is invariant
+            commit_snapshot(
+                _ivfpq_snap_codes_at(spark, path, 2).limit(0),
+                path,
+                mode="append",
+                partition_by=["cell"],
+            )
+
+    pre = _ivf_cell_stats(_ivfpq_snap_codes_at(spark, path, 2))
+    post = _ivf_cell_stats(_ivfpq_snap_codes_at(spark, path, 3))
+    return (
+        pre.select(F.lit("pre").alias("phase"), "*")
+        .unionByName(post.select(F.lit("post").alias("phase"), "*"))
+        .orderBy(F.col("phase").desc(), "cell")
+    )
