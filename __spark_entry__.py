@@ -32,47 +32,29 @@ def entry(spark: SparkSession) -> DataFrame:
 #: CORRECTNESS file lands with them green.
 _FORCE_RECHECK: frozenset[str] = frozenset(
     {
-        # Entries are added as code changes each round; all five r13
-        # entries earned fresh green rows in CORRECTNESS_r13 and were
+        # Entries are added as code changes each round; all thirteen r14
+        # entries earned fresh green rows in CORRECTNESS_r14 and were
         # cleared per protocol.
         #
-        # r14 (r13 verdict #2): the three sibling replay builders'
-        # one-row tranche-bound crossJoin(mx) gained the explicit
-        # F.broadcast pin. Plan-level only, but changed code ⇒
-        # re-verify.
-        "streaming_watermark_late_drop",
-        "streaming_stateful_running_user_totals",
-        "streaming_foreachbatch_merge_upsert",
-        # r14 (r13 ADVICE): the family fold's versioned state write went
-        # errorifexists → mode("overwrite") so an at-least-once retry of
-        # a failed batch_id can recommit over its own partial dir.
-        "streaming_sketch_family_fold",
-        # r14 (r13 ADVICE + verdict #3): ANN ingest re-expressed through
-        # the snapshot format — each micro-batch an atomic manifest
-        # commit with a txn watermark (at-least-once replay →
-        # exactly-once), post-ingest partitioned compaction, serving
-        # read via explicit-schema read_snapshot.
+        # r15 (r14 verdict #3): the snapshot format's commit path gained
+        # optimistic concurrency (operators/snapshots.py): retries>0
+        # writes data once into a collision-free dir and retries only
+        # the manifest publish; replace_partitions' manifest assembly
+        # moved into a shared _tombstoned_dirs helper; compact_snapshot
+        # hoists its writer construction; _publish temp names are now
+        # unique per attempt (a real two-thread race fix). The DEFAULT
+        # single-writer paths emit byte-identical manifests, but every
+        # query that commits through the format re-verifies under the
+        # restructured code.
+        "snapshot_time_travel_orders",
+        "snapshot_compaction_roundtrip",
+        "snapshot_cdc_upsert_history",
+        "snapshot_schema_evolution",
+        "snapshot_partitioned_prune",
+        "contamination_delta_theta_overlap",
+        "ann_index_time_travel_probe",
+        "ann_index_delete_rewrite",
         "streaming_ann_index_ingest",
-        # r14 (r13 ADVICE): _grouped_top_k's scratch columns renamed to
-        # collision-safe __gtk_* names. Internal-only, but changed build
-        # code for the three persisted-sketch states ⇒ re-verify.
-        "sketch_theta_set_ops",
-        "sketch_bottomk_sample_shards",
-        "sketch_topk_shard_merge",
-        # r14: the persisted-codes build moved into the shared
-        # _ivfpq_codes_table helper (same path, same bytes) so the
-        # embedding-drift policy reads the same index, and the PQ
-        # family's distance/quantize expression builders became parsed
-        # SQL strings (canonicalized-plan-identical, ~2x faster driver
-        # plan construction). Changed code ⇒ re-verify both probes.
-        "similarity_ivfpq_pruned_adc_topk",
-        "similarity_pq_adc_topk",
-        # r14: the 64-dim cosine dot products moved to the same
-        # parsed-string build (plan-identical; hash-green at
-        # sf0.001/sf0.01). Changed code ⇒ re-verify.
-        "similarity_cosine_topk",
-        "dedup_embedding_cosine_pairs",
-        "similarity_ivf_deterministic_seeds",
     }
 )
 

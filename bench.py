@@ -194,6 +194,15 @@ HEADLINE = [
     # broadcast LUT drift predicate driving the freshen pass; a new
     # plan shape (semantic staleness, full engine stack)
     "fresh_embedding_drift_rescoring",
+    # round 15: IVF cell health — skewed-ingest stats + mass-directed
+    # hot-list split as a copy-on-write partition rewrite (distinct-
+    # vector representative groupBy + two-stage top-k + replace commit);
+    # benched so the maintenance pass's cost can't regress silently.
+    # streaming_drift_rescoring_ingest is deliberately NOT benched (the
+    # streaming_ann_index_ingest rule): its drift predicate plan is
+    # fresh_embedding_drift_rescoring's (benched above), and the rest is
+    # the adjudicated replay fixed cost plus per-batch commit machinery.
+    "ann_ivf_cell_rebalance_stats",
 ]
 
 #: round-over-round regression reference (sum over that round's HEADLINE):
@@ -543,6 +552,20 @@ def main() -> None:
             ambient = control["prior_commit_sec"] / rec_subset
             control["ambient_factor"] = round(ambient, 4)
             control["normalized_total_sec"] = round(total / ambient, 4)
+            # Per-query code_delta flags (r14 verdict stretch): a
+            # single-query plan regression can hide inside a quiet
+            # total, so flag every query whose ambient-CORRECTED time
+            # exceeds 1.5x its own prior-round record. The 0.1 s floor
+            # matches the drift control's (sub-0.1 s ratios are timer
+            # noise); flagged names are a to-investigate list, not an
+            # automatic verdict — the control's equal-cold code_ratio
+            # stays the authoritative code-delta signal.
+            control["code_delta_flags"] = sorted(
+                n
+                for n, t in per_query.items()
+                if prior_rec.get(n, 0.0) >= 0.1
+                and t / ambient > 1.5 * prior_rec[n]
+            )
         control["code_ratio"] = round(
             control["head_sec"] / control["prior_commit_sec"], 4
         )
@@ -583,8 +606,19 @@ def main() -> None:
             # drift control: the 10 most-drifted queries re-timed in THIS
             # session on the prior round's commit AND on HEAD (query list
             # in the detail file; totals here so the round-over-round
-            # delta is explainable from inside the artifact)
-            "control": {k: v for k, v in control.items() if k != "queries"},
+            # delta is explainable from inside the artifact). The
+            # code_delta flag list is truncated to 3 names + a count
+            # here (full list in the detail file) so a pathological
+            # round cannot break the 1000-char tail contract.
+            "control": {
+                k: (
+                    v
+                    if k != "code_delta_flags"
+                    else {"n": len(v), "first": v[:3]}
+                )
+                for k, v in control.items()
+                if k != "queries"
+            },
         }
     )
     if len(line) > 1000:
