@@ -130,6 +130,31 @@ def main() -> int:
     assert agg.min_rescored_drift is not None and agg.min_rescored_drift > DRIFT_TAU
     assert agg.kept_seed == -1.0, "a kept entity lost its seed cell"
 
+    # -- 5: cell rebalance at mass (r15) --------------------------------
+    # same oracle-cost class as the probes above (the one-shot assignment
+    # replay is a 2.5 M x 32 cross join at this tier), so the full DuckDB
+    # oracle runs through sf10 and THIS carries the sf100 evidence: the
+    # skewed ingest flags at least one hot list, the mass-directed split
+    # clears every flag, no row is lost, and the replaced cells are gone
+    # from the live version while the pre-rebalance state stays readable.
+    rb = QUERIES["ann_ivf_cell_rebalance_stats"].fn(spark, sf_dir).collect()
+    out["rebalance_rows"] = len(rb)
+    rb_pre = [r for r in rb if r.phase == "pre"]
+    rb_post = [r for r in rb if r.phase == "post"]
+    hot_cells = {r.cell for r in rb_pre if r.is_hot}
+    out["rebalance_hot_cells"] = len(hot_cells)
+    out["rebalance_post_cells"] = len(rb_post)
+    assert hot_cells, "the skew tranche must flag at least one hot list"
+    assert not any(r.is_hot for r in rb_post), (
+        "a list still exceeds the hot trigger after the rebalance"
+    )
+    assert sum(r.n_rows for r in rb_pre) == sum(r.n_rows for r in rb_post), (
+        "the rebalance lost or duplicated rows"
+    )
+    assert not hot_cells & {r.cell for r in rb_post}, (
+        "a replaced hot cell survived in the live version"
+    )
+
     out["elapsed_s"] = round(time.perf_counter() - t0, 1)
     out["ok"] = True
     print(json.dumps(out))

@@ -137,6 +137,15 @@ TIERS = {
         "ann_index_time_travel_probe",
         "ann_index_delete_rewrite",
         "fresh_embedding_drift_rescoring",
+        # r15 appends: the streaming drift freshener (fold == one-shot
+        # under the shared drift oracle at the 200 K-vector replay
+        # scale) and the IVF cell rebalance (skew stats + mass-directed
+        # split, full oracle) — both share the PQ family's encode-replay
+        # oracle-cost ceiling, so 200 K vectors is their largest
+        # full-oracle tier too (sf100 is engine-side:
+        # scripts/assert_ann_lifecycle.py section 5)
+        "streaming_drift_rescoring_ingest",
+        "ann_ivf_cell_rebalance_stats",
     ]),
     # batch 4: six heavy TPC-H shapes, BFS + triangle counting over the
     # 60 M-row copurchase graph, both salted operators, Z-order tiling,

@@ -184,3 +184,36 @@ def test_skewed_ingest_rebalance_restores_probe(spark, sf_dir):
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_rebalance_member_scan_prunes_to_hot_cells(spark, sf_dir):
+    """Plan gate: the rebalance's member read must reach the codes scan
+    as PARTITION pruning — "rewrite the hot lists" == "read the hot
+    directories", never scan-and-drop over the whole index. Uses the
+    registry query's persisted lineage (v2 = the skewed state the
+    rebalance read)."""
+    from kiji_scoring_spark.queries import QUERIES
+    from kiji_scoring_spark.queries_graph import _state_path
+    from kiji_scoring_spark.queries_pipeline import _ivf_cell_stats
+
+    # ensure the lineage exists (idempotent: the version guard re-serves)
+    QUERIES["ann_ivf_cell_rebalance_stats"].fn(spark, sf_dir).count()
+    path = _state_path(sf_dir, "ivfpq_codes_rebalance")
+    codes = read_snapshot(spark, path, 2, schema=_IVFPQ_CODES_SCHEMA)
+    hot = [
+        int(r.cell)
+        for r in _ivf_cell_stats(codes).filter("is_hot").select("cell").collect()
+    ]
+    assert hot
+    members = codes.filter(F.col("cell").isin(hot))
+    plan = members._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert scans, "no parquet scan in the member-read plan"
+    import re
+
+    for ln in scans:
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", ln)
+        assert m and "cell#" in m.group(1), (
+            "a codes scan reads without a cell partition filter — the "
+            "member read would open every inverted list's files"
+        )
