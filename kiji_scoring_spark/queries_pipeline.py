@@ -2640,13 +2640,22 @@ def _ivf_rebalance_oracle() -> str:
     allv AS (
       SELECT vec_id, q FROM src UNION ALL SELECT vec_id, q FROM clones
     ),
+    -- assignment via narrow two-phase arg-min, NOT a window over the
+    -- cross product: a ROW_NUMBER whose input rows carry two 64-element
+    -- lists materializes ~100 bytes/term x |corpus| x 32 in the sort
+    -- (OOM-killed at the 200 K-vector tier); projecting (vec_id,
+    -- seed_id, dist) first keeps the aggregated relation 3 BIGINTs wide
+    -- and the whole assignment a hash agg. Tie-break identical to
+    -- ORDER BY dist, seed_id: min seed_id among the min-dist rows.
+    dists AS (
+      SELECT a.vec_id, d.seed_id, {fulldist_seed} AS dd
+      FROM allv a CROSS JOIN seeds d
+    ),
+    best AS (SELECT vec_id, MIN(dd) AS mind FROM dists GROUP BY vec_id),
     asg AS (
-      SELECT vec_id, cell FROM (
-        SELECT a.vec_id, d.seed_id AS cell,
-          ROW_NUMBER() OVER (PARTITION BY a.vec_id
-            ORDER BY {fulldist_seed}, d.seed_id) AS rn
-        FROM allv a CROSS JOIN seeds d
-      ) t WHERE rn = 1
+      SELECT d.vec_id, MIN(d.seed_id) AS cell
+      FROM dists d JOIN best b ON b.vec_id = d.vec_id AND d.dd = b.mind
+      GROUP BY d.vec_id
     ),
     pre AS (SELECT cell, COUNT(*) AS n_rows FROM asg GROUP BY cell),
     pre_med AS (
@@ -2689,13 +2698,19 @@ def _ivf_rebalance_oracle() -> str:
         FROM reps r
       ) t WHERE rn <= {_IVF_SPLIT_MAX}
     ),
+    -- same narrow two-phase arg-min as the assignment above
+    sub_dists AS (
+      SELECT m.vec_id, s2.sub_id, {fulldist_sub} AS dd
+      FROM members m JOIN subseeds s2 ON s2.cell = m.cell
+    ),
+    sub_best AS (
+      SELECT vec_id, MIN(dd) AS mind FROM sub_dists GROUP BY vec_id
+    ),
     reasg AS (
-      SELECT vec_id, new_cell FROM (
-        SELECT m.vec_id, s2.sub_id AS new_cell,
-          ROW_NUMBER() OVER (PARTITION BY m.vec_id
-            ORDER BY {fulldist_sub}, s2.sub_id) AS rn
-        FROM members m JOIN subseeds s2 ON s2.cell = m.cell
-      ) t WHERE rn = 1
+      SELECT d.vec_id, MIN(d.sub_id) AS new_cell
+      FROM sub_dists d JOIN sub_best b
+        ON b.vec_id = d.vec_id AND d.dd = b.mind
+      GROUP BY d.vec_id
     ),
     post AS (
       SELECT p.cell, p.n_rows FROM pre p
