@@ -590,7 +590,13 @@ def extract_image_features(media: DataFrame) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
+    # mapInPandas ships EVERY input column to Python (opaque to column
+    # pruning): project to the two columns run() reads, or the meta
+    # struct (an sha2 per payload) is computed and Arrow-shipped for
+    # nothing (guide: pass only what the function needs).
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=IMAGE_FEATURES_SCHEMA
+    )
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
@@ -623,7 +629,10 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(run, schema=RESIZE_SCHEMA)
+    # project before the opaque stage (see extract_image_features)
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=RESIZE_SCHEMA
+    )
 
 
 def synthesize_wav_payloads(
@@ -761,7 +770,10 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
             out.insert(0, "media_id", pdf["media_id"].values)
             yield out
 
-    return media.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
+    # project before the opaque stage (see extract_image_features)
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=AUDIO_FEATURES_SCHEMA
+    )
 
 
 def synthesize_apng_payloads(
@@ -846,7 +858,10 @@ def sample_frames(media: DataFrame, max_frames: int = 8) -> DataFrame:
                  "frame_mean": means, "frame_peak": peaks}
             )
 
-    return media.mapInPandas(run, schema=FRAME_SAMPLE_SCHEMA)
+    # project before the opaque stage (see extract_image_features)
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=FRAME_SAMPLE_SCHEMA
+    )
 
 
 def embed_payloads(media: DataFrame, dim: int = 8) -> DataFrame:
@@ -891,7 +906,10 @@ def embed_payloads(media: DataFrame, dim: int = 8) -> DataFrame:
             StructField("embedding", ArrayType(DoubleType())),
         ]
     )
-    return media.mapInPandas(run, schema=schema)
+    # project before the opaque stage (see extract_image_features)
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=schema
+    )
 
 
 #: ---- native YUV4MPEG2 (y4m) video container codec (round 8) ----
@@ -1085,7 +1103,10 @@ def sample_video_frames(media: DataFrame, max_frames: int = 8) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(run, schema=VIDEO_FRAME_SCHEMA)
+    # project before the opaque stage (see extract_image_features)
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=VIDEO_FRAME_SCHEMA
+    )
 
 
 #: ---- native baseline JPEG (ITU-T T.81) codec + raw MJPEG stream (round 9) ----
@@ -1814,4 +1835,7 @@ def sample_mjpeg_frames(media: DataFrame, max_frames: int = 4) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(run, schema=VIDEO_FRAME_SCHEMA)
+    # project before the opaque stage (see extract_image_features)
+    return media.select("media_id", "payload").mapInPandas(
+        run, schema=VIDEO_FRAME_SCHEMA
+    )
