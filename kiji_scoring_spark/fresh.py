@@ -199,7 +199,12 @@ class FreshTableReader:
                 f"column {column!r} is a group-type family; request a "
                 f"qualified column 'family:qualifier'"
             )
-        return F.col(layout.flat_name(column))
+        flat = layout.flat_name(column)
+        out = F.col(flat)
+        # tag with SQL text (see model._col) so wide policy expressions
+        # over group-type columns build as one parsed string
+        out._kss_sql = flat
+        return out
 
     def _freshen_column(self, df: DataFrame, cap: Freshener, as_of_ms: int) -> DataFrame:
         from pyspark.sql.types import DoubleType, StructField, StructType

@@ -44,7 +44,16 @@ def versions_type(value_type: DataType) -> ArrayType:
 
 
 def _col(c: Column | str) -> Column:
-    return F.col(c) if isinstance(c, str) else c
+    if isinstance(c, str):
+        out = F.col(c)
+        # tag the Column with its SQL text so downstream wide-expression
+        # builders (pq_common.pq_drift_expr) can compose one parsed
+        # string instead of a py4j-call-per-node tree; plain attribute —
+        # Column.__getattr__ only fabricates field access on GETS of
+        # unknown names, sets land in the instance dict
+        out._kss_sql = c
+        return out
+    return c
 
 
 def empty_versions(value_type_ddl: str) -> Column:
@@ -59,7 +68,12 @@ def empty_versions(value_type_ddl: str) -> Column:
 def most_recent_value(versions: Column | str) -> Column:
     """``getMostRecentValue`` — value of the newest version, NULL if none."""
     v = _col(versions)
-    return F.try_element_at(v, F.lit(1))["value"]
+    out = F.try_element_at(v, F.lit(1))["value"]
+    vsql = vars(v).get("_kss_sql")
+    if vsql is not None:
+        # propagate the SQL text (same tree the Column build produces)
+        out._kss_sql = f"try_element_at({vsql}, 1).value"
+    return out
 
 
 def most_recent_ts(versions: Column | str) -> Column:

@@ -886,7 +886,8 @@ def fresh_embedding_drift_rescoring(spark: SparkSession, sf_dir: str) -> DataFra
     seeds = _ivfpq_seeds(q)
     codes = _ivfpq_codes_table(spark, sf_dir, q, cb, seeds)
 
-    qarr = F.array(*[F.col(f"q{i}") for i in range(dim)])
+    # parsed-string array build (r15 — one py4j call instead of ~130)
+    qarr = F.expr("array(" + ",".join(f"q{i}" for i in range(dim)) + ")")
     cur = q.select(
         "vec_id",
         F.when(
@@ -907,7 +908,7 @@ def fresh_embedding_drift_rescoring(spark: SparkSession, sf_dir: str) -> DataFra
             F.collect_list(
                 F.struct(
                     F.col("cb_id"),
-                    F.array(*[F.col(f"cq{i}") for i in range(dim)]),
+                    F.expr("array(" + ",".join(f"cq{i}" for i in range(dim)) + ")"),
                 )
             )
         ).alias("cb_map")
@@ -1019,7 +1020,7 @@ def streaming_drift_rescoring_ingest(spark: SparkSession, sf_dir: str) -> DataFr
                 F.collect_list(
                     F.struct(
                         F.col("cb_id"),
-                        F.array(*[F.col(f"cq{i}") for i in range(dim)]),
+                        F.expr("array(" + ",".join(f"cq{i}" for i in range(dim)) + ")"),
                     )
                 )
             ).alias("cb_map")
@@ -1031,7 +1032,8 @@ def streaming_drift_rescoring_ingest(spark: SparkSession, sf_dir: str) -> DataFr
     # micro-batches by key residue: entities with pmod(vec_id,5)=0 have
     # drifted (every quantized dim shifted +10000), everyone else
     # carries pure quantization error — same injection as the batch pass
-    qarr = F.array(*[F.col(f"q{i}") for i in range(dim)])
+    # parsed-string array build (r15 — one py4j call instead of ~130)
+    qarr = F.expr("array(" + ",".join(f"q{i}" for i in range(dim)) + ")")
     cur = q.select(
         "vec_id",
         F.when(

@@ -339,10 +339,13 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, v: acc + v * v,
     )
-    flat = e.select(
+    # one parsed projection (r15: the r14 parsed-string lesson applied to
+    # wide PROJECTIONS — 64 aliased Column objects cost ~0.4 s of driver
+    # py4j per build; selectExpr parses the identical plan in one call)
+    flat = e.withColumn("nrm", F.sqrt(nrm2)).selectExpr(
         "vec_id",
-        F.sqrt(nrm2).alias("nrm"),
-        *[F.col("embedding")[i].cast("double").alias(f"e{i}") for i in range(_EMBED_DIM)],
+        "nrm",
+        *[f"CAST(embedding[{i}] AS DOUBLE) AS e{i}" for i in range(_EMBED_DIM)],
     )
     a = flat.alias("a").filter(F.col("vec_id") < 10)
     b = flat.alias("b")
@@ -645,13 +648,19 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # norm materialized as a column so each unpacked element reads a cheap
     # reference instead of re-folding the array (HOF lambdas are
     # interpreted with no CSE — see operators/dedup.word_shingles)
-    be = e.withColumn("norm", norm).select(
-        "vec_id",
-        bucket.alias("bucket"),
-        *[
-            (F.col("embedding")[i].cast("double") / F.col("norm")).alias(f"n{i}")
-            for i in range(_EMBED_DIM)
-        ],
+    # one parsed projection for the 64 normalized columns (r15 — see
+    # similarity_cosine_topk; identical plan, one py4j call)
+    be = (
+        e.withColumn("norm", norm)
+        .withColumn("bucket", bucket)
+        .selectExpr(
+            "vec_id",
+            "bucket",
+            *[
+                f"CAST(embedding[{i}] AS DOUBLE) / norm AS n{i}"
+                for i in range(_EMBED_DIM)
+            ],
+        )
     )
     a, b = be.alias("a"), be.alias("b")
     # parsed-string dot product (r14 PQ driver-cost find)
@@ -1468,18 +1477,16 @@ def similarity_ivf_deterministic_seeds(spark: SparkSession, sf_dir: str) -> Data
         F.lit(0.0),
         lambda acc, v: acc + v * v,
     )
-    flat = e.select(
+    # one parsed projection each (r15 — see similarity_cosine_topk)
+    flat = e.withColumn("nrm", F.sqrt(nrm2)).selectExpr(
         "vec_id",
-        F.sqrt(nrm2).alias("nrm"),
-        *[
-            F.col("embedding")[i].cast("double").alias(f"e{i}")
-            for i in range(_EMBED_DIM)
-        ],
+        "nrm",
+        *[f"CAST(embedding[{i}] AS DOUBLE) AS e{i}" for i in range(_EMBED_DIM)],
     )
-    seeds = flat.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("seed_id"),
-        F.col("nrm").alias("snrm"),
-        *[F.col(f"e{i}").alias(f"s{i}") for i in range(_EMBED_DIM)],
+    seeds = flat.filter(F.col("vec_id") % 100 == 0).selectExpr(
+        "vec_id AS seed_id",
+        "nrm AS snrm",
+        *[f"e{i} AS s{i}" for i in range(_EMBED_DIM)],
     )
 
     def seed_cos():
@@ -1651,9 +1658,10 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     is_cb = (F.col("vec_id") % 31 == 0) & (F.col("vec_id") < 496)
-    cb = q.filter(is_cb).select(
-        F.col("vec_id").alias("cb_id"),
-        *[F.col(f"q{i}").alias(f"cq{i}") for i in range(_EMBED_DIM)],
+    # one parsed projection (r15 — see similarity_cosine_topk)
+    cb = q.filter(is_cb).selectExpr(
+        "vec_id AS cb_id",
+        *[f"q{i} AS cq{i}" for i in range(_EMBED_DIM)],
     )
 
     def subdist(l_tpl: str, r_tpl: str, ss: int):
@@ -1684,9 +1692,9 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.filter(~is_cb)
         .orderBy("vec_id")
         .limit(1)
-        .select(
-            F.col("vec_id").alias("probe_id"),
-            *[F.col(f"q{i}").alias(f"pq{i}") for i in range(_EMBED_DIM)],
+        .selectExpr(
+            "vec_id AS probe_id",
+            *[f"q{i} AS pq{i}" for i in range(_EMBED_DIM)],
         )
     )
     # The probe subtree (scan → sort → limit(1)) feeds both the LUT and
@@ -1796,10 +1804,13 @@ def _ivfpq_is_cb():
 
 
 def _ivfpq_cb(q: DataFrame) -> DataFrame:
-    """The deterministic 16-entry PQ codebook (similarity_pq_adc_topk's)."""
-    return q.filter(_ivfpq_is_cb()).select(
-        F.col("vec_id").alias("cb_id"),
-        *[F.col(f"q{i}").alias(f"cq{i}") for i in range(_EMBED_DIM)],
+    """The deterministic 16-entry PQ codebook (similarity_pq_adc_topk's).
+    One parsed projection — 64 aliased Column objects cost ~0.3 s of
+    driver py4j per build (profiled r15), selectExpr parses the
+    identical plan in one call."""
+    return q.filter(_ivfpq_is_cb()).selectExpr(
+        "vec_id AS cb_id",
+        *[f"q{i} AS cq{i}" for i in range(_EMBED_DIM)],
     )
 
 
@@ -1810,9 +1821,9 @@ def _ivfpq_seeds(q: DataFrame) -> DataFrame:
         q.withColumn("sh", F.md5(F.col("vec_id").cast("string")))
         .orderBy("sh", "vec_id")
         .limit(_IVFPQ_NCELLS)
-        .select(
-            F.col("vec_id").alias("seed_id"),
-            *[F.col(f"q{i}").alias(f"sq{i}") for i in range(_EMBED_DIM)],
+        .selectExpr(
+            "vec_id AS seed_id",
+            *[f"q{i} AS sq{i}" for i in range(_EMBED_DIM)],
         )
     )
 
@@ -1828,15 +1839,16 @@ def _ivfpq_encode(q: DataFrame, cb: DataFrame, seeds: DataFrame) -> DataFrame:
     (the r13 profile put ~1.2 s of a micro-batch's encode in that extra
     job machinery)."""
     big = F.lit(1 << 62).cast("long")
-    both = cb.select(
-        F.lit(True).alias("is_cb"),
-        F.col("cb_id").alias("rid"),
-        *[F.col(f"cq{i}").alias(f"r{i}") for i in range(_EMBED_DIM)],
+    # parsed projections (r15 — see _ivfpq_cb)
+    both = cb.selectExpr(
+        "TRUE AS is_cb",
+        "cb_id AS rid",
+        *[f"cq{i} AS r{i}" for i in range(_EMBED_DIM)],
     ).unionByName(
-        seeds.select(
-            F.lit(False).alias("is_cb"),
-            F.col("seed_id").alias("rid"),
-            *[F.col(f"sq{i}").alias(f"r{i}") for i in range(_EMBED_DIM)],
+        seeds.selectExpr(
+            "FALSE AS is_cb",
+            "seed_id AS rid",
+            *[f"sq{i} AS r{i}" for i in range(_EMBED_DIM)],
         )
     )
 
@@ -1887,9 +1899,9 @@ def _ivfpq_query_phase(q: DataFrame, cb: DataFrame, seeds: DataFrame, codes: Dat
         q.filter(~_ivfpq_is_cb())
         .orderBy("vec_id")
         .limit(1)
-        .select(
-            F.col("vec_id").alias("probe_id"),
-            *[F.col(f"q{i}").alias(f"pq{i}") for i in range(_EMBED_DIM)],
+        .selectExpr(
+            "vec_id AS probe_id",
+            *[f"q{i} AS pq{i}" for i in range(_EMBED_DIM)],
         )
     ).localCheckpoint(eager=False)
     pcells = (
@@ -2553,7 +2565,8 @@ def _ivf_rebalance_hot_cells(
     )
     reps = (
         members.withColumn(
-            "__qarr", F.array(*[F.col(f"q{i}") for i in range(_EMBED_DIM)])
+            "__qarr",
+            F.expr("array(" + ",".join(f"q{i}" for i in range(_EMBED_DIM)) + ")"),
         )
         .groupBy("cell", "__qarr")
         .agg(
@@ -2573,13 +2586,10 @@ def _ivf_rebalance_hot_cells(
         ],
         _IVF_SPLIT_MAX,
         "__srank",
-    ).select(
+    ).selectExpr(
         "cell",
         "sub_id",
-        *[
-            F.element_at(F.col("__qarr"), i + 1).alias(f"ssq{i}")
-            for i in range(_EMBED_DIM)
-        ],
+        *[f"element_at(__qarr, {i + 1}) AS ssq{i}" for i in range(_EMBED_DIM)],
     )
     dist = _ivfpq_fulldist("q{}", "ssq{}")
     new_rows = (
