@@ -375,13 +375,20 @@ class FreshTableReader:
 
             def run(cap=cap, i=i, group=group):
                 try:
-                    # interruptOnCancel=True requires spark.python.worker.
-                    # reuse=false (session.py): interrupting a pandas stage
-                    # kills its Arrow workers mid-protocol, and a REUSE pool
-                    # would hand the poisoned worker to a later pandas stage
-                    # (CancelledKeyException in PythonRunner). With per-task
-                    # workers the interrupt is safely scoped to this job.
-                    sc.setJobGroup(group, f"freshen {cap.column}", interruptOnCancel=True)
+                    # interruptOnCancel stays FALSE (r15): thread-interrupting
+                    # a pandas stage kills its Arrow workers mid-protocol, and
+                    # a reuse pool then hands the poisoned worker to a later
+                    # pandas stage (CancelledKeyException in PythonRunner —
+                    # reproduced r-early; the old mitigation disabled worker
+                    # reuse engine-wide, ~25-35% on Arrow-heavy paths). With
+                    # the plain cancel, PythonRunner's monitor thread sees the
+                    # task-killed flag and DESTROYS the in-flight worker
+                    # instead of pooling it, so cancellation stays prompt
+                    # (pinned by test_timeout_returns_stale's wall-clock
+                    # bound) and the pool never sees a poisoned worker
+                    # (pinned by the pandas stages that run after the
+                    # timeout tests in the shared-session suite).
+                    sc.setJobGroup(group, f"freshen {cap.column}")
                     out = self._freshen_column(current, cap, as_of_ms)
                     result["df"], result["path"] = self._materialize(
                         out, f"as_of={as_of_ms}/col={i}"

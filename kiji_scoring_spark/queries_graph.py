@@ -1824,9 +1824,14 @@ def graph_pagerank_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)
     )
-    deg = ce.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    # deg and the one-row n are referenced by EVERY iteration's plan;
+    # lazy localCheckpoint executes each once instead of re-shuffling
+    # the degree aggregation per iteration (r15)
+    deg = ce.groupBy("src").agg(F.count(F.lit(1)).alias("d")).localCheckpoint(
+        eager=False
+    )
     nodes = ce.select(F.col("src").alias("node")).distinct()
-    n = nodes.agg(F.count(F.lit(1)).alias("n"))
+    n = nodes.agg(F.count(F.lit(1)).alias("n")).localCheckpoint(eager=False)
 
     SCALE = 1_000_000_000
     ranks = nodes.crossJoin(n).select(

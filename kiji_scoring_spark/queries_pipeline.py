@@ -1888,14 +1888,11 @@ _IVFPQ_CODES_SCHEMA = (
 )
 
 
-def _ivfpq_query_phase(q: DataFrame, cb: DataFrame, seeds: DataFrame, codes: DataFrame) -> DataFrame:
-    """The DPP-pruned ADC top-10 over a (vec_id, c0..c7, cell) codes table:
-    route the probe to its 2 nearest cells (the routing join keys on the
-    partition column, so dynamic partition pruning reads only those
-    cells' directories), ADC-rank via ONE broadcast LUT row of maps,
-    TakeOrdered(10), and attach the winners' exact quantized distances
-    by a 10-row broadcast join-back."""
-    probe = (
+def _ivfpq_probe_of(q: DataFrame) -> DataFrame:
+    """The deterministic probe row (first non-codebook vec_id), lazily
+    checkpointed so every consumer of one probe frame shares a single
+    corpus TakeOrdered execution."""
+    return (
         q.filter(~_ivfpq_is_cb())
         .orderBy("vec_id")
         .limit(1)
@@ -1904,6 +1901,28 @@ def _ivfpq_query_phase(q: DataFrame, cb: DataFrame, seeds: DataFrame, codes: Dat
             *[f"q{i} AS pq{i}" for i in range(_EMBED_DIM)],
         )
     ).localCheckpoint(eager=False)
+
+
+def _ivfpq_query_phase(
+    q: DataFrame,
+    cb: DataFrame,
+    seeds: DataFrame,
+    codes: DataFrame,
+    probe: DataFrame | None = None,
+) -> DataFrame:
+    """The DPP-pruned ADC top-10 over a (vec_id, c0..c7, cell) codes table:
+    route the probe to its 2 nearest cells (the routing join keys on the
+    partition column, so dynamic partition pruning reads only those
+    cells' directories), ADC-rank via ONE broadcast LUT row of maps,
+    TakeOrdered(10), and attach the winners' exact quantized distances
+    by a 10-row broadcast join-back.
+
+    ``probe`` may be passed in by callers that rank more than one codes
+    version (time travel, delete rewrite, rebalance): the probe row is
+    version-independent, so sharing one lazily-checkpointed frame across
+    phases computes its corpus TakeOrdered once instead of per phase."""
+    if probe is None:
+        probe = _ivfpq_probe_of(q)
     pcells = (
         seeds.crossJoin(F.broadcast(probe))
         .select(
@@ -2322,8 +2341,14 @@ def ann_index_time_travel_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is additionally pinned by tests/test_snapshots.py's partitioned-
     # compaction case). The ADC plan's ~4 s driver-side construction
     # cost per probe (profiled r14) makes a redundant probe expensive.
-    p2 = _ivfpq_query_phase(q, cb, seeds, codes_at(2))
-    p4 = _ivfpq_query_phase(q, cb, seeds, codes_at(4))
+    # r15: the version-independent probe/codebook/seed frames are shared
+    # (lazy localCheckpoint) so the two phases execute their corpus
+    # TakeOrdered/filters once, not per version probed.
+    cb = cb.localCheckpoint(eager=False)
+    seeds = seeds.localCheckpoint(eager=False)
+    probe = _ivfpq_probe_of(q)
+    p2 = _ivfpq_query_phase(q, cb, seeds, codes_at(2), probe=probe)
+    p4 = _ivfpq_query_phase(q, cb, seeds, codes_at(4), probe=probe)
     return (
         p2.select(F.lit("v2").alias("probe_version"), "*")
         .unionByName(p4.select(F.lit("latest").alias("probe_version"), "*"))
@@ -2445,9 +2470,18 @@ def ann_index_delete_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     # both probe results are consumed twice (output union; kill/absence
-    # checks) — lazy localCheckpoint executes each ONCE
-    pre = _ivfpq_query_phase(q, cb, seeds, codes_at(4)).localCheckpoint(eager=False)
-    post = _ivfpq_query_phase(q, cb, seeds, codes_at(5)).localCheckpoint(eager=False)
+    # checks) — lazy localCheckpoint executes each ONCE; the probe/cb/
+    # seed frames are shared across the two phases (r15 — see
+    # ann_index_time_travel_probe)
+    cb = cb.localCheckpoint(eager=False)
+    seeds = seeds.localCheckpoint(eager=False)
+    probe = _ivfpq_probe_of(q)
+    pre = _ivfpq_query_phase(
+        q, cb, seeds, codes_at(4), probe=probe
+    ).localCheckpoint(eager=False)
+    post = _ivfpq_query_phase(
+        q, cb, seeds, codes_at(5), probe=probe
+    ).localCheckpoint(eager=False)
     killed = pre.filter(F.col("rn") <= 3).select(
         F.col("neighbor_id").alias("killed_id")
     )

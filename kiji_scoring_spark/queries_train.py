@@ -1143,8 +1143,11 @@ def _bpe_learn(spark: SparkSession, sf_dir: str):
     for k in range(1, _BPE_MERGES + 1):
         st = state.withColumn("syms", F.split("s", "[|]"))
         # checkpoint the one-row argmax: it feeds BOTH the merge table
-        # and the fold, and must compute once per round
-        best = _bpe_best(st).localCheckpoint()
+        # and the fold, and must compute once per round. LAZY (r15):
+        # eager ran a dedicated job per round just to hold one row; lazy
+        # materializes inside the state checkpoint's job instead — same
+        # once-per-round execution, 6 fewer sequential job launches
+        best = _bpe_best(st).localCheckpoint(eager=False)
         merge_rows.append(
             best.filter(F.col("__a").isNotNull()).select(
                 F.lit(k).cast("bigint").alias("merge_rank"),

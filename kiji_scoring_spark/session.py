@@ -39,15 +39,17 @@ _DEFAULT_CONF: dict[str, str] = {
     "spark.sql.sources.partitionColumnTypeInference.enabled": "false",
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
-    # No Python-worker reuse: a cancelled freshen (A10 timeout) kills its
-    # Arrow workers mid-protocol, and the reuse pool then hands the
-    # poisoned worker to a LATER pandas stage, which dies with
-    # CancelledKeyException inside PythonRunner (reproduced: any pandas
-    # query after a timed-out freshen). Fresh daemon-forked workers cost
-    # ~10ms per task — noise next to an Arrow batch — and make worker
-    # state per-task, which is the correct isolation for an engine whose
-    # timeout contract cancels jobs as a matter of course.
-    "spark.python.worker.reuse": "false",
+    # Python-worker reuse ON (r15 — back to the Spark default): the
+    # poisoned-pool hazard that disabled it (a thread-INTERRUPTED freshen
+    # killed Arrow workers mid-protocol and the pool handed them to later
+    # pandas stages — CancelledKeyException) was scoped to
+    # freshen_with_timeout's interruptOnCancel=True, which is gone: the
+    # plain job-group cancel lets PythonRunner's monitor thread destroy
+    # the in-flight worker instead of pooling it. Measured on the
+    # Arrow-heavy multimodal paths: per-task forked workers cost 25-35%
+    # (module imports per fork), worker reuse amortizes them per
+    # executor lifetime — at any scale, not just locally.
+    "spark.python.worker.reuse": "true",
     "spark.ui.enabled": "false",
     # saveAsTable targets (bucketed tables for co-located joins) go to a
     # temp warehouse, never the process cwd
