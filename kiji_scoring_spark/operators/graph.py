@@ -40,9 +40,14 @@ def bfs_hops(
     identical loop degrades to a co-partitioned shuffle join against
     the edges' pinned `src` partitioning.
     """
-    edges = edges.select(
-        F.col(src).alias("__src"), F.col(dst).alias("__dst")
-    ).repartition("__src").persist()
+    edges = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
+    if not broadcast_frontier:
+        # only the shuffle-join mode probes a src partitioning; under a
+        # broadcast frontier the levels are BroadcastHashJoins that never
+        # consult it, so the repartition was a full edge shuffle for
+        # nothing (r15 — one Exchange removed from every BFS invocation)
+        edges = edges.repartition("__src")
+    edges = edges.persist()
     seeds = seeds.select(F.col(vertex).alias(vertex)).distinct()
     reached = seeds.withColumn("hops", F.lit(0))
     frontier = seeds
