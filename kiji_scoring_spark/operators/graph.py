@@ -40,14 +40,16 @@ def bfs_hops(
     identical loop degrades to a co-partitioned shuffle join against
     the edges' pinned `src` partitioning.
     """
-    edges = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
-    if not broadcast_frontier:
-        # only the shuffle-join mode probes a src partitioning; under a
-        # broadcast frontier the levels are BroadcastHashJoins that never
-        # consult it, so the repartition was a full edge shuffle for
-        # nothing (r15 — one Exchange removed from every BFS invocation)
-        edges = edges.repartition("__src")
-    edges = edges.persist()
+    # The src repartition matters even under a broadcast frontier — NOT
+    # for join partitioning (a BroadcastHashJoin never consults it) but
+    # as the PARALLELISM SPREAD for the cached edges: AQE coalesces the
+    # upstream distinct to advisory-size partitions (ONE partition at
+    # small inputs), and every per-level join+distinct then runs
+    # single-task. Removing it was tried r15 and benched 1.7 s -> 6.0 s
+    # at sf0.1; the shuffle pays for itself three times over.
+    edges = edges.select(
+        F.col(src).alias("__src"), F.col(dst).alias("__dst")
+    ).repartition("__src").persist()
     seeds = seeds.select(F.col(vertex).alias(vertex)).distinct()
     reached = seeds.withColumn("hops", F.lit(0))
     frontier = seeds
