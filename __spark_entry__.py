@@ -55,6 +55,34 @@ _FORCE_RECHECK: frozenset[str] = frozenset(
         "ann_index_time_travel_probe",
         "ann_index_delete_rewrite",
         "streaming_ann_index_ingest",
+        #
+        # r15 OPTIMIZATION round: queries whose construction changed
+        # under the driver-cost work (parsed-string projections /
+        # pq_drift_expr string path / decode-stage input pruning /
+        # worker-reuse cancel-mode change / iterative checkpoint
+        # restructuring). Analyzed plans verified equal and the full
+        # registry re-passed DuckDB parity locally at sf0.001 AND
+        # sf0.01 (247/247), but their last green DRIVER rows predate
+        # the new code, so they jump the queue per protocol. (The
+        # model._col SQL-tagging touches every versioned read's
+        # construction; that blanket change is certified by the full
+        # local parity runs and rotates through the LRU tier.)
+        "multimodal_image_features",
+        "multimodal_mixed_codec_features",
+        "multimodal_audio_features",
+        "multimodal_frame_samples",
+        "multimodal_video_motion",
+        "multimodal_mjpeg_motion",
+        "multimodal_payload_embeddings",
+        "similarity_cosine_topk",
+        "dedup_embedding_cosine_pairs",
+        "similarity_ivf_deterministic_seeds",
+        "similarity_pq_adc_topk",
+        "similarity_ivfpq_pruned_adc_topk",
+        "fresh_embedding_drift_rescoring",
+        "text_bpe_merge_mining",
+        "text_bpe_tokenize_corpus",
+        "graph_pagerank_fixed_point",
     }
 )
 
