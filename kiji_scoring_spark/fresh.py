@@ -56,6 +56,48 @@ from .registry import FreshenerRegistry, TableLayout, load_class, parse_column
 DEFAULT_TIMEOUT_MS = 10_000
 
 
+def _drain_job_group(sc, group: str, timeout_s: float = 15.0) -> bool:
+    """Block until every task of ``group``'s jobs has actually TERMINATED
+    (not merely been told to die), bounded by ``timeout_s``.
+
+    Why this exists (r16, root-caused from a real failure): cancelJobGroup
+    is asynchronous — it sets the kill flag and returns while the killed
+    tasks' Python workers are still being destroyed by PythonRunner's
+    monitor thread (up to ``spark.python.task.killTimeout`` = 2 s later).
+    With ``spark.python.worker.reuse=true`` a job submitted during that
+    drain window can be handed a worker whose channel the monitor closes
+    mid-read — java.nio.channels.CancelledKeyException in the NEXT,
+    perfectly healthy query (reproduced: a cancelled 30 s pandas producer
+    poisoned the next test's parquet write one second later). Draining also
+    keeps this query's accumulators referenced until the last task
+    completion has reported, which is what prevents the DAGScheduler
+    "attempted to access non-existent accumulator" ERROR spam from
+    late completions after the plan has been garbage collected.
+
+    Returns True when the group drained, False on deadline (the caller
+    keeps its promptness contract either way — a producer stuck in
+    non-interruptible native code must not wedge the stale-fallback
+    return forever; the monitor thread will still reap it)."""
+    tracker = sc.statusTracker()
+    deadline = time.monotonic() + timeout_s
+    while True:
+        stage_ids: set[int] = set()
+        for jid in tracker.getJobIdsForGroup(group):
+            info = tracker.getJobInfo(jid)
+            if info is not None:
+                stage_ids.update(info.stageIds)
+        active = 0
+        for sid in stage_ids:
+            sinfo = tracker.getStageInfo(sid)
+            if sinfo is not None:
+                active += sinfo.numActiveTasks
+        if active == 0:
+            return True
+        if time.monotonic() >= deadline:
+            return False
+        time.sleep(0.05)
+
+
 @dataclass
 class Freshener:
     """A resolved capsule: policy + producer bound to an attached column
@@ -383,11 +425,13 @@ class FreshTableReader:
                     # reuse engine-wide, ~25-35% on Arrow-heavy paths). With
                     # the plain cancel, PythonRunner's monitor thread sees the
                     # task-killed flag and DESTROYS the in-flight worker
-                    # instead of pooling it, so cancellation stays prompt
-                    # (pinned by test_timeout_returns_stale's wall-clock
-                    # bound) and the pool never sees a poisoned worker
-                    # (pinned by the pandas stages that run after the
-                    # timeout tests in the shared-session suite).
+                    # instead of pooling it. That alone proved insufficient
+                    # (r16): the destruction is ASYNC, so the caller must not
+                    # start new jobs until the cancelled group drains — see
+                    # _drain_job_group at the cancel site below. Cancellation
+                    # promptness is pinned by test_timeout_returns_stale's
+                    # wall-clock bound; pool health by
+                    # test_timeout_storm_then_arrow_stage.
                     sc.setJobGroup(group, f"freshen {cap.column}")
                     out = self._freshen_column(current, cap, as_of_ms)
                     result["df"], result["path"] = self._materialize(
@@ -402,6 +446,14 @@ class FreshTableReader:
             if t.is_alive():
                 sc.cancelJobGroup(group)
                 t.join(5.0)
+                # drain barrier (r16): cancelJobGroup is async — wait for
+                # the killed tasks to actually terminate before handing
+                # control back, or the caller's next Python-worker stage
+                # races the monitor thread's worker destruction (the
+                # poisoned-pool CancelledKeyException) and late task
+                # completions spam "non-existent accumulator" ERRORs
+                # after the cancelled plan is GC'd.
+                _drain_job_group(sc, group)
                 return (current, False) if partial else (self.df, False)
             if error:
                 raise error[0]

@@ -184,7 +184,11 @@ def test_timeout_returns_stale(spark):
     )
     t0 = time.monotonic()
     out, fresh = reader.freshen_with_timeout(NOW_MS, timeout_ms=3000)
-    assert time.monotonic() - t0 < 25
+    # budget 3 s + monitor-kill latency (spark.python.task.killTimeout 2 s)
+    # + the r16 drain barrier; 15 s bounds a near-worst-case regression in
+    # cancellation promptness (ADVICE r15 — the old 25 s bound was loose
+    # enough for a regression to pass unseen)
+    assert time.monotonic() - t0 < 15
     assert fresh is False
     assert visits(out) == {"foo": 10, "bar": 100, "felix": None}  # stale values
 
@@ -327,6 +331,42 @@ def test_timeout_no_partial_returns_original(spark):
     assert fresh is False
     assert names(out)["foo"] == "foo-val"  # original values, no partials
     assert visits(out) == {"foo": 10, "bar": 100, "felix": None}
+
+
+def test_timeout_storm_then_arrow_stage(spark):
+    """Pool-health stress (r16, VERDICT item 6): N consecutive cancelled
+    freshens under spark.python.worker.reuse=true, then an Arrow stage on
+    the SHARED session. Before the drain barrier in freshen_with_timeout
+    this reproduced java.nio.channels.CancelledKeyException — the cancelled
+    group's monitor thread destroys Python workers asynchronously, and a
+    job submitted during the drain window gets handed a dying worker."""
+    df = user_counter_df(spark)
+    reader = make_reader(
+        spark, df, "info:visits", AlwaysFreshen(), "",
+        f"{__name__}.SlowPandasProducer",
+    )
+    for _ in range(3):
+        out, fresh = reader.freshen_with_timeout(NOW_MS, timeout_ms=1000)
+        assert fresh is False
+        # the cancelled group must leave no running tasks behind
+        tracker = spark.sparkContext.statusTracker()
+        for sid in tracker.getActiveStageIds():
+            info = tracker.getStageInfo(sid)
+            assert info is None or info.numActiveTasks == 0, (
+                f"stage {sid} still has {info.numActiveTasks} active tasks "
+                f"after the timeout drain"
+            )
+        # an Arrow/pandas stage right after the cancel must not inherit a
+        # poisoned pooled worker (several partitions → several workers)
+        probe = spark.range(0, 64, 1, 8).toDF("id")
+
+        def bump(it):
+            for pdf in it:
+                pdf["id"] = pdf["id"] + 1
+                yield pdf
+
+        got = probe.mapInPandas(bump, schema="id long").agg(F.sum("id")).collect()
+        assert got[0][0] == sum(range(1, 65))
 
 
 def test_auto_reread_drops_capsule_cache(spark):
