@@ -244,8 +244,11 @@ class FreshTableReader:
         flat = layout.flat_name(column)
         out = F.col(flat)
         # tag with SQL text (see model._col) so wide policy expressions
-        # over group-type columns build as one parsed string
-        out._kss_sql = flat
+        # over group-type columns build as one parsed string; bare
+        # identifiers ONLY, backtick-quoted (ADVICE r15 — F.expr would
+        # misparse hyphens, dots, spaces that F.col accepts)
+        if flat.isidentifier():
+            out._kss_sql = f"`{flat}`"
         return out
 
     def _freshen_column(self, df: DataFrame, cap: Freshener, as_of_ms: int) -> DataFrame:

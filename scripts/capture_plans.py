@@ -1,13 +1,17 @@
 """Capture .explain("formatted") output for named registry queries into
-plans/r15/<query>_<tag>.txt (guide §1: measure first, keep plan evidence).
+plans/<round>/<query>_<tag>.txt (guide §1: measure first, keep plan
+evidence).
 
 Usage:
-    python scripts/capture_plans.py <tag> <query1> [<query2> ...]
-    python scripts/capture_plans.py <tag> --top N      # N slowest from the
-                                                       # latest bench detail
+    python scripts/capture_plans.py <round> <tag> <query1> [<query2> ...]
+    python scripts/capture_plans.py <round> <tag> --top N   # N slowest from
+                                                            # the latest
+                                                            # bench detail
 
-The tag is usually "before" or "after". Also times one cold count() per
-query (label only — bench.py medians stay the official numbers).
+<round> is the output dir under plans/ (e.g. "r16"); the tag is usually
+"before" or "after" (r15's script hard-coded plans/r15 and crashed without
+a query list — ADVICE r15). Also times one cold count() per query (label
+only — bench.py medians stay the official numbers).
 """
 
 from __future__ import annotations
@@ -25,11 +29,20 @@ sys.path.insert(0, HERE)
 from kiji_scoring_spark.queries import QUERIES  # noqa: E402
 from kiji_scoring_spark.session import get_spark  # noqa: E402
 
+USAGE = (
+    "usage: capture_plans.py <round-dir e.g. r16> <tag> "
+    "(<query> [<query> ...] | --top N)"
+)
+
 
 def main() -> None:
-    tag = sys.argv[1]
-    if sys.argv[2] == "--top":
-        n = int(sys.argv[3])
+    if len(sys.argv) < 4:
+        raise SystemExit(USAGE)
+    round_dir, tag = sys.argv[1], sys.argv[2]
+    if sys.argv[3] == "--top":
+        if len(sys.argv) < 5:
+            raise SystemExit(USAGE)
+        n = int(sys.argv[4])
         details = sorted(
             p for p in os.listdir(HERE) if p.startswith("BENCH_DETAIL_r")
         )
@@ -41,12 +54,15 @@ def main() -> None:
             if not q.startswith("streaming_")
         ][:n]
     else:
-        names = sys.argv[2:]
+        names = sys.argv[3:]
+    unknown = [n for n in names if n not in QUERIES]
+    if unknown:
+        raise SystemExit(f"not in the registry: {unknown}")
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="plan-capture")
     spark.sparkContext.setLogLevel("ERROR")
-    out_dir = os.path.join(HERE, "plans", "r15")
+    out_dir = os.path.join(HERE, "plans", round_dir)
     os.makedirs(out_dir, exist_ok=True)
 
     for name in names:
