@@ -1429,6 +1429,20 @@ def streaming_sketch_incremental_merge(spark: SparkSession, sf_dir: str) -> Data
     state_base = os.path.join(run_base, "state")
     last_version = {"v": -1}
 
+    #: both members live in ONE union-schema state file per version — one
+    #: write job per micro-batch instead of two (r16, the family-fold
+    #: pattern: the replay decomposition showed ~0.3 s FIXED cost per
+    #: job, and the members are tiny at any scale)
+    state_cols = ["member", "key", "h", "n_rows", "n_nonempty_batches"]
+
+    def as_member(df: DataFrame, member: str) -> DataFrame:
+        missing = [c for c in state_cols if c not in df.columns and c != "member"]
+        out = df.select(F.lit(member).alias("member"), "*")
+        for c in missing:
+            typ = "string" if c == "h" else "long"
+            out = out.withColumn(c, F.lit(None).cast(typ))
+        return out.select(*state_cols)
+
     def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
         batch_sketch = (
@@ -1443,8 +1457,10 @@ def streaming_sketch_incremental_merge(spark: SparkSession, sf_dir: str) -> Data
             (F.count(F.lit(1)) > 0).cast("long").alias("n_nonempty_batches"),
         )
         if last_version["v"] >= 0:
-            prev_dir = os.path.join(state_base, f"v{last_version['v']}")
-            prev = sess.read.parquet(os.path.join(prev_dir, "sketch"))
+            prev_all = sess.read.parquet(
+                os.path.join(state_base, f"v{last_version['v']}")
+            )
+            prev = prev_all.filter(F.col("member") == "sketch").select("key", "h")
             # a key seen in several batches carries the same hash —
             # distinct-union, then the fold keeps the global bottom-K
             folded = (
@@ -1453,7 +1469,9 @@ def streaming_sketch_incremental_merge(spark: SparkSession, sf_dir: str) -> Data
                 .orderBy("h")
                 .limit(K)
             )
-            prev_meta = sess.read.parquet(os.path.join(prev_dir, "meta"))
+            prev_meta = prev_all.filter(F.col("member") == "meta").select(
+                "n_rows", "n_nonempty_batches"
+            )
             meta = (
                 prev_meta.unionByName(batch_meta)
                 .agg(
@@ -1463,11 +1481,14 @@ def streaming_sketch_incremental_merge(spark: SparkSession, sf_dir: str) -> Data
             )
         else:
             folded, meta = batch_sketch, batch_meta
-        # versioned dir = atomic swap: both halves materialize fully
-        # before last_version advances; a failed batch leaves state intact
-        new_dir = os.path.join(state_base, f"v{batch_id}")
-        folded.write.parquet(os.path.join(new_dir, "sketch"))
-        meta.write.parquet(os.path.join(new_dir, "meta"))
+        # versioned dir = atomic swap: the whole state materializes fully
+        # before last_version advances; a failed batch leaves state
+        # intact. mode("overwrite") because foreachBatch is
+        # AT-LEAST-ONCE (see the family fold's rationale).
+        state = as_member(folded, "sketch").unionByName(as_member(meta, "meta"))
+        state.write.mode("overwrite").parquet(
+            os.path.join(state_base, f"v{batch_id}")
+        )
         last_version["v"] = batch_id
 
     stream = (
@@ -1484,9 +1505,11 @@ def streaming_sketch_incremental_merge(spark: SparkSession, sf_dir: str) -> Data
         )
         q.awaitTermination()
 
-    final_dir = os.path.join(state_base, f"v{last_version['v']}")
-    sketch = spark.read.parquet(os.path.join(final_dir, "sketch"))
-    meta = spark.read.parquet(os.path.join(final_dir, "meta"))
+    final = spark.read.parquet(os.path.join(state_base, f"v{last_version['v']}"))
+    sketch = final.filter(F.col("member") == "sketch").select("key", "h")
+    meta = final.filter(F.col("member") == "meta").select(
+        "n_rows", "n_nonempty_batches"
+    )
 
     from pyspark.sql import Window
 
@@ -1675,18 +1698,25 @@ def streaming_sketch_family_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     def mg_prune(weights: DataFrame) -> DataFrame:
         """One Misra-Gries prune: top-K weights decremented by the
         (K+1)-th. Runs over a micro-batch's FULL item space, so the rank
-        is the scale-safe per-partition one."""
+        is the scale-safe per-partition one. The (K+1)-th weight comes
+        from an unpartitioned window over the <= K+1 ranked survivors
+        (r16): the old one-row-aggregate + broadcast crossJoin evaluated
+        the whole _grouped_top_k subtree TWICE (once under the broadcast,
+        once in the main plan) and launched a broadcast job per prune —
+        five prunes per replay run. Same values: coalesce(max(w where
+        rn=K+1), 0) over the identical row set."""
         ranked = _grouped_top_k(
             weights, [], [F.col("w").desc(), F.col("item").asc()], K + 1, "rn"
         )
-        wk1 = ranked.agg(
-            F.coalesce(
-                F.max(F.when(F.col("rn") == K + 1, F.col("w"))), F.lit(0)
-            ).alias("wk1")
+        wk1 = F.coalesce(
+            F.max(F.when(F.col("rn") == K + 1, F.col("w"))).over(
+                Window.partitionBy()
+            ),
+            F.lit(0),
         )
         return (
-            ranked.filter(F.col("rn") <= K)
-            .crossJoin(F.broadcast(wk1))
+            ranked.withColumn("wk1", wk1)
+            .filter(F.col("rn") <= K)
             .select("item", (F.col("w") - F.col("wk1")).alias("weight"))
             .filter(F.col("weight") > 0)
         )
@@ -1799,13 +1829,19 @@ def streaming_sketch_family_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
 
     final = spark.read.parquet(os.path.join(state_base, f"v{last_version['v']}"))
+    # shared subtrees (r16, guide §2.4): the output stage used to rebuild
+    # the meta aggregate 4x and the per-item counts 3x (one full src scan
+    # each) and launch ~9 one-row broadcast jobs; lazy localCheckpoints
+    # execute each shared frame once per run, and compatible one-row
+    # aggregates are merged. Every expression below is value-identical to
+    # the r13 formulation — only the plan shape changed.
     meta = final.filter(F.col("member") == "meta").select(
         "n_rows",
         "n_nonempty_batches",
         F.ceil(F.lit(0.5) * F.col("n_rows")).alias("r50"),
         F.ceil(F.lit(0.9) * F.col("n_rows")).alias("r90"),
         F.ceil(F.lit(0.99) * F.col("n_rows")).alias("r99"),
-    )
+    ).localCheckpoint(eager=False)
     hll_state = final.filter(F.col("member") == "hll").select("sk")
     dd_state = final.filter(F.col("member") == "dd").select("bkt", "cnt")
     mg_state = final.filter(F.col("member") == "mg").select("item", "weight")
@@ -1821,7 +1857,11 @@ def streaming_sketch_family_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rn") == F.col("r90"), F.col("v"))).alias("p90_exact"),
         F.max(F.when(F.col("rn") == F.col("r99"), F.col("v"))).alias("p99_exact"),
     )
-    cnts = src.groupBy("item").agg(F.count(F.lit(1)).alias("cnt"))
+    cnts = (
+        src.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
     heavy_cnts = cnts.crossJoin(F.broadcast(meta.select("n_rows"))).filter(
         F.col("cnt") > 2.0 * F.col("n_rows") / (K + 1.0)
     )
@@ -1831,15 +1871,17 @@ def streaming_sketch_family_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("item").alias("top1_item"), F.max("cnt").alias("top1_cnt"))
     )
 
-    # contract flags from the REAL folded state
+    # contract flags from the REAL folded state; exact_users rides the
+    # same one-row frame as hll_ok so the src distinct pass runs once
     hll_flag = (
         hll_state.crossJoin(F.broadcast(exact_users))
         .select(
+            "exact_users",
             F.coalesce(
                 F.abs(F.hll_sketch_estimate("sk") - F.col("exact_users"))
                 <= 0.05 * F.col("exact_users"),
                 F.lit(True),
-            ).alias("hll_ok")
+            ).alias("hll_ok"),
         )
     )
     cum = dd_state.withColumn(
@@ -1877,12 +1919,16 @@ def streaming_sketch_family_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # MG flags: weights never overestimate; every heavy item recovered
     # with weight within 2n/(K+1); summary <= K rows. All joins against
-    # the <= K-row state broadcast.
-    mg_vs_exact = cnts.join(F.broadcast(mg_state), "item", "inner")
-    no_over = mg_vs_exact.agg(
+    # the <= K-row state broadcast. no_overestimate and summary_within_k
+    # share one frame (r16): mg LEFT JOIN cnts preserves every mg row
+    # exactly once (cnts items are unique post-groupBy), so count(*) is
+    # the mg row count, and a missing cnt yields NULL for weight<=cnt,
+    # which min() skips — identical to the old inner-join min.
+    no_within = mg_state.join(F.broadcast(cnts), "item", "left").agg(
         F.coalesce(F.min(F.col("weight") <= F.col("cnt")), F.lit(True)).alias(
             "no_overestimate"
-        )
+        ),
+        (F.count(F.lit(1)) <= K).alias("summary_within_k"),
     )
     heavy_join = heavy_cnts.join(F.broadcast(mg_state), "item", "left")
     heavy_flags = heavy_join.agg(
@@ -1899,20 +1945,15 @@ def streaming_sketch_family_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(True),
         ).alias("heavy_within_band"),
     )
-    within_k = mg_state.agg(
-        (F.count(F.lit(1)) <= K).alias("summary_within_k")
-    )
 
     out = (
         meta.select("n_rows", "n_nonempty_batches")
-        .crossJoin(F.broadcast(exact_users))
         .crossJoin(F.broadcast(hll_flag))
         .crossJoin(F.broadcast(pex))
         .crossJoin(F.broadcast(dd_est))
         .crossJoin(F.broadcast(heavy_flags))
         .crossJoin(F.broadcast(t1))
-        .crossJoin(F.broadcast(no_over))
-        .crossJoin(F.broadcast(within_k))
+        .crossJoin(F.broadcast(no_within))
     )
     return out.select(
         "n_rows",

@@ -1903,26 +1903,21 @@ def _ivfpq_probe_of(q: DataFrame) -> DataFrame:
     ).localCheckpoint(eager=False)
 
 
-def _ivfpq_query_phase(
+def _ivfpq_rank_phase(
     q: DataFrame,
     cb: DataFrame,
     seeds: DataFrame,
     codes: DataFrame,
-    probe: DataFrame | None = None,
+    probe: DataFrame,
 ) -> DataFrame:
-    """The DPP-pruned ADC top-10 over a (vec_id, c0..c7, cell) codes table:
-    route the probe to its 2 nearest cells (the routing join keys on the
-    partition column, so dynamic partition pruning reads only those
-    cells' directories), ADC-rank via ONE broadcast LUT row of maps,
-    TakeOrdered(10), and attach the winners' exact quantized distances
-    by a 10-row broadcast join-back.
-
-    ``probe`` may be passed in by callers that rank more than one codes
-    version (time travel, delete rewrite, rebalance): the probe row is
-    version-independent, so sharing one lazily-checkpointed frame across
-    phases computes its corpus TakeOrdered once instead of per phase."""
-    if probe is None:
-        probe = _ivfpq_probe_of(q)
+    """The DPP-pruned ADC top-10 over a (vec_id, c0..c7, cell) codes table
+    WITHOUT the exact join-back: route the probe to its 2 nearest cells
+    (the routing join keys on the partition column, so dynamic partition
+    pruning reads only those cells' directories), ADC-rank via ONE
+    broadcast LUT row of maps, TakeOrdered(10). Returns (neighbor_id,
+    cell, adc_dist, rn). Split from the join-back (r16) so multi-version
+    callers can union several versions' tops and attach exact distances
+    with ONE corpus scan instead of one per version."""
     pcells = (
         seeds.crossJoin(F.broadcast(probe))
         .select(
@@ -1951,7 +1946,7 @@ def _ivfpq_query_phase(
     adc_dist = F.expr(
         " + ".join(f"try_element_at(m{s}, c{s})" for s in range(_PQ_SUB))
     )
-    top = (
+    return (
         cand.crossJoin(F.broadcast(lut_row))
         .filter(F.col("vec_id") != F.col("probe_id"))
         .select(
@@ -1965,15 +1960,50 @@ def _ivfpq_query_phase(
             "rn", F.row_number().over(Window.orderBy("adc_dist", "neighbor_id"))
         )
     )
+
+
+def _ivfpq_attach_exact(
+    q: DataFrame, probe: DataFrame, tops: DataFrame, lead_cols: list[str] = ()
+) -> DataFrame:
+    """Attach the winners' exact quantized distances by a broadcast
+    join-back against the corpus — ONE scan of ``q`` however many ranked
+    phases were unioned into ``tops``. ``lead_cols`` are pass-through
+    tag columns (e.g. probe_version) emitted ahead of the ranking."""
     exact = _sqdiff_sum_expr("q{}", "pq{}", 0, _EMBED_DIM)
     return (
-        F.broadcast(top)
+        F.broadcast(tops)
         .join(q, F.col("vec_id") == F.col("neighbor_id"))
         .crossJoin(F.broadcast(probe.drop("probe_id")))
         .select(
-            "neighbor_id", "cell", "adc_dist", exact.alias("exact_dist"), "rn"
+            *lead_cols,
+            "neighbor_id",
+            "cell",
+            "adc_dist",
+            exact.alias("exact_dist"),
+            "rn",
         )
         .orderBy("rn")
+    )
+
+
+def _ivfpq_query_phase(
+    q: DataFrame,
+    cb: DataFrame,
+    seeds: DataFrame,
+    codes: DataFrame,
+    probe: DataFrame | None = None,
+) -> DataFrame:
+    """Rank one codes version and attach exact distances (see
+    _ivfpq_rank_phase / _ivfpq_attach_exact).
+
+    ``probe`` may be passed in by callers that rank more than one codes
+    version (time travel, delete rewrite, rebalance): the probe row is
+    version-independent, so sharing one lazily-checkpointed frame across
+    phases computes its corpus TakeOrdered once instead of per phase."""
+    if probe is None:
+        probe = _ivfpq_probe_of(q)
+    return _ivfpq_attach_exact(
+        q, probe, _ivfpq_rank_phase(q, cb, seeds, codes, probe)
     )
 
 
@@ -2344,16 +2374,20 @@ def ann_index_time_travel_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r15: the version-independent probe/codebook/seed frames are shared
     # (lazy localCheckpoint) so the two phases execute their corpus
     # TakeOrdered/filters once, not per version probed.
+    # r16: the phases rank WITHOUT the exact join-back, the tagged tops
+    # union, and ONE broadcast join-back attaches exact distances — one
+    # corpus scan per invocation instead of one per version probed.
     cb = cb.localCheckpoint(eager=False)
     seeds = seeds.localCheckpoint(eager=False)
     probe = _ivfpq_probe_of(q)
-    p2 = _ivfpq_query_phase(q, cb, seeds, codes_at(2), probe=probe)
-    p4 = _ivfpq_query_phase(q, cb, seeds, codes_at(4), probe=probe)
-    return (
-        p2.select(F.lit("v2").alias("probe_version"), "*")
-        .unionByName(p4.select(F.lit("latest").alias("probe_version"), "*"))
-        .orderBy(F.col("probe_version").desc(), "rn")
+    t2 = _ivfpq_rank_phase(q, cb, seeds, codes_at(2), probe)
+    t4 = _ivfpq_rank_phase(q, cb, seeds, codes_at(4), probe)
+    tops = t2.select(F.lit("v2").alias("probe_version"), "*").unionByName(
+        t4.select(F.lit("latest").alias("probe_version"), "*")
     )
+    return _ivfpq_attach_exact(
+        q, probe, tops, lead_cols=["probe_version"]
+    ).orderBy(F.col("probe_version").desc(), "rn")
 
 
 @query(
@@ -2476,12 +2510,16 @@ def ann_index_delete_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = cb.localCheckpoint(eager=False)
     seeds = seeds.localCheckpoint(eager=False)
     probe = _ivfpq_probe_of(q)
-    pre = _ivfpq_query_phase(
-        q, cb, seeds, codes_at(4), probe=probe
-    ).localCheckpoint(eager=False)
-    post = _ivfpq_query_phase(
-        q, cb, seeds, codes_at(5), probe=probe
-    ).localCheckpoint(eager=False)
+    # r16 (the time-travel probe's restructure): checkpoint the RANKED
+    # tops (each consumed twice — output union AND the kill/absence
+    # check), union them tagged, and attach exact distances with ONE
+    # corpus join-back instead of one per phase.
+    pre = _ivfpq_rank_phase(q, cb, seeds, codes_at(4), probe).localCheckpoint(
+        eager=False
+    )
+    post = _ivfpq_rank_phase(q, cb, seeds, codes_at(5), probe).localCheckpoint(
+        eager=False
+    )
     killed = pre.filter(F.col("rn") <= 3).select(
         F.col("neighbor_id").alias("killed_id")
     )
@@ -2493,9 +2531,11 @@ def ann_index_delete_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg((F.count(F.lit(1)) == 0).alias("deleted_absent"))
     )
+    tops = pre.select(F.lit("pre").alias("phase"), "*").unionByName(
+        post.select(F.lit("post").alias("phase"), "*")
+    )
     return (
-        pre.select(F.lit("pre").alias("phase"), "*")
-        .unionByName(post.select(F.lit("post").alias("phase"), "*"))
+        _ivfpq_attach_exact(q, probe, tops, lead_cols=["phase"])
         .crossJoin(F.broadcast(absent))
         .orderBy(F.col("phase").desc(), "rn")
     )
