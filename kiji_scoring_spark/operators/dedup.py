@@ -69,7 +69,11 @@ def minhash_signature_df(docs: DataFrame, id_col: str, text_col: str, n: int = 3
     own projection so the interpreted HOF lambdas (no CSE) never
     recompute upstream arrays per element. Bounded by one doc's shingle
     array per row — fine for any document that fits in a row."""
-    w = docs.select(id_col, F.split(F.col(text_col), " ").alias("__w__"))
+    # r16: every stage is ONE parsed selectExpr string — the Column build
+    # cost ~2,200 py4j round-trips (~0.3 s driver time per signature
+    # build, profiled); the parsed plans are canonically IDENTICAL
+    # (pinned by tests/test_dedup_build.py)
+    w = docs.selectExpr(f"`{id_col}`", f"split(`{text_col}`, ' ') AS __w__")
     # Shingle-LESS docs (under n words — empty docs and ultra-short docs)
     # are DROPPED, not signed: array_min over an empty hash array is
     # NULL, so every such doc would get the identical all-NULL signature,
@@ -85,20 +89,23 @@ def minhash_signature_df(docs: DataFrame, id_col: str, text_col: str, n: int = 3
     # signature stage's cost (measured 1.44 -> 2.52 s at sf0.1); a
     # re-split of the text is noise by comparison.
     w = w.filter(F.size("__w__") >= n)
-    sh = w.select(id_col, _shingles_of_words(F.col("__w__"), n).alias("__sh__"))
-    hashes = sh.select(
-        id_col,
-        F.transform(
-            "__sh__", lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")
-        ).alias("__h__"),
+    sh = w.selectExpr(
+        f"`{id_col}`",
+        f"transform(CASE WHEN size(__w__) >= {n} "
+        f"THEN sequence(1, size(__w__) - {n - 1}) "
+        f"ELSE CAST(array() AS array<int>) END, "
+        f"i -> concat_ws(' ', slice(__w__, i, {n}))) AS __sh__",
+    )
+    hashes = sh.selectExpr(
+        f"`{id_col}`",
+        "transform(__sh__, s -> "
+        "CAST(conv(substring(md5(s), 1, 8), 16, 10) AS bigint)) AS __h__",
     )
     mins = [
-        F.array_min(
-            F.transform("__h__", lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE)
-        ).alias(f"m{j}")
+        f"array_min(transform(__h__, h -> ({a} * h + {b}) % {MERSENNE})) AS m{j}"
         for j, (a, b) in enumerate(MINHASH_PARAMS)
     ]
-    return hashes.select(id_col, *mins)
+    return hashes.selectExpr(f"`{id_col}`", *mins)
 
 
 def minhash_band_keys(sig: DataFrame, id_col: str, rows_per_band: int = 4) -> DataFrame:
@@ -124,28 +131,23 @@ MAX_BUCKET = 256
 CHUNK = 128
 
 
-def _in_array_pairs(arr: Column) -> Column:
-    """array<struct<doc_a, doc_b>> of all a<b pairs from a SORTED id array."""
-    return F.flatten(
-        F.transform(
-            arr,
-            lambda x, i: F.transform(
-                F.slice(arr, i + 2, F.size(arr)),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
+def _in_array_pairs_sql(arr: str) -> str:
+    """SQL text: array<struct<doc_a, doc_b>> of all a<b pairs from a
+    SORTED id array. Parsed-string form (r16): the Column/lambda build of
+    these nested HOFs cost hundreds of py4j round-trips per call site;
+    the parsed plan is canonically identical (tests/test_dedup_build.py)."""
+    return (
+        f"flatten(transform({arr}, (x, i) -> "
+        f"transform(slice({arr}, i + 2, size({arr})), "
+        f"y -> struct(x AS doc_a, y AS doc_b))))"
     )
 
 
-def _cross_array_pairs(a: Column, b: Column) -> Column:
-    """array<struct<doc_a, doc_b>> — full cross of two id arrays."""
-    return F.flatten(
-        F.transform(
-            a,
-            lambda x: F.transform(
-                b, lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b"))
-            ),
-        )
+def _cross_array_pairs_sql(a: str, b: str) -> str:
+    """SQL text: array<struct<doc_a, doc_b>> — full cross of two arrays."""
+    return (
+        f"flatten(transform({a}, x -> "
+        f"transform({b}, y -> struct(x AS doc_a, y AS doc_b))))"
     )
 
 
@@ -180,38 +182,31 @@ def bucket_pairs(
     small = buckets.filter(n <= max_bucket)
     big = buckets.filter(n > max_bucket)
 
-    small_pairs = small.select(
-        F.explode(_in_array_pairs(F.col(ids_col))).alias("p")
+    small_pairs = small.selectExpr(
+        f"explode({_in_array_pairs_sql(f'`{ids_col}`')}) AS p"
     ).select("p.doc_a", "p.doc_b")
 
-    m = F.ceil(n / F.lit(chunk)).cast("int")
-    block_pairs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(0), m - 1),
-            lambda ci: F.transform(
-                F.sequence(ci, m - 1),
-                lambda cj: F.struct(ci.alias("ci"), cj.alias("cj")),
-            ),
-        )
+    m_sql = f"CAST(CEIL(size(`{ids_col}`) / {chunk}) AS INT)"
+    block_pairs_sql = (
+        f"flatten(transform(sequence(0, {m_sql} - 1), "
+        f"ci -> transform(sequence(ci, {m_sql} - 1), "
+        f"cj -> struct(ci AS ci, cj AS cj))))"
     )
-    blocks = big.select(
-        F.col(ids_col).alias("__ids__"), F.explode(block_pairs).alias("cp")
+    blocks = big.selectExpr(
+        f"`{ids_col}` AS __ids__", f"explode({block_pairs_sql}) AS cp"
     )
     # the shuffle IS the quarantine: without it every block row of a hot
     # bucket stays in the task that built the bucket and expands serially
     blocks = blocks.repartition(F.xxhash64("__ids__"), F.col("cp"))
     # A/B projected before the pair HOF: interpreted lambdas have no CSE
-    ab = blocks.select(
-        F.slice("__ids__", F.col("cp.ci") * chunk + 1, chunk).alias("A"),
-        F.slice("__ids__", F.col("cp.cj") * chunk + 1, chunk).alias("B"),
-        (F.col("cp.ci") == F.col("cp.cj")).alias("diag"),
+    ab = blocks.selectExpr(
+        f"slice(__ids__, cp.ci * {chunk} + 1, {chunk}) AS A",
+        f"slice(__ids__, cp.cj * {chunk} + 1, {chunk}) AS B",
+        "(cp.ci = cp.cj) AS diag",
     )
-    big_pairs = ab.select(
-        F.explode(
-            F.when(F.col("diag"), _in_array_pairs(F.col("A"))).otherwise(
-                _cross_array_pairs(F.col("A"), F.col("B"))
-            )
-        ).alias("p")
+    big_pairs = ab.selectExpr(
+        f"explode(CASE WHEN diag THEN {_in_array_pairs_sql('A')} "
+        f"ELSE {_cross_array_pairs_sql('A', 'B')} END) AS p"
     ).select("p.doc_a", "p.doc_b")
 
     return small_pairs.unionAll(big_pairs)
@@ -233,32 +228,28 @@ def cross_bucket_pairs(
     small = buckets.filter(~hot)
     big = buckets.filter(hot)
 
-    small_pairs = small.select(
-        F.explode(_cross_array_pairs(F.col(a_col), F.col(b_col))).alias("p")
+    small_pairs = small.selectExpr(
+        f"explode({_cross_array_pairs_sql(f'`{a_col}`', f'`{b_col}`')}) AS p"
     ).select("p.doc_a", "p.doc_b")
 
-    ma = F.ceil(F.size(a_col) / F.lit(chunk)).cast("int")
-    mb = F.ceil(F.size(b_col) / F.lit(chunk)).cast("int")
-    block_pairs = F.flatten(
-        F.transform(
-            F.sequence(F.lit(0), ma - 1),
-            lambda ci: F.transform(
-                F.sequence(F.lit(0), mb - 1),
-                lambda cj: F.struct(ci.alias("ci"), cj.alias("cj")),
-            ),
-        )
+    ma_sql = f"CAST(CEIL(size(`{a_col}`) / {chunk}) AS INT)"
+    mb_sql = f"CAST(CEIL(size(`{b_col}`) / {chunk}) AS INT)"
+    block_pairs_sql = (
+        f"flatten(transform(sequence(0, {ma_sql} - 1), "
+        f"ci -> transform(sequence(0, {mb_sql} - 1), "
+        f"cj -> struct(ci AS ci, cj AS cj))))"
     )
-    blocks = big.select(
-        F.col(a_col).alias("__a__"),
-        F.col(b_col).alias("__b__"),
-        F.explode(block_pairs).alias("cp"),
+    blocks = big.selectExpr(
+        f"`{a_col}` AS __a__",
+        f"`{b_col}` AS __b__",
+        f"explode({block_pairs_sql}) AS cp",
     ).repartition(F.xxhash64("__a__"), F.xxhash64("__b__"), F.col("cp"))
-    ab = blocks.select(
-        F.slice("__a__", F.col("cp.ci") * chunk + 1, chunk).alias("A"),
-        F.slice("__b__", F.col("cp.cj") * chunk + 1, chunk).alias("B"),
+    ab = blocks.selectExpr(
+        f"slice(__a__, cp.ci * {chunk} + 1, {chunk}) AS A",
+        f"slice(__b__, cp.cj * {chunk} + 1, {chunk}) AS B",
     )
-    big_pairs = ab.select(
-        F.explode(_cross_array_pairs(F.col("A"), F.col("B"))).alias("p")
+    big_pairs = ab.selectExpr(
+        f"explode({_cross_array_pairs_sql('A', 'B')}) AS p"
     ).select("p.doc_a", "p.doc_b")
 
     return small_pairs.unionAll(big_pairs)

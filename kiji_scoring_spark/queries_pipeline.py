@@ -2867,34 +2867,38 @@ def ann_ivf_cell_rebalance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.snapshots import commit_snapshot, latest_version
     from .queries_graph import _state_path
 
-    e = load_table(spark, sf_dir, "embeddings").filter(
-        F.col("vec_id").isNotNull()
-        & F.col("embedding").isNotNull()
-        & (F.size("embedding") == _EMBED_DIM)
-    )
-    q = _ivfpq_quantize(e)
-    cb = _ivfpq_cb(q)
-    seeds = _ivfpq_seeds(q)
-    seed0 = (
-        seeds.withColumn("__sh", F.md5(F.col("seed_id").cast("string")))
-        .orderBy("__sh", "seed_id")
-        .limit(1)
-        .drop("__sh")
-    )
-    clone_q = (
-        q.filter(F.pmod(F.col("vec_id"), F.lit(4)) == 1)
-        .select("vec_id")
-        .crossJoin(F.broadcast(seed0))
-        .selectExpr(
-            f"vec_id + {_IVF_CLONE_OFFSET}L AS vec_id",
-            "sq0 + pmod(vec_id, 5) AS q0",
-            *[f"sq{i} AS q{i}" for i in range(1, _EMBED_DIM)],
-        )
-    )
-    allv = q.unionByName(clone_q).localCheckpoint(eager=False)
-
     path = _state_path(sf_dir, "ivfpq_codes_rebalance")
     if (latest_version(path) or 0) < 3:
+        # the whole encode preamble (quantize, codebook, seeds, the skew
+        # clones, their checkpoint analysis — ~1.2 s of driver build,
+        # profiled r16) is only needed when the lineage must be BUILT;
+        # the steady-state probe reads versions 2 and 3 from the
+        # snapshot table alone
+        e = load_table(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id").isNotNull()
+            & F.col("embedding").isNotNull()
+            & (F.size("embedding") == _EMBED_DIM)
+        )
+        q = _ivfpq_quantize(e)
+        cb = _ivfpq_cb(q)
+        seeds = _ivfpq_seeds(q)
+        seed0 = (
+            seeds.withColumn("__sh", F.md5(F.col("seed_id").cast("string")))
+            .orderBy("__sh", "seed_id")
+            .limit(1)
+            .drop("__sh")
+        )
+        clone_q = (
+            q.filter(F.pmod(F.col("vec_id"), F.lit(4)) == 1)
+            .select("vec_id")
+            .crossJoin(F.broadcast(seed0))
+            .selectExpr(
+                f"vec_id + {_IVF_CLONE_OFFSET}L AS vec_id",
+                "sq0 + pmod(vec_id, 5) AS q0",
+                *[f"sq{i} AS q{i}" for i in range(1, _EMBED_DIM)],
+            )
+        )
+        allv = q.unionByName(clone_q).localCheckpoint(eager=False)
         shutil.rmtree(path, ignore_errors=True)
         enc = _ivfpq_encode(allv, cb, seeds).localCheckpoint(eager=False)
         commit_snapshot(

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..state import register_purge_hook, state_tag
+
 #: Tables the driver generates (TESTDATA.md).
 TABLES = (
     "region",
@@ -58,9 +60,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     fragmented layouts). At 100 TB a production deployment pins the
     schema from a catalog instead of listing footers; for catalog-less
     directory scans this is the correctness default.
+
+    The MERGED SCHEMA is cached per (application, dataset, table) —
+    r16, guide §6: the footer-merge is a distributed job (~85 ms per
+    call, profiled at nearly half of several queries' total driver
+    build time), and it is pure metadata over an immutable dataset —
+    exactly what a catalog pins at scale. Every call still creates a
+    FRESH scan plan (no DataFrame-object sharing: self-joins keep
+    distinct attribute ids), and an in-process dataset rebuild
+    invalidates the cache through the standard purge hook. Results are
+    unchanged: the schema a later call receives is byte-identical to
+    the one it would have re-inferred.
     """
     _ensure_nanos_conf(spark)
-    df = spark.read.option("mergeSchema", "true").parquet(f"{sf_dir}/{name}.parquet")
+    key = (spark.sparkContext.applicationId, state_tag(sf_dir), name)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        schema = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(f"{sf_dir}/{name}.parquet")
+            .schema
+        )
+        _SCHEMA_CACHE[key] = schema
+    df = spark.read.schema(schema).parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer DIV: ts is ~1.7e18 ns and double division would lose the
         # low microseconds (DuckDB truncates nanos -> micros; so do we)
@@ -68,6 +90,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             "ts", F.expr("CAST(timestamp_micros(ts DIV 1000) AS timestamp_ntz)")
         )
     return df
+
+
+#: merged-schema cache for load_table, keyed (applicationId, dataset tag,
+#: table) — metadata only, see load_table's docstring
+_SCHEMA_CACHE: dict = {}
+
+
+def _purge_schema_cache(sf_dir: str, tag: str) -> None:
+    """purge_derived_state hook: a dataset rebuilt in place must not be
+    served the pre-rebuild merged schema."""
+    for k in [k for k in _SCHEMA_CACHE if k[1] == tag]:
+        del _SCHEMA_CACHE[k]
+
+
+register_purge_hook(_purge_schema_cache)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
